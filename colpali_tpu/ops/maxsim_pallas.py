@@ -1,0 +1,235 @@
+"""Fused Pallas TPU kernel for corpus-scale MaxSim scoring.
+
+The serving hot path (reference: processing_utils.py:132-187 runs this as a
+blocked torch einsum, materializing the token-level similarity tensor for
+every block). Here the corpus lives in HBM in **token-major layout**
+``(doc_tokens, num_docs, dim)``; the kernel streams 128-doc tiles into VMEM
+(double-buffered by the Pallas grid pipeline), runs MXU matmuls per
+token-chunk, and keeps a running max over doc tokens — the giant token-level
+similarity tensor never touches HBM. Output is just the ``(B, num_docs)``
+score matrix.
+
+Why token-major: with docs in the lane dimension, every reshape in the kernel
+is lane-preserving (the minor dim stays the 128-doc tile), which is the only
+reshape Mosaic supports on TPU. A doc-major layout would need a
+``(B*Nq, tile*Np) -> (B, Nq, tile, Np)`` shape cast that Mosaic rejects.
+
+Tiling scheme:
+- Grid: one step per ``DOC_TILE`` (=128) docs; output block ``(B, 128)``.
+- Inside a step, doc tokens are processed in chunks of ``tok_chunk`` so the
+  fp32 similarity chunk ``(B*Nq, tok_chunk*128)`` stays within ~2 MB of VMEM;
+  a running elementwise max accumulates across chunks, then scores are summed
+  over query tokens and stored once.
+
+Arithmetic intensity: ``~B*Nq`` FLOPs per corpus byte — compute-bound for a
+batch of ~32 queries, HBM-bandwidth-bound for single queries. Either way the
+corpus is read exactly once per query batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DOC_TILE = 128  # docs per grid step == lane width
+_SIM_VMEM_BUDGET = 2 * 1024 * 1024  # fp32 similarity chunk budget (bytes)
+
+
+def to_token_major(doc_embeddings: jnp.ndarray) -> jnp.ndarray:
+    """(C, Np, D) doc-major -> (Np, C, D) token-major corpus layout."""
+    return jnp.transpose(doc_embeddings, (1, 0, 2))
+
+
+def _pick_tok_chunk(b: int, nq: int, np_: int) -> int:
+    """Largest divisor of Np whose fp32 similarity chunk fits the budget."""
+    budget = max(1, _SIM_VMEM_BUDGET // (4 * b * nq * DOC_TILE))
+    chunk = min(np_, budget)
+    while np_ % chunk != 0:
+        chunk -= 1
+    return chunk
+
+
+def _maxsim_body(q2: jnp.ndarray, load_chunk, np_: int, tok_chunk: int, b: int, nq: int) -> jnp.ndarray:
+    """Shared kernel body: chunked matmul + running max + query-token sum.
+
+    q2: (B*Nq, D). load_chunk(s) -> (tok_chunk, DOC_TILE, D) doc token chunk.
+    Returns (B, DOC_TILE) fp32 scores.
+    """
+    dim = q2.shape[1]
+    # Everything stays 2D: Mosaic handles 128-aligned lane slices and sublane
+    # reductions well, but rejects 3D relayouts/middle-axis reductions.
+    m = jnp.full((b * nq, DOC_TILE), -jnp.inf, dtype=jnp.float32)
+    for s in range(np_ // tok_chunk):
+        dt = load_chunk(s).reshape(tok_chunk * DOC_TILE, dim)
+        # (B*Nq, tok_chunk*DOC_TILE) on the MXU, fp32 accumulation.
+        sim = jax.lax.dot_general(
+            q2,
+            dt,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for t in range(tok_chunk):  # running max over doc tokens (VPU)
+            m = jnp.maximum(m, sim[:, t * DOC_TILE : (t + 1) * DOC_TILE])
+    # Sum over each query's Nq token rows (sublane reduction per query).
+    rows = [jnp.sum(m[i * nq : (i + 1) * nq], axis=0, keepdims=True) for i in range(b)]
+    return rows[0] if b == 1 else jnp.concatenate(rows, axis=0)
+
+
+def _maxsim_kernel(q_ref, d_ref, out_ref, *, tok_chunk: int):
+    """One DOC_TILE of docs.
+
+    Shapes (all VMEM):
+      q_ref:   (B, Nq, D)            — full query batch, replicated per tile
+      d_ref:   (Np, DOC_TILE, D)     — current corpus tile, token-major
+      out_ref: (B, DOC_TILE)         — score tile
+    """
+    b, nq, dim = q_ref.shape
+    np_ = d_ref.shape[0]
+    q2 = q_ref[:].reshape(b * nq, dim)
+    out_ref[:] = _maxsim_body(
+        q2,
+        lambda s: d_ref[s * tok_chunk : (s + 1) * tok_chunk],
+        np_,
+        tok_chunk,
+        b,
+        nq,
+    )
+
+
+def _maxsim_int8_kernel(q_ref, d_ref, dscale_ref, out_ref, *, tok_chunk: int):
+    """Int8-corpus variant: docs are per-token int8 + fp32 scales.
+
+    Dequantizes each chunk in VMEM (cheap VPU work). The win of int8 is 2x
+    less HBM traffic, which is the bottleneck for small query batches.
+    """
+    b, nq, dim = q_ref.shape
+    np_ = d_ref.shape[0]
+    q2 = q_ref[:].reshape(b * nq, dim).astype(jnp.bfloat16)
+
+    def load_chunk(s):
+        d_chunk = d_ref[s * tok_chunk : (s + 1) * tok_chunk].astype(jnp.bfloat16)
+        scale = dscale_ref[s * tok_chunk : (s + 1) * tok_chunk][..., None].astype(jnp.bfloat16)
+        return d_chunk * scale
+
+    out_ref[:] = _maxsim_body(q2, load_chunk, np_, tok_chunk, b, nq)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def maxsim_pallas_tm(
+    query_embeddings: jnp.ndarray,
+    doc_embeddings_tm: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """MaxSim scores against a token-major corpus.
+
+    Args:
+        query_embeddings: ``(B, Nq, D)`` zero-padded query token embeddings.
+        doc_embeddings_tm: ``(Np, C, D)`` token-major corpus (use
+            :func:`to_token_major`); ``C`` must be a multiple of 128. The
+            retrieval store keeps the corpus in this layout.
+        interpret: run in Pallas interpreter mode (CPU testing).
+
+    Returns:
+        ``(B, C)`` float32 scores, identical semantics to
+        :func:`colpali_tpu.ops.maxsim.maxsim`.
+    """
+    b, nq, d = query_embeddings.shape
+    np_, c, d2 = doc_embeddings_tm.shape
+    if d != d2:
+        raise ValueError(f"dim mismatch: queries {d} vs docs {d2}")
+    if c % DOC_TILE != 0:
+        raise ValueError(f"num docs ({c}) must be a multiple of {DOC_TILE}")
+    tok_chunk = _pick_tok_chunk(b, nq, np_)
+
+    grid_spec = pl.GridSpec(
+        grid=(c // DOC_TILE,),
+        in_specs=[
+            pl.BlockSpec((b, nq, d), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, DOC_TILE, d), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, DOC_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+    )
+
+    flops = 2 * b * nq * c * np_ * d
+    bytes_accessed = (
+        query_embeddings.size * query_embeddings.dtype.itemsize
+        + doc_embeddings_tm.size * doc_embeddings_tm.dtype.itemsize
+        + b * c * 4
+    )
+
+    return pl.pallas_call(
+        functools.partial(_maxsim_kernel, tok_chunk=tok_chunk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, c), jnp.float32),
+        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        interpret=interpret,
+    )(query_embeddings, doc_embeddings_tm)
+
+
+def maxsim_pallas(
+    query_embeddings: jnp.ndarray,
+    doc_embeddings: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """MaxSim via the Pallas kernel, accepting a doc-major ``(C, Np, D)``
+    corpus (transposed on the fly — use :func:`maxsim_pallas_tm` with a
+    pre-transposed corpus for the hot serving path)."""
+    return maxsim_pallas_tm(query_embeddings, to_token_major(doc_embeddings), interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def maxsim_pallas_int8_tm(
+    query_embeddings: jnp.ndarray,
+    doc_embeddings_int8_tm: jnp.ndarray,
+    doc_scales_tm: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """MaxSim against an int8-quantized token-major corpus.
+
+    ``doc_embeddings_int8_tm``: ``(Np, C, D)`` int8; ``doc_scales_tm``:
+    ``(Np, C)`` fp32 per-token scales (see :mod:`colpali_tpu.ops.quant`).
+    """
+    b, nq, d = query_embeddings.shape
+    np_, c, _ = doc_embeddings_int8_tm.shape
+    if c % DOC_TILE != 0:
+        raise ValueError(f"num docs ({c}) must be a multiple of {DOC_TILE}")
+    tok_chunk = _pick_tok_chunk(b, nq, np_)
+
+    grid_spec = pl.GridSpec(
+        grid=(c // DOC_TILE,),
+        in_specs=[
+            pl.BlockSpec((b, nq, d), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, DOC_TILE, d), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, DOC_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, DOC_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+    )
+
+    flops = 2 * b * nq * c * np_ * d
+    bytes_accessed = (
+        query_embeddings.size * 2 + doc_embeddings_int8_tm.size + doc_scales_tm.size * 4 + b * c * 4
+    )
+
+    return pl.pallas_call(
+        functools.partial(_maxsim_int8_kernel, tok_chunk=tok_chunk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, c), jnp.float32),
+        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        interpret=interpret,
+    )(query_embeddings, doc_embeddings_int8_tm, doc_scales_tm)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def maxsim_topk_tm(
+    query_embeddings: jnp.ndarray,
+    doc_embeddings_tm: jnp.ndarray,
+    k: int = 100,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k docs per query by MaxSim score. Returns (scores, indices)."""
+    scores = maxsim_pallas_tm(query_embeddings, doc_embeddings_tm, interpret=interpret)
+    return jax.lax.top_k(scores, k)

@@ -1,0 +1,69 @@
+"""Pallas MaxSim kernel tests (interpreter mode — hermetic on CPU).
+
+Real-TPU validation of this kernel (bit-exactness vs XLA + bandwidth
+measurements) runs in bench.py; these tests pin the semantics.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from colpali_tpu.ops.maxsim import maxsim
+from colpali_tpu.ops.maxsim_pallas import (
+    maxsim_pallas,
+    maxsim_pallas_int8_tm,
+    maxsim_topk_tm,
+    to_token_major,
+)
+from colpali_tpu.ops.quant import quantize_per_token
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(3)
+
+
+class TestMaxSimPallas:
+    def test_matches_xla_reference(self, rng):
+        q = jnp.asarray(rng.normal(size=(4, 16, 128)).astype(np.float32))
+        docs = jnp.asarray(rng.normal(size=(256, 32, 128)).astype(np.float32))
+        expected = maxsim(q, docs)
+        got = maxsim_pallas(q, docs, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=3e-3, atol=3e-3)
+
+    def test_single_query(self, rng):
+        q = jnp.asarray(rng.normal(size=(1, 16, 128)).astype(np.float32))
+        docs = jnp.asarray(rng.normal(size=(128, 16, 128)).astype(np.float32))
+        expected = maxsim(q, docs)
+        got = maxsim_pallas(q, docs, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=3e-3, atol=3e-3)
+
+    def test_topk(self, rng):
+        q = jnp.asarray(rng.normal(size=(2, 16, 128)).astype(np.float32))
+        docs = jnp.asarray(rng.normal(size=(256, 16, 128)).astype(np.float32))
+        scores, idx = maxsim_topk_tm(q, to_token_major(docs), k=5, interpret=True)
+        full = np.asarray(maxsim(q, docs))
+        expected_idx = np.argsort(-full, axis=1)[:, :5]
+        np.testing.assert_array_equal(np.asarray(idx), expected_idx)
+
+    def test_non_multiple_of_tile_raises(self, rng):
+        q = jnp.zeros((1, 16, 128), jnp.float32)
+        docs = jnp.zeros((100, 16, 128), jnp.float32)
+        with pytest.raises(ValueError, match="multiple of"):
+            maxsim_pallas(q, docs, interpret=True)
+
+    def test_int8_close_to_fp(self, rng):
+        q = rng.normal(size=(2, 16, 128)).astype(np.float32)
+        docs = rng.normal(size=(128, 16, 128)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        docs /= np.linalg.norm(docs, axis=-1, keepdims=True)
+        d_int8, scales = quantize_per_token(jnp.asarray(docs))
+        got = maxsim_pallas_int8_tm(
+            jnp.asarray(q),
+            to_token_major(d_int8),
+            jnp.transpose(scales, (1, 0)),
+            interpret=True,
+        )
+        expected = np.asarray(maxsim(jnp.asarray(q), jnp.asarray(docs)))
+        # int8 quantization error on unit vectors is ~1/127 per component
+        np.testing.assert_allclose(np.asarray(got), expected, rtol=0.05, atol=0.2)
