@@ -1,0 +1,198 @@
+"""HF checkpoint -> JAX pytree weight conversion.
+
+The reference loads HF checkpoints through transformers' ``from_pretrained``
+with per-model ``_checkpoint_conversion_mapping`` regex remaps
+(modeling_colpali.py:25-38, tests/models/test_checkpoint_key_mappings.py).
+Here the same knowledge lives in one module: normalize checkpoint keys across
+transformers-version layouts and merged-LoRA exports, then mechanically
+translate torch tensors (Linear out,in / Conv OIHW / Embedding) into flax
+param pytrees (kernel in,out / HWIO / embedding).
+
+Works from either an in-memory state dict (numpy/torch tensors) or a
+directory of ``*.safetensors`` shards.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Callable, Dict, Mapping, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+# Key normalization regexes: old/LoRA-merged layouts -> transformers>=4.52
+# PaliGemma layout. Mirrors the knowledge in the reference's
+# _checkpoint_conversion_mapping (modeling_colpali.py:25-31) — patterns
+# rewritten for the layout this loader consumes.
+PALIGEMMA_KEY_REMAPS: Tuple[Tuple[str, str], ...] = (
+    (r"^base_model\.model\.", ""),  # merged-LoRA exports
+    (r"^model\.language_model\.model\.", "model.language_model."),  # transformers<5 nesting
+    (r"^model\.language_model\.lm_head\.", "lm_head."),
+    (r"^language_model\.model\.", "model.language_model."),
+    (r"^vision_tower\.", "model.vision_tower."),
+    (r"^multi_modal_projector\.", "model.multi_modal_projector."),
+    (r"\.lora_[AB]\.", ".__lora__."),  # marker: unmerged LoRA factors are skipped
+)
+
+
+def normalize_keys(
+    state_dict: Mapping[str, Any],
+    remaps: Tuple[Tuple[str, str], ...],
+) -> Dict[str, Any]:
+    """Apply regex key remaps (first match rewrites, all patterns applied in
+    order), dropping unmerged-LoRA factor keys."""
+    out: Dict[str, Any] = {}
+    for key, value in state_dict.items():
+        for pattern, repl in remaps:
+            key = re.sub(pattern, repl, key)
+        if "__lora__" in key:
+            continue
+        out[key] = value
+    return out
+
+
+def _np(x: Any) -> np.ndarray:
+    """torch tensor / numpy array -> numpy (bf16 via float32 roundtrip)."""
+    if isinstance(x, np.ndarray):
+        return x
+    # torch tensor without importing torch at module scope
+    if hasattr(x, "detach"):
+        x = x.detach()
+        if str(x.dtype) == "torch.bfloat16":
+            return x.float().numpy().astype(jnp.bfloat16)
+        return x.numpy()
+    return np.asarray(x)
+
+
+def t_linear(w: Any) -> np.ndarray:
+    """torch Linear weight (out, in) -> flax kernel (in, out)."""
+    return _np(w).T
+
+
+def t_conv2d(w: Any) -> np.ndarray:
+    """torch Conv2d weight (O, I, kH, kW) -> flax kernel (kH, kW, I, O)."""
+    return _np(w).transpose(2, 3, 1, 0)
+
+
+def t_id(w: Any) -> np.ndarray:
+    return _np(w)
+
+
+# (torch key regex, flax path template, tensor transform)
+# Path templates use {i} for the captured layer index; "/" separates tree keys.
+_RuleT = Tuple[str, str, Callable[[Any], np.ndarray]]
+
+PALIGEMMA_RULES: Tuple[_RuleT, ...] = (
+    # --- SigLIP vision tower ---
+    (r"model\.vision_tower\.vision_model\.embeddings\.patch_embedding\.weight",
+     "model/vision_tower/patch_embedding/kernel", t_conv2d),
+    (r"model\.vision_tower\.vision_model\.embeddings\.patch_embedding\.bias",
+     "model/vision_tower/patch_embedding/bias", t_id),
+    (r"model\.vision_tower\.vision_model\.embeddings\.position_embedding\.weight",
+     "model/vision_tower/position_embedding/embedding", t_id),
+    (r"model\.vision_tower\.vision_model\.encoder\.layers\.(\d+)\.layer_norm([12])\.weight",
+     "model/vision_tower/layers_{i}/layer_norm{j}/scale", t_id),
+    (r"model\.vision_tower\.vision_model\.encoder\.layers\.(\d+)\.layer_norm([12])\.bias",
+     "model/vision_tower/layers_{i}/layer_norm{j}/bias", t_id),
+    (r"model\.vision_tower\.vision_model\.encoder\.layers\.(\d+)\.self_attn\.(q|k|v)_proj\.weight",
+     "model/vision_tower/layers_{i}/self_attn/{j}_proj/kernel", t_linear),
+    (r"model\.vision_tower\.vision_model\.encoder\.layers\.(\d+)\.self_attn\.(q|k|v)_proj\.bias",
+     "model/vision_tower/layers_{i}/self_attn/{j}_proj/bias", t_id),
+    (r"model\.vision_tower\.vision_model\.encoder\.layers\.(\d+)\.self_attn\.out_proj\.weight",
+     "model/vision_tower/layers_{i}/self_attn/o_proj/kernel", t_linear),
+    (r"model\.vision_tower\.vision_model\.encoder\.layers\.(\d+)\.self_attn\.out_proj\.bias",
+     "model/vision_tower/layers_{i}/self_attn/o_proj/bias", t_id),
+    (r"model\.vision_tower\.vision_model\.encoder\.layers\.(\d+)\.mlp\.fc([12])\.weight",
+     "model/vision_tower/layers_{i}/mlp/fc{j}/kernel", t_linear),
+    (r"model\.vision_tower\.vision_model\.encoder\.layers\.(\d+)\.mlp\.fc([12])\.bias",
+     "model/vision_tower/layers_{i}/mlp/fc{j}/bias", t_id),
+    (r"model\.vision_tower\.vision_model\.post_layernorm\.weight",
+     "model/vision_tower/post_layernorm/scale", t_id),
+    (r"model\.vision_tower\.vision_model\.post_layernorm\.bias",
+     "model/vision_tower/post_layernorm/bias", t_id),
+    # --- projector ---
+    (r"model\.multi_modal_projector\.linear\.weight", "model/multi_modal_projector/kernel", t_linear),
+    (r"model\.multi_modal_projector\.linear\.bias", "model/multi_modal_projector/bias", t_id),
+    # --- Gemma LM ---
+    (r"model\.language_model\.embed_tokens\.weight", "model/language_model/embed_tokens/embedding", t_id),
+    (r"model\.language_model\.layers\.(\d+)\.(input_layernorm|post_attention_layernorm)\.weight",
+     "model/language_model/layers_{i}/{j}/weight", t_id),
+    (r"model\.language_model\.layers\.(\d+)\.self_attn\.(q|k|v|o)_proj\.weight",
+     "model/language_model/layers_{i}/self_attn/{j}_proj/kernel", t_linear),
+    (r"model\.language_model\.layers\.(\d+)\.mlp\.(gate|up|down)_proj\.weight",
+     "model/language_model/layers_{i}/mlp/{j}_proj/kernel", t_linear),
+    (r"model\.language_model\.norm\.weight", "model/language_model/norm/weight", t_id),
+    # --- retrieval head (ColPali checkpoints) ---
+    (r"(?:model\.)?custom_text_proj\.weight", "head/custom_text_proj/kernel", t_linear),
+    (r"(?:model\.)?custom_text_proj\.bias", "head/custom_text_proj/bias", t_id),
+    # --- dropped ---
+    (r"lm_head\.weight", "", t_id),
+    (r".*rotary_emb\.inv_freq", "", t_id),
+    # SigLIP attention-pooling head: present in some checkpoints but unused
+    # by PaliGemma (vision feature = post_layernorm output)
+    (r"model\.vision_tower\.vision_model\.head\..*", "", t_id),
+)
+
+
+def convert_state_dict(
+    state_dict: Mapping[str, Any],
+    rules: Tuple[_RuleT, ...],
+    remaps: Tuple[Tuple[str, str], ...] = (),
+    strict: bool = True,
+) -> Dict[str, Any]:
+    """Translate a torch state dict into a nested flax param dict."""
+    normalized = normalize_keys(state_dict, remaps)
+    params: Dict[str, Any] = {}
+    unmatched = []
+    for key, value in normalized.items():
+        for pattern, template, transform in rules:
+            m = re.fullmatch(pattern, key)
+            if m is None:
+                continue
+            if template == "":
+                break  # intentionally dropped
+            groups = m.groups()
+            path = template
+            if groups:
+                path = path.replace("{i}", groups[0])
+                if len(groups) > 1:
+                    path = path.replace("{j}", groups[1])
+            node = params
+            parts = path.split("/")
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            node[parts[-1]] = jnp.asarray(transform(value))
+            break
+        else:
+            unmatched.append(key)
+    if unmatched and strict:
+        raise ValueError(f"Unmatched checkpoint keys ({len(unmatched)}): {unmatched[:10]} ...")
+    return params
+
+
+def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
+    """Load all *.safetensors shards in a checkpoint directory."""
+    from safetensors import safe_open
+
+    state: Dict[str, np.ndarray] = {}
+    files = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+    if not files:
+        raise FileNotFoundError(f"No .safetensors files in {path}")
+    for fname in files:
+        with safe_open(os.path.join(path, fname), framework="np") as f:
+            for key in f.keys():
+                state[key] = f.get_tensor(key)
+    return state
+
+
+def load_hf_config(path: str) -> Dict[str, Any]:
+    with open(os.path.join(path, "config.json")) as f:
+        return json.load(f)
+
+
+def load_colpali_params(checkpoint_dir: str, strict: bool = True) -> Dict[str, Any]:
+    """Load a (Col)PaliGemma HF checkpoint directory into flax params."""
+    state = load_safetensors_dir(checkpoint_dir)
+    return convert_state_dict(state, PALIGEMMA_RULES, PALIGEMMA_KEY_REMAPS, strict=strict)

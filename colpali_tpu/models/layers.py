@@ -1,0 +1,205 @@
+"""Shared transformer building blocks (flax.linen).
+
+One implementation each of RMSNorm / rotary / attention / gated MLP, reused by
+every backbone — the reference instead inherits 10+ HF modeling files. All
+blocks take a computation ``dtype`` (bf16 on TPU) and keep numerically
+sensitive reductions (normalization statistics, softmax, rotary phases) in
+float32, matching HF's mixed-precision conventions so checkpoints are
+numerics-faithful.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = jnp.dtype
+
+
+def upcast_dtype(dtype: Dtype) -> Dtype:
+    """fp32 for everything except f64 inputs (x64 parity testing)."""
+    return jnp.float64 if dtype == jnp.float64 else jnp.float32
+
+
+def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
+    """gelu_pytorch_tanh — the activation Gemma and SigLIP use."""
+    return nn.gelu(x, approximate=True)
+
+
+ACTIVATIONS: dict[str, Callable] = {
+    "gelu_pytorch_tanh": gelu_tanh,
+    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "silu": nn.silu,
+}
+
+
+class RMSNorm(nn.Module):
+    """RMS normalization with fp32 statistics.
+
+    ``add_unit_offset=True`` is the Gemma convention (weight stored as
+    deviation from 1, HF GemmaRMSNorm); ``False`` is the Llama/Qwen
+    convention.
+    """
+
+    eps: float = 1e-6
+    add_unit_offset: bool = True
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dtype = x.dtype
+        w = self.param("weight", nn.initializers.zeros if self.add_unit_offset else nn.initializers.ones,
+                       (x.shape[-1],), self.param_dtype)
+        up = upcast_dtype(dtype)
+        xf = x.astype(up)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        xf = xf * jax.lax.rsqrt(var + self.eps)
+        scale = (1.0 + w.astype(up)) if self.add_unit_offset else w.astype(up)
+        return (xf * scale).astype(dtype)
+
+
+def rope_cos_sin(
+    positions: jnp.ndarray,
+    head_dim: int,
+    theta: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Rotary phase tables, fp32 (HF GemmaRotaryEmbedding convention).
+
+    positions: ``(B, S)`` int -> cos/sin ``(B, S, head_dim)`` where the
+    second half duplicates the first (rotate-half layout).
+    """
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = positions.astype(inv_freq.dtype)[..., None] * inv_freq[None, None, :]  # (B, S, Dh/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Apply rotary embedding, rotate-half convention.
+
+    x: ``(B, S, H, Dh)``; cos/sin: ``(B, S, Dh)``.
+    """
+    up = upcast_dtype(x.dtype)
+    cos = cos[:, :, None, :].astype(up)
+    sin = sin[:, :, None, :].astype(up)
+    xf = x.astype(up)
+    half = x.shape[-1] // 2
+    rotated = jnp.concatenate([-xf[..., half:], xf[..., :half]], axis=-1)
+    return (xf * cos + rotated * sin).astype(x.dtype)
+
+
+def make_attention_bias(attention_mask: jnp.ndarray, causal: bool, dtype: Dtype = jnp.float32) -> jnp.ndarray:
+    """Build an additive ``(B, 1, S, S)`` attention bias from a ``(B, S)``
+    key-validity mask, optionally causal.
+
+    Full (non-causal) masking over valid tokens is the PaliGemma prefix
+    semantics (modeling_paligemma.py:206: inference zeroes the causal part).
+    """
+    b, s = attention_mask.shape
+    neg = jnp.finfo(jnp.float32).min
+    bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
+    if causal:
+        q_idx = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        bias = bias + jnp.where(k_idx <= q_idx, 0.0, neg)[None, None]
+    return jnp.maximum(bias, neg).astype(dtype)
+
+
+class Attention(nn.Module):
+    """Multi-head attention with optional GQA/MQA and rotary embeddings.
+
+    Matches the HF eager attention path: fp32 softmax, ``head_dim**-0.5``
+    scaling (configurable), additive bias mask.
+    """
+
+    num_heads: int
+    head_dim: int
+    num_kv_heads: Optional[int] = None  # None -> MHA
+    use_bias: bool = False
+    scale: Optional[float] = None
+    out_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        attn_bias: Optional[jnp.ndarray] = None,
+        rope: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ) -> jnp.ndarray:
+        b, s, model_dim = x.shape
+        kv_heads = self.num_kv_heads or self.num_heads
+        scale = self.scale if self.scale is not None else self.head_dim**-0.5
+        dense = lambda feats, name: nn.Dense(  # noqa: E731
+            feats, use_bias=self.use_bias, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+
+        q = dense(self.num_heads * self.head_dim, "q_proj")(x).reshape(b, s, self.num_heads, self.head_dim)
+        k = dense(kv_heads * self.head_dim, "k_proj")(x).reshape(b, s, kv_heads, self.head_dim)
+        v = dense(kv_heads * self.head_dim, "v_proj")(x).reshape(b, s, kv_heads, self.head_dim)
+
+        if rope is not None:
+            cos, sin = rope
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+
+        groups = self.num_heads // kv_heads
+        qg = q.reshape(b, s, kv_heads, groups, self.head_dim)
+        # (B, kv, groups, Sq, Sk) logits, fp32 accumulation on the MXU.
+        up = upcast_dtype(self.dtype)
+        logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=up) * scale
+        if attn_bias is not None:
+            logits = logits + attn_bias[:, :, None, :, :].astype(up)
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+        out = out.reshape(b, s, self.num_heads * self.head_dim)
+        return dense(self.out_dim or model_dim, "o_proj")(out)
+
+
+class GatedMLP(nn.Module):
+    """SwiGLU/GeGLU MLP: down(act(gate(x)) * up(x)) — Gemma/Qwen style."""
+
+    intermediate_size: int
+    activation: str = "gelu_pytorch_tanh"
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dense = lambda feats, name: nn.Dense(  # noqa: E731
+            feats, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        gate = dense(self.intermediate_size, "gate_proj")(x)
+        up = dense(self.intermediate_size, "up_proj")(x)
+        act = ACTIVATIONS[self.activation]
+        return dense(x.shape[-1], "down_proj")(act(gate) * up)
+
+
+class MLP(nn.Module):
+    """Plain 2-layer MLP with bias (SigLIP/ViT style)."""
+
+    intermediate_size: int
+    activation: str = "gelu_pytorch_tanh"
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(self.intermediate_size, dtype=self.dtype, param_dtype=self.param_dtype, name="fc1")(x)
+        h = ACTIVATIONS[self.activation](h)
+        return nn.Dense(x.shape[-1], dtype=self.dtype, param_dtype=self.param_dtype, name="fc2")(h)
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:
+    """L2 normalization; with eps=0 matches torch ``x / x.norm()`` exactly
+    (NaN on zero rows, like the reference); pass eps>0 for clamped variants
+    (ColModernVBert uses clamp_min 1e-12)."""
+    up = upcast_dtype(x.dtype)
+    norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(up)), axis=axis, keepdims=True))
+    if eps > 0:
+        norm = jnp.maximum(norm, eps)
+    return (x.astype(up) / norm).astype(x.dtype)

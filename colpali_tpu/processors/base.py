@@ -1,0 +1,75 @@
+"""Base processor: the public API surface users of the reference know.
+
+Mirror of ``BaseVisualRetrieverProcessor``
+(/root/reference/colpali_engine/utils/processing_utils.py:21-257):
+``process_images`` / ``process_texts`` / ``process_queries`` (prefix + 10x
+query-augmentation suffix) / ``score`` / ``score_single_vector`` /
+``score_multi_vector`` / ``get_n_patches``. Outputs are plain dicts of numpy
+arrays (feed directly into the flax models).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from colpali_tpu.ops.maxsim import score_multi_vector as _score_multi_vector
+from colpali_tpu.ops.maxsim import score_single_vector as _score_single_vector
+
+Batch = Dict[str, np.ndarray]
+
+
+class BaseVisualRetrieverProcessor(ABC):
+    """Abstract processor API for visual retrievers."""
+
+    query_prefix: str = ""
+    query_augmentation_token: str = ""
+
+    @abstractmethod
+    def process_images(self, images: Sequence[Any]) -> Batch:
+        """Process a list of images into model inputs."""
+
+    @abstractmethod
+    def process_texts(self, texts: Sequence[str]) -> Batch:
+        """Process a list of texts into model inputs."""
+
+    def process_queries(
+        self,
+        texts: Optional[Sequence[str]] = None,
+        queries: Optional[Sequence[str]] = None,
+        max_length: int = 50,  # noqa: ARG002 — kept for API parity (deprecated upstream)
+        contexts: Optional[Sequence[str]] = None,  # noqa: ARG002 — parity
+        suffix: Optional[str] = None,
+    ) -> Batch:
+        """Queries = prefix + text + augmentation suffix (reference :55-91).
+
+        The default suffix is 10 repetitions of the query-augmentation token
+        ("reasoning buffers" at inference).
+        """
+        if texts and queries:
+            raise ValueError("Only one of 'texts' or 'queries' should be provided.")
+        if queries is not None:
+            texts = queries
+        elif texts is None:
+            raise ValueError("No texts or queries provided.")
+        if suffix is None:
+            suffix = self.query_augmentation_token * 10
+        return self.process_texts([self.query_prefix + t + suffix for t in texts])
+
+    def score(self, qs, ps, **kwargs) -> np.ndarray:
+        """Default scoring = late-interaction MaxSim."""
+        return self.score_multi_vector(qs, ps, **kwargs)
+
+    @staticmethod
+    def score_single_vector(qs, ps) -> np.ndarray:
+        return _score_single_vector(qs, ps)
+
+    @staticmethod
+    def score_multi_vector(qs, ps, batch_size: int = 128, **kwargs) -> np.ndarray:
+        return _score_multi_vector(qs, ps, batch_size=batch_size, **kwargs)
+
+    @abstractmethod
+    def get_n_patches(self, image_size: Tuple[int, int], *args, **kwargs) -> Tuple[int, int]:
+        """(n_patches_x, n_patches_y) used for an image of (height, width)."""

@@ -1,0 +1,160 @@
+"""Device-resident MaxSim corpus index.
+
+The TPU-native replacement for both the reference's CPU-blocked scoring loop
+(processing_utils.py:170-181) and its optional external Rust PLAID index
+(:189-244). The corpus lives in accelerator HBM in token-major layout
+(see ops/maxsim_pallas.py); queries are scored by the fused Pallas kernel and
+top-k is computed on device. Compression (int8 per-token quantization, token
+pooling upstream) keeps 1M-page corpora within HBM.
+
+Multi-chip: pass a ``jax.sharding.Mesh`` — the corpus is sharded over the doc
+axis across devices, each chip scores its shard (kernel unchanged), and top-k
+is reduced globally. This is SURVEY.md §5's "corpus axis takes the place ring
+attention occupies elsewhere".
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from colpali_tpu.ops.maxsim import maxsim
+from colpali_tpu.ops.maxsim_pallas import (
+    DOC_TILE,
+    maxsim_pallas_int8_tm,
+    maxsim_pallas_tm,
+)
+from colpali_tpu.ops.quant import quantize_per_token
+from colpali_tpu.utils.tensor_utils import pad_sequences, round_up
+
+Array = Union[np.ndarray, jnp.ndarray]
+
+
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
+class CorpusIndex:
+    """MaxSim index over a fixed document corpus.
+
+    Args:
+        doc_embeddings: ragged list of ``(len_i, dim)`` arrays (or a padded 3D
+            array) of L2-normalized doc token embeddings.
+        dtype: storage dtype — "bf16" or "int8" (per-token symmetric quant).
+        doc_tokens: pad/truncate every doc to this many tokens (defaults to
+            the max length, rounded up to a multiple of 16).
+        mesh: optional device mesh; shards the corpus over ``axis``.
+        axis: mesh axis name for the doc shard dimension.
+    """
+
+    def __init__(
+        self,
+        doc_embeddings: Union[Sequence[Array], Array],
+        dtype: str = "bf16",
+        doc_tokens: Optional[int] = None,
+        mesh: Optional[Mesh] = None,
+        axis: str = "data",
+    ):
+        if dtype not in ("bf16", "int8"):
+            raise ValueError(f"Unsupported index dtype: {dtype}")
+        self.dtype = dtype
+        self.mesh = mesh
+        self.axis = axis
+
+        if isinstance(doc_embeddings, (list, tuple)):
+            docs_list = [np.asarray(d, dtype=np.float32) for d in doc_embeddings]
+        else:
+            arr = np.asarray(doc_embeddings, dtype=np.float32)
+            docs_list = list(arr)
+        if not docs_list:
+            raise ValueError("No documents provided")
+        self.num_docs = len(docs_list)
+        self.dim = docs_list[0].shape[-1]
+
+        max_len = max(d.shape[0] for d in docs_list)
+        target_tokens = doc_tokens or max_len
+        if target_tokens < max_len:
+            docs_list = [d[:target_tokens] for d in docs_list]  # truncate (caller pooled upstream)
+        self.doc_tokens = round_up(target_tokens, 16)
+
+        shard_multiple = DOC_TILE * (mesh.shape[axis] if mesh is not None else 1)
+        padded_docs = round_up(self.num_docs, shard_multiple)
+        padded = pad_sequences(docs_list, pad_to=self.doc_tokens)  # (C0, Np, D)
+        if padded_docs > self.num_docs:
+            padded = np.concatenate(
+                [padded, np.zeros((padded_docs - self.num_docs, self.doc_tokens, self.dim), np.float32)]
+            )
+        self.padded_docs = padded_docs
+
+        token_major = padded.transpose(1, 0, 2)  # (Np, C, D)
+        if dtype == "int8":
+            q, scales = quantize_per_token(jnp.asarray(token_major))
+            self._store = self._device_put(q, P(None, axis, None))
+            self._scales = self._device_put(scales, P(None, axis))
+        else:
+            self._store = self._device_put(jnp.asarray(token_major, dtype=jnp.bfloat16), P(None, axis, None))
+            self._scales = None
+
+    def _device_put(self, x: jnp.ndarray, spec: P) -> jnp.ndarray:
+        if self.mesh is None:
+            return jax.device_put(x)
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+    @property
+    def nbytes(self) -> int:
+        n = self._store.size * self._store.dtype.itemsize
+        if self._scales is not None:
+            n += self._scales.size * self._scales.dtype.itemsize
+        return n
+
+    def _score_padded(self, queries: jnp.ndarray) -> jnp.ndarray:
+        """(B, Nq, D) -> (B, padded_docs) fp32 scores."""
+        if _on_tpu():
+            q = queries.astype(jnp.bfloat16)
+            if self.dtype == "int8":
+                return maxsim_pallas_int8_tm(q, self._store, self._scales)
+            return maxsim_pallas_tm(q, self._store)
+        # CPU/GPU fallback: plain XLA maxsim over the doc-major view.
+        store = self._store
+        if self.dtype == "int8":
+            store = store.astype(jnp.float32) * self._scales[..., None]
+        docs = jnp.transpose(store, (1, 0, 2)).astype(jnp.float32)
+        return maxsim(queries.astype(jnp.float32), docs)
+
+    def score(self, query_embeddings: Union[Sequence[Array], Array]) -> np.ndarray:
+        """Full score matrix ``(n_queries, num_docs)`` (reference
+        ``score_multi_vector`` semantics)."""
+        queries = self._prep_queries(query_embeddings)
+        scores = self._score_padded(queries)
+        return np.asarray(scores[:, : self.num_docs], dtype=np.float32)
+
+    def search(
+        self,
+        query_embeddings: Union[Sequence[Array], Array],
+        k: int = 10,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k ``(scores, doc_indices)`` per query — the PLAID-equivalent
+        serving call (reference ``get_topk_plaid``, processing_utils.py:189)."""
+        queries = self._prep_queries(query_embeddings)
+        scores = self._score_padded(queries)
+        if self.padded_docs > self.num_docs:
+            # mask the zero-padded fake docs
+            col = jnp.arange(self.padded_docs)[None, :]
+            scores = jnp.where(col < self.num_docs, scores, -jnp.inf)
+        k = min(k, self.num_docs)
+        top_scores, top_idx = jax.lax.top_k(scores, k)
+        return np.asarray(top_scores), np.asarray(top_idx)
+
+    def _prep_queries(self, qs: Union[Sequence[Array], Array]) -> jnp.ndarray:
+        if isinstance(qs, (list, tuple)):
+            padded = pad_sequences([np.asarray(q, np.float32) for q in qs], pad_multiple=16)
+        else:
+            arr = np.asarray(qs, dtype=np.float32)
+            if arr.ndim == 2:
+                arr = arr[None]
+            padded = arr
+        return jnp.asarray(padded)

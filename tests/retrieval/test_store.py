@@ -1,0 +1,66 @@
+"""CorpusIndex tests (CPU fallback path + sharded-mesh placement)."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from colpali_tpu.ops.maxsim import score_multi_vector
+from colpali_tpu.retrieval import CorpusIndex
+
+
+@pytest.fixture
+def corpus():
+    rng = np.random.default_rng(0)
+    docs = [rng.normal(size=(n, 32)).astype(np.float32) for n in (10, 25, 17, 8, 30)]
+    docs = [d / np.linalg.norm(d, axis=-1, keepdims=True) for d in docs]
+    queries = [rng.normal(size=(n, 32)).astype(np.float32) for n in (5, 7)]
+    queries = [q / np.linalg.norm(q, axis=-1, keepdims=True) for q in queries]
+    return docs, queries
+
+
+class TestCorpusIndex:
+    def test_score_matches_score_multi_vector(self, corpus):
+        docs, queries = corpus
+        index = CorpusIndex(docs, dtype="bf16")
+        got = index.score(queries)
+        # both pad docs to the same bucket -> same zero-padding semantics
+        expected = score_multi_vector(queries, docs, token_pad_multiple=index.doc_tokens)
+        np.testing.assert_allclose(got, expected, rtol=2e-2, atol=2e-2)  # bf16 storage
+
+    def test_search_topk(self, corpus):
+        docs, queries = corpus
+        index = CorpusIndex(docs, dtype="bf16")
+        scores, idx = index.search(queries, k=3)
+        assert scores.shape == (2, 3) and idx.shape == (2, 3)
+        full = index.score(queries)
+        expected_idx = np.argsort(-full, axis=1)[:, :3]
+        np.testing.assert_array_equal(idx, expected_idx)
+        assert (idx < len(docs)).all()  # padded fake docs never returned
+
+    def test_int8_index(self, corpus):
+        docs, queries = corpus
+        bf16 = CorpusIndex(docs, dtype="bf16")
+        int8 = CorpusIndex(docs, dtype="int8")
+        s_bf16 = bf16.score(queries)
+        s_int8 = int8.score(queries)
+        np.testing.assert_allclose(s_int8, s_bf16, rtol=0.05, atol=0.3)
+        assert int8.nbytes < bf16.nbytes
+
+    def test_k_clamped_to_corpus(self, corpus):
+        docs, queries = corpus
+        index = CorpusIndex(docs)
+        scores, idx = index.search(queries, k=100)
+        assert scores.shape == (2, len(docs))
+
+    def test_sharded_mesh_placement(self, corpus):
+        docs, queries = corpus
+        devices = np.array(jax.devices()[:8]).reshape(8)
+        mesh = Mesh(devices, ("data",))
+        index = CorpusIndex(docs, dtype="bf16", mesh=mesh)
+        # padded doc count must be divisible by DOC_TILE * n_devices
+        assert index.padded_docs % (128 * 8) == 0
+        scores, idx = index.search(queries, k=2)
+        full = index.score(queries)
+        expected_idx = np.argsort(-full, axis=1)[:, :2]
+        np.testing.assert_array_equal(idx, expected_idx)
