@@ -1,0 +1,122 @@
+"""Headline benchmark: MaxSim top-100 serving latency over a 1M-page corpus.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+Target (BASELINE.json north star): top-100 over 1M pages in < 50 ms p50 on a
+v5e chip. ``vs_baseline`` = 50ms / measured_p50 (>1 beats the target).
+
+Method notes:
+- Corpus: 1M docs x 64 tokens (hierarchical pool factor 3 of ~196-patch
+  ViDoRe pages) x 128 dim, int8 per-token quantized (8.2 GB — fits one v5e
+  chip's HBM; bf16 would not).
+- Timing: dispatch over the axon tunnel costs 10-40 ms RPC and
+  block_until_ready() does not reliably block, so the kernel is called N
+  times inside ONE jit with a data dependency chaining iterations; device
+  time = total / N.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TARGET_MS = 50.0
+QUERY_BATCH = 8  # queries scored together per corpus sweep
+QUERY_TOKENS = 32
+DIM = 128
+DOC_TOKENS = 64
+ITERS = 10
+
+
+def main():
+    on_tpu = jax.devices()[0].platform == "tpu"
+    num_docs = 999_936 if on_tpu else 4096  # multiple of 128
+
+    from colpali_tpu.ops.maxsim_pallas import maxsim_pallas_int8_tm
+    from colpali_tpu.ops.maxsim import maxsim
+
+    rng = np.random.default_rng(0)
+    # int8 corpus, token-major (Np, C, D) + per-token scales (Np, C).
+    # Generated ON device: pushing 8 GB through the axon host tunnel would
+    # dominate the benchmark setup time.
+    @jax.jit
+    def make_store(key):
+        # scan token-by-token so transient buffers stay small (an int32
+        # intermediate for the whole corpus would be 32 GB)
+        keys = jax.random.split(key, DOC_TOKENS)
+
+        def step(carry, k):
+            bits = jax.random.bits(k, (num_docs, DIM // 4), jnp.uint32)
+            return carry, jax.lax.bitcast_convert_type(bits, jnp.int8).reshape(num_docs, DIM)
+
+        _, rows = jax.lax.scan(step, 0, keys)
+        return rows  # (DOC_TOKENS, num_docs, DIM) int8
+
+    store = make_store(jax.random.PRNGKey(0))
+    scales = jnp.full((DOC_TOKENS, num_docs), 1.0 / (127.0 * np.sqrt(DIM)), jnp.float32)
+    queries = jnp.asarray(
+        rng.normal(size=(QUERY_BATCH, QUERY_TOKENS, DIM)).astype(np.float32) / np.sqrt(DIM),
+        dtype=jnp.bfloat16,
+    )
+
+    if on_tpu:
+        score_fn = maxsim_pallas_int8_tm
+
+        @jax.jit
+        def chained(q, store, scales):
+            def body(i, carry):
+                q, acc = carry
+                scores = score_fn(q, store, scales)
+                top, _ = jax.lax.top_k(scores, 100)
+                # data dependency: next iteration's queries depend on this top-k
+                q = q * (1 + 0e-9 * top[0, 0]).astype(q.dtype)
+                return (q, acc + top[0, 0])
+
+            _, acc = jax.lax.fori_loop(0, ITERS, body, (q, jnp.float32(0)))
+            return acc
+    else:
+        @jax.jit
+        def chained(q, store, scales):
+            docs = jnp.transpose(store.astype(jnp.float32) * scales[..., None], (1, 0, 2))
+
+            def body(i, carry):
+                q, acc = carry
+                scores = maxsim(q.astype(jnp.float32), docs)
+                top, _ = jax.lax.top_k(scores, min(100, num_docs))
+                q = q * (1 + 0e-9 * top[0, 0]).astype(q.dtype)
+                return (q, acc + top[0, 0])
+
+            _, acc = jax.lax.fori_loop(0, ITERS, body, (q, jnp.float32(0)))
+            return acc
+
+    # compile + warm up
+    np.asarray(chained(queries, store, scales))
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chained(queries, store, scales))  # host fetch forces sync
+        times.append((time.perf_counter() - t0) / ITERS)
+    p50_ms = sorted(times)[len(times) // 2] * 1000
+
+    metric = "maxsim_int8_top100_p50_ms_1M_pages" if on_tpu else "maxsim_top100_p50_ms_small_cpu"
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(p50_ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(TARGET_MS / p50_ms, 3) if on_tpu else 0.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

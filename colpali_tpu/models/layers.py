@@ -33,6 +33,7 @@ ACTIVATIONS: dict[str, Callable] = {
     "gelu_pytorch_tanh": gelu_tanh,
     "gelu": lambda x: nn.gelu(x, approximate=False),
     "silu": nn.silu,
+    "quick_gelu": lambda x: x * nn.sigmoid(1.702 * x),
 }
 
 
@@ -118,7 +119,8 @@ class Attention(nn.Module):
     num_heads: int
     head_dim: int
     num_kv_heads: Optional[int] = None  # None -> MHA
-    use_bias: bool = False
+    use_bias: bool = False  # bias on q/k/v projections
+    out_bias: Optional[bool] = None  # bias on o_proj; None -> same as use_bias
     scale: Optional[float] = None
     out_dim: Optional[int] = None
     dtype: Dtype = jnp.float32
@@ -134,13 +136,15 @@ class Attention(nn.Module):
         b, s, model_dim = x.shape
         kv_heads = self.num_kv_heads or self.num_heads
         scale = self.scale if self.scale is not None else self.head_dim**-0.5
-        dense = lambda feats, name: nn.Dense(  # noqa: E731
-            feats, use_bias=self.use_bias, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        dense = lambda feats, name, bias: nn.Dense(  # noqa: E731
+            feats, use_bias=bias, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
 
-        q = dense(self.num_heads * self.head_dim, "q_proj")(x).reshape(b, s, self.num_heads, self.head_dim)
-        k = dense(kv_heads * self.head_dim, "k_proj")(x).reshape(b, s, kv_heads, self.head_dim)
-        v = dense(kv_heads * self.head_dim, "v_proj")(x).reshape(b, s, kv_heads, self.head_dim)
+        q = dense(self.num_heads * self.head_dim, "q_proj", self.use_bias)(x).reshape(
+            b, s, self.num_heads, self.head_dim
+        )
+        k = dense(kv_heads * self.head_dim, "k_proj", self.use_bias)(x).reshape(b, s, kv_heads, self.head_dim)
+        v = dense(kv_heads * self.head_dim, "v_proj", self.use_bias)(x).reshape(b, s, kv_heads, self.head_dim)
 
         if rope is not None:
             cos, sin = rope
@@ -157,7 +161,8 @@ class Attention(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
         out = out.reshape(b, s, self.num_heads * self.head_dim)
-        return dense(self.out_dim or model_dim, "o_proj")(out)
+        o_bias = self.use_bias if self.out_bias is None else self.out_bias
+        return dense(self.out_dim or model_dim, "o_proj", o_bias)(out)
 
 
 class GatedMLP(nn.Module):

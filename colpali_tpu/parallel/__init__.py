@@ -1,0 +1,6 @@
+from colpali_tpu.parallel.sharding import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    DEFAULT_TP_RULES,
+)

@@ -1,0 +1,154 @@
+"""Contrastive training: pjit/GSPMD data-parallel loop.
+
+Reference behavior being reproduced (SURVEY.md §3.1-3.2):
+- three forwards per step (query / positive doc / optional negative docs),
+  key-prefixed batches (contrastive_trainer.py:184-208)
+- documents contribute as in-batch negatives GLOBALLY across the
+  data-parallel axis. The reference does this with an explicit
+  grad-preserving NCCL all_gather + rank offset
+  (contrastive_trainer.py:135-162); under GSPMD the loss is simply written
+  over the global batch and XLA inserts the gather where the sharded einsum
+  needs it — gradients flow through collectives by construction.
+- AdamW + linear warmup / linear decay + grad clipping
+  (colmodel_torch_training.py:98-112,189-197).
+
+The train step is model-agnostic: it takes the flax apply_fn of any Col*/Bi*
+model in this package.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from colpali_tpu.parallel.sharding import DEFAULT_TP_RULES, batch_sharding, tree_shardings
+
+Batch = Dict[str, jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Mirrors the reference recipe constants (SURVEY.md §6)."""
+
+    learning_rate: float = 2e-4
+    weight_decay: float = 0.01
+    warmup_steps: int = 100
+    total_steps: int = 1000
+    max_grad_norm: float = 1.0
+    b1: float = 0.9
+    b2: float = 0.999
+
+
+def create_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    """AdamW with linear warmup then linear decay to zero."""
+    schedule = optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, config.learning_rate, config.warmup_steps),
+            optax.linear_schedule(
+                config.learning_rate, 0.0, max(config.total_steps - config.warmup_steps, 1)
+            ),
+        ],
+        boundaries=[config.warmup_steps],
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.adamw(schedule, b1=config.b1, b2=config.b2, weight_decay=config.weight_decay),
+    )
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def create_train_state(
+    apply_fn: Callable,
+    params: Dict[str, Any],
+    config: TrainConfig,
+    trainable_mask: Optional[Dict[str, Any]] = None,
+) -> TrainState:
+    """Build the train state; ``trainable_mask`` freezes params where False
+    (LoRA-style selective training uses this)."""
+    tx = create_optimizer(config)
+    if trainable_mask is not None:
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            jax.tree.map(lambda t: "train" if t else "freeze", trainable_mask),
+        )
+    return TrainState.create(apply_fn=apply_fn, params=params, tx=tx)
+
+
+def _forward(apply_fn, params, batch: Batch, prefix: str) -> jnp.ndarray:
+    """One prefixed forward. Negative docs arrive as (B, n_neg, ...) and are
+    flattened into the batch dim (collator reshape, reference
+    visual_retriever_collator.py:122-124 inverted)."""
+    ids = batch[f"{prefix}input_ids"]
+    mask = batch[f"{prefix}attention_mask"]
+    pixels = batch.get(f"{prefix}pixel_values")
+    if ids.ndim == 3:  # (B, n_neg, S) -> (B*n_neg, S)
+        b, n, s = ids.shape
+        ids = ids.reshape(b * n, s)
+        mask = mask.reshape(b * n, s)
+        if pixels is not None:
+            pixels = pixels.reshape(b * n, *pixels.shape[2:])
+        emb = apply_fn({"params": params}, ids, mask, pixels)
+        return emb.reshape(b, n, *emb.shape[1:])
+    return apply_fn({"params": params}, ids, mask, pixels)
+
+
+def make_train_step(
+    loss_fn: Callable,
+    has_negatives: bool = False,
+) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the (jittable) train step.
+
+    ``loss_fn(query_embeddings, doc_embeddings, [neg_doc_embeddings,]
+    offset=0)`` — any loss from :mod:`colpali_tpu.losses`. Under GSPMD the
+    batch passed in is the GLOBAL batch (sharded over the data axis), so
+    ``offset=0`` gives exactly the reference's gathered-documents semantics.
+    """
+
+    def train_step(state: TrainState, batch: Batch):
+        def compute_loss(params):
+            q = _forward(state.apply_fn, params, batch, "query_")
+            d = _forward(state.apply_fn, params, batch, "doc_")
+            if has_negatives:
+                n = _forward(state.apply_fn, params, batch, "neg_doc_")
+                return loss_fn(q, d, n)
+            return loss_fn(q, d)
+
+        loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    return train_step
+
+
+def shard_train_step(
+    train_step: Callable,
+    state: TrainState,
+    mesh: Mesh,
+    rules=DEFAULT_TP_RULES,
+):
+    """jit the train step over a (data, model) mesh.
+
+    Params/opt-state are sharded by the TP rules; batches over the data axis.
+    Returns (jitted_step, sharded_state, batch_sharding).
+    """
+    state_shardings = tree_shardings(state, mesh, rules)
+    b_sharding = batch_sharding(mesh)
+
+    jitted = jax.jit(
+        train_step,
+        in_shardings=(state_shardings, b_sharding),
+        out_shardings=(state_shardings, NamedSharding(mesh, P())),
+        donate_argnums=(0,),
+    )
+    sharded_state = jax.device_put(state, state_shardings)
+    return jitted, sharded_state, b_sharding
