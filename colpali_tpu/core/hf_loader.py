@@ -136,6 +136,94 @@ PALIGEMMA_RULES: Tuple[_RuleT, ...] = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Qwen2-VL family
+# ---------------------------------------------------------------------------
+
+QWEN2_VL_KEY_REMAPS: Tuple[Tuple[str, str], ...] = (
+    (r"^base_model\.model\.", ""),  # merged-LoRA exports
+    (r"^model\.layers\.", "language_model.layers."),  # reference remap (modeling_colqwen2.py:21-24)
+    (r"^model\.visual\.", "visual."),
+    (r"^model\.language_model\.", "language_model."),
+    (r"^model\.embed_tokens\.", "language_model.embed_tokens."),
+    (r"^model\.norm\.", "language_model.norm."),
+    (r"\.lora_[AB]\.", ".__lora__."),
+)
+
+
+def t_conv3d_patch(w: Any) -> np.ndarray:
+    """torch Conv3d patch kernel (O, C, T, pH, pW) -> dense (C*T*pH*pW, O).
+
+    Valid because stride == kernel == patch: the conv is a plain dot with the
+    flattened patch, whose feature order is (C, T, pH, pW)
+    (HF PatchEmbed.forward view, modeling_qwen2_vl.py:246-252).
+    """
+    arr = _np(w)
+    return arr.reshape(arr.shape[0], -1).T
+
+
+QWEN2_VL_RULES: Tuple[_RuleT, ...] = (
+    # --- vision tower ---
+    (r"visual\.patch_embed\.proj\.weight", "model/visual/patch_embed/kernel", t_conv3d_patch),
+    (r"visual\.blocks\.(\d+)\.norm([12])\.weight", "model/visual/blocks_{i}/norm{j}/scale", t_id),
+    (r"visual\.blocks\.(\d+)\.norm([12])\.bias", "model/visual/blocks_{i}/norm{j}/bias", t_id),
+    # fused qkv handled by split_fused_qkv() before rule matching
+    (r"visual\.blocks\.(\d+)\.attn\.(q|k|v)_proj\.weight",
+     "model/visual/blocks_{i}/attn/{j}_proj/kernel", t_linear),
+    (r"visual\.blocks\.(\d+)\.attn\.(q|k|v)_proj\.bias",
+     "model/visual/blocks_{i}/attn/{j}_proj/bias", t_id),
+    (r"visual\.blocks\.(\d+)\.attn\.proj\.weight", "model/visual/blocks_{i}/attn/o_proj/kernel", t_linear),
+    (r"visual\.blocks\.(\d+)\.attn\.proj\.bias", "model/visual/blocks_{i}/attn/o_proj/bias", t_id),
+    (r"visual\.blocks\.(\d+)\.mlp\.fc([12])\.weight", "model/visual/blocks_{i}/fc{j}/kernel", t_linear),
+    (r"visual\.blocks\.(\d+)\.mlp\.fc([12])\.bias", "model/visual/blocks_{i}/fc{j}/bias", t_id),
+    (r"visual\.merger\.ln_q\.weight", "model/visual/ln_q/scale", t_id),
+    (r"visual\.merger\.ln_q\.bias", "model/visual/ln_q/bias", t_id),
+    (r"visual\.merger\.mlp\.0\.weight", "model/visual/merger_fc1/kernel", t_linear),
+    (r"visual\.merger\.mlp\.0\.bias", "model/visual/merger_fc1/bias", t_id),
+    (r"visual\.merger\.mlp\.2\.weight", "model/visual/merger_fc2/kernel", t_linear),
+    (r"visual\.merger\.mlp\.2\.bias", "model/visual/merger_fc2/bias", t_id),
+    # --- Qwen2 text decoder ---
+    (r"language_model\.embed_tokens\.weight", "model/language_model/embed_tokens/embedding", t_id),
+    (r"language_model\.layers\.(\d+)\.(input_layernorm|post_attention_layernorm)\.weight",
+     "model/language_model/layers_{i}/{j}/weight", t_id),
+    (r"language_model\.layers\.(\d+)\.self_attn\.(q|k|v|o)_proj\.weight",
+     "model/language_model/layers_{i}/self_attn/{j}_proj/kernel", t_linear),
+    (r"language_model\.layers\.(\d+)\.self_attn\.(q|k|v)_proj\.bias",
+     "model/language_model/layers_{i}/self_attn/{j}_proj/bias", t_id),
+    (r"language_model\.layers\.(\d+)\.mlp\.(gate|up|down)_proj\.weight",
+     "model/language_model/layers_{i}/mlp/{j}_proj/kernel", t_linear),
+    (r"language_model\.norm\.weight", "model/language_model/norm/weight", t_id),
+    # --- retrieval head ---
+    (r"custom_text_proj\.weight", "head/custom_text_proj/kernel", t_linear),
+    (r"custom_text_proj\.bias", "head/custom_text_proj/bias", t_id),
+    # --- dropped ---
+    (r"lm_head\.weight", "", t_id),
+    (r".*rotary_emb\.inv_freq", "", t_id),
+)
+
+
+def split_fused_qkv(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Split HF's fused vision ``attn.qkv`` (3E, E) into q/k/v projections."""
+    out: Dict[str, Any] = {}
+    for key, value in state_dict.items():
+        m = re.fullmatch(r"(.*\.attn)\.qkv\.(weight|bias)", key)
+        if m is None:
+            out[key] = value
+            continue
+        arr = _np(value)
+        q, k, v = np.split(arr, 3, axis=0)
+        for name, part in (("q", q), ("k", k), ("v", v)):
+            out[f"{m.group(1)}.{name}_proj.{m.group(2)}"] = part
+    return out
+
+
+def load_colqwen2_params(checkpoint_dir: str, strict: bool = True) -> Dict[str, Any]:
+    """Load a (Col)Qwen2-VL HF checkpoint directory into flax params."""
+    state = load_safetensors_dir(checkpoint_dir)
+    state = split_fused_qkv(normalize_keys(state, QWEN2_VL_KEY_REMAPS))
+    return convert_state_dict(state, QWEN2_VL_RULES, (), strict=strict)
+
+
 def convert_state_dict(
     state_dict: Mapping[str, Any],
     rules: Tuple[_RuleT, ...],

@@ -1,0 +1,22 @@
+"""Model zoo: late-interaction (Col*) and bi-encoder (Bi*) visual retrievers.
+
+Mirrors the reference's flat exports
+(/root/reference/colpali_engine/models/__init__.py).
+"""
+
+from colpali_tpu.models.configs import (  # noqa: F401
+    DenseHeadConfig,
+    GemmaConfig,
+    MultiVectorHeadConfig,
+    PaliGemmaConfig,
+    SiglipVisionConfig,
+)
+from colpali_tpu.models.paligemma import BiPali, ColPali, PaliGemmaBackbone  # noqa: F401
+from colpali_tpu.models.qwen2_vl import (  # noqa: F401
+    BiQwen2,
+    ColQwen2,
+    Qwen2TextConfig,
+    Qwen2VLBackbone,
+    Qwen2VLConfig,
+    Qwen2VLVisionConfig,
+)

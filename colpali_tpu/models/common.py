@@ -90,8 +90,9 @@ class DenseHead(nn.Module):
         elif cfg.pooling_strategy == "cls":
             pooled = hidden_states[:, 0]
         elif cfg.pooling_strategy == "last":
-            last_idx = jnp.maximum(jnp.sum(mask, axis=1) - 1, 0).astype(jnp.int32)
-            pooled = jnp.take_along_axis(hidden_states, last_idx[:, None, None], axis=1)[:, 0]
+            # literal last position — the reference assumes left padding
+            # (modeling_biqwen2.py:66: "use last token since we are left padding")
+            pooled = hidden_states[:, -1]
         else:
             raise ValueError(f"Unknown pooling strategy: {cfg.pooling_strategy}")
 

@@ -1,0 +1,307 @@
+"""ColQwen2 processor: dynamic-resolution smart-resize + patchify + M-RoPE.
+
+Behavioral spec:
+- reference ColQwen2Processor
+  (/root/reference/colpali_engine/models/qwen2/colqwen2/processing_colqwen2.py):
+  prompt ``<|im_start|>user\\n<|vision_start|><|image_pad|><|vision_end|>
+  Describe the image.<|im_end|><|endoftext|>``, query augmentation token
+  ``<|endoftext|>``, left padding, per-image padded pixel sequences +
+  image_grid_thw, ``max_num_visual_tokens * 28 * 28 -> max_pixels``.
+- HF Qwen2VLImageProcessor: ``smart_resize`` (dims divisible by
+  patch*merge=28, pixel count in [min_pixels, max_pixels]) and the exact
+  merge-block patch flattening order (image_processing_qwen2_vl.py:54-297).
+- HF Qwen2VLModel.get_rope_index: 3-channel M-RoPE positions
+  (modeling_qwen2_vl.py:925-1060) — ported to numpy host-side so the jitted
+  model sees plain arrays.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from colpali_tpu.processors.base import BaseVisualRetrieverProcessor, Batch
+from colpali_tpu.processors.image_processing import to_rgb_array
+
+
+def smart_resize(
+    height: int,
+    width: int,
+    factor: int = 28,
+    min_pixels: int = 56 * 56,
+    max_pixels: int = 14 * 14 * 4 * 1280,
+) -> Tuple[int, int]:
+    """Exact port of HF smart_resize (image_processing_qwen2_vl.py:54-80)."""
+    if max(height, width) / min(height, width) > 200:
+        raise ValueError(
+            f"absolute aspect ratio must be smaller than 200, got {max(height, width) / min(height, width)}"
+        )
+    h_bar = round(height / factor) * factor
+    w_bar = round(width / factor) * factor
+    if h_bar * w_bar > max_pixels:
+        beta = math.sqrt((height * width) / max_pixels)
+        h_bar = max(factor, math.floor(height / beta / factor) * factor)
+        w_bar = max(factor, math.floor(width / beta / factor) * factor)
+    elif h_bar * w_bar < min_pixels:
+        beta = math.sqrt(min_pixels / (height * width))
+        h_bar = math.ceil(height * beta / factor) * factor
+        w_bar = math.ceil(width * beta / factor) * factor
+    return h_bar, w_bar
+
+
+def patchify(
+    image_chw: np.ndarray,
+    patch_size: int = 14,
+    temporal_patch_size: int = 2,
+    merge_size: int = 2,
+) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """Flatten a normalized (C, H, W) image into merge-ordered patch rows.
+
+    Exact port of the HF patch flattening
+    (image_processing_qwen2_vl.py:270-297): temporal duplication, then
+    reshape/transpose so patches appear merge-block by merge-block.
+    Returns ((grid_t*grid_h*grid_w, C*T*ps*ps), (t, h, w)).
+    """
+    patches = image_chw[None]  # (1, C, H, W) single frame
+    if patches.shape[0] % temporal_patch_size != 0:
+        repeats = np.repeat(patches[-1][None], temporal_patch_size - patches.shape[0] % temporal_patch_size, 0)
+        patches = np.concatenate([patches, repeats], axis=0)
+    channel = patches.shape[1]
+    grid_t = patches.shape[0] // temporal_patch_size
+    grid_h, grid_w = patches.shape[2] // patch_size, patches.shape[3] // patch_size
+    patches = patches.reshape(
+        grid_t, temporal_patch_size, channel,
+        grid_h // merge_size, merge_size, patch_size,
+        grid_w // merge_size, merge_size, patch_size,
+    )
+    patches = patches.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    flat = patches.reshape(grid_t * grid_h * grid_w, channel * temporal_patch_size * patch_size * patch_size)
+    return flat, (grid_t, grid_h, grid_w)
+
+
+def vision_positions(grid_thw: Tuple[int, int, int], merge_size: int = 2) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-patch (h, w) grid positions in merge-block order (HF rot_pos_emb,
+    modeling_qwen2_vl.py:673-701)."""
+    t, h, w = grid_thw
+    hpos = np.arange(h)[:, None].repeat(w, 1)
+    hpos = hpos.reshape(h // merge_size, merge_size, w // merge_size, merge_size)
+    hpos = hpos.transpose(0, 2, 1, 3).reshape(-1)
+    wpos = np.arange(w)[None, :].repeat(h, 0)
+    wpos = wpos.reshape(h // merge_size, merge_size, w // merge_size, merge_size)
+    wpos = wpos.transpose(0, 2, 1, 3).reshape(-1)
+    return np.tile(hpos, t), np.tile(wpos, t)
+
+
+def get_rope_index(
+    input_ids: np.ndarray,
+    attention_mask: np.ndarray,
+    image_grid_thw: Optional[np.ndarray],
+    image_token_id: int,
+    vision_start_token_id: int,
+    spatial_merge_size: int = 2,
+) -> np.ndarray:
+    """numpy port of Qwen2VLModel.get_rope_index (images only).
+
+    Returns position_ids (3, B, S). Padding positions get 1 (matching the
+    HF initialization; they are masked in attention anyway).
+    """
+    b, s = input_ids.shape
+    if image_grid_thw is None:
+        pos = np.clip(np.cumsum(attention_mask, axis=-1) - 1, 0, None)
+        pos = np.where(attention_mask == 0, 1, pos)
+        return np.broadcast_to(pos[None], (3, b, s)).astype(np.int64)
+
+    position_ids = np.ones((3, b, s), dtype=np.int64)
+    image_index = 0
+    for i in range(b):
+        ids = input_ids[i][attention_mask[i] == 1]
+        tokens = ids.tolist()
+        vision_starts = np.nonzero(ids == vision_start_token_id)[0]
+        image_nums = int((ids[vision_starts + 1] == image_token_id).sum()) if vision_starts.size else 0
+
+        pos_chunks: List[np.ndarray] = []
+        st = 0
+        for _ in range(image_nums):
+            ed = tokens.index(image_token_id, st)
+            t, h, w = (int(x) for x in image_grid_thw[image_index])
+            image_index += 1
+            gt, gh, gw = t, h // spatial_merge_size, w // spatial_merge_size
+            text_len = ed - st
+            st_idx = pos_chunks[-1].max() + 1 if pos_chunks else 0
+            pos_chunks.append(np.broadcast_to(np.arange(text_len), (3, text_len)) + st_idx)
+            t_index = np.arange(gt)[:, None].repeat(gh * gw, 1).reshape(-1)
+            h_index = np.arange(gh)[None, :, None].repeat(gt, 0).repeat(gw, 2).reshape(-1)
+            w_index = np.arange(gw)[None, None, :].repeat(gt, 0).repeat(gh, 1).reshape(-1)
+            pos_chunks.append(np.stack([t_index, h_index, w_index]) + text_len + st_idx)
+            st = ed + gt * gh * gw
+        if st < len(tokens):
+            st_idx = pos_chunks[-1].max() + 1 if pos_chunks else 0
+            text_len = len(tokens) - st
+            pos_chunks.append(np.broadcast_to(np.arange(text_len), (3, text_len)) + st_idx)
+
+        llm_positions = np.concatenate(pos_chunks, axis=1)
+        position_ids[:, i, attention_mask[i] == 1] = llm_positions
+    return position_ids
+
+
+class ColQwen2Processor(BaseVisualRetrieverProcessor):
+    visual_prompt_prefix: str = (
+        "<|im_start|>user\n<|vision_start|><|image_pad|><|vision_end|>Describe the image.<|im_end|><|endoftext|>"
+    )
+    query_augmentation_token: str = "<|endoftext|>"
+    image_token: str = "<|image_pad|>"
+    vision_start_token: str = "<|vision_start|>"
+
+    def __init__(
+        self,
+        tokenizer: Any,
+        patch_size: int = 14,
+        merge_size: int = 2,
+        temporal_patch_size: int = 2,
+        min_pixels: int = 56 * 56,
+        max_pixels: int = 14 * 14 * 4 * 1280,
+        max_num_visual_tokens: Optional[int] = None,
+        image_mean: Sequence[float] = (0.48145466, 0.4578275, 0.40821073),
+        image_std: Sequence[float] = (0.26862954, 0.26130258, 0.27577711),
+    ):
+        self.tokenizer = tokenizer
+        self.patch_size = patch_size
+        self.merge_size = merge_size
+        self.temporal_patch_size = temporal_patch_size
+        self.min_pixels = min_pixels
+        # reference from_pretrained: max_num_visual_tokens * 28 * 28
+        # (processing_colqwen2.py:58-61)
+        self.max_pixels = (
+            max_num_visual_tokens * (patch_size * merge_size) ** 2
+            if max_num_visual_tokens is not None
+            else max_pixels
+        )
+        self.image_mean = np.asarray(image_mean, np.float32)
+        self.image_std = np.asarray(image_std, np.float32)
+        self.image_token_id = tokenizer.convert_tokens_to_ids(self.image_token)
+        self.vision_start_token_id = tokenizer.convert_tokens_to_ids(self.vision_start_token)
+
+    @classmethod
+    def from_pretrained(cls, path: str, **kwargs) -> "ColQwen2Processor":
+        import json
+        import os
+
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(path)
+        init_kwargs = {}
+        pp_path = os.path.join(path, "preprocessor_config.json")
+        if os.path.exists(pp_path):
+            with open(pp_path) as f:
+                pp = json.load(f)
+            for key in ("patch_size", "merge_size", "temporal_patch_size", "min_pixels", "max_pixels"):
+                if key in pp:
+                    init_kwargs[key] = pp[key]
+            size = pp.get("size", {})
+            init_kwargs["min_pixels"] = size.get("shortest_edge", init_kwargs.get("min_pixels", 56 * 56))
+            init_kwargs["max_pixels"] = size.get("longest_edge", init_kwargs.get("max_pixels"))
+            init_kwargs["image_mean"] = pp.get("image_mean", (0.48145466, 0.4578275, 0.40821073))
+            init_kwargs["image_std"] = pp.get("image_std", (0.26862954, 0.26130258, 0.27577711))
+        init_kwargs.update(kwargs)
+        return cls(tokenizer, **init_kwargs)
+
+    # --- image pipeline -------------------------------------------------
+
+    def _preprocess_one(self, image) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+        """resize (device bicubic) -> normalize -> patchify (host reshape)."""
+        arr = to_rgb_array(image)
+        h0, w0 = arr.shape[:2]
+        h1, w1 = smart_resize(
+            h0, w0, self.patch_size * self.merge_size, self.min_pixels, self.max_pixels
+        )
+        resized = np.asarray(
+            jax.image.resize(jnp.asarray(arr, jnp.float32), (h1, w1, 3), method="bicubic", antialias=True)
+        )
+        norm = (resized / 255.0 - self.image_mean) / self.image_std
+        return patchify(
+            norm.transpose(2, 0, 1), self.patch_size, self.temporal_patch_size, self.merge_size
+        )
+
+    def _tokenize(self, texts: Sequence[str]) -> Batch:
+        enc = self.tokenizer(
+            list(texts),
+            padding="longest",
+            padding_side="left",  # reference forces left padding (:43)
+            add_special_tokens=False,
+            return_tensors="np",
+        )
+        return {"input_ids": np.asarray(enc["input_ids"]), "attention_mask": np.asarray(enc["attention_mask"])}
+
+    def process_images(self, images: Sequence[Any], context_prompts: Optional[Sequence[str]] = None) -> Batch:
+        prompts = list(context_prompts) if context_prompts else [self.visual_prompt_prefix] * len(images)
+        flats, grids = zip(*(self._preprocess_one(im) for im in images))
+
+        # expand <|image_pad|> to the merged token count per image
+        texts = []
+        for prompt, (t, h, w) in zip(prompts, grids):
+            n_merged = t * (h // self.merge_size) * (w // self.merge_size)
+            texts.append(prompt.replace(self.image_token, self.image_token * n_merged))
+        batch = self._tokenize(texts)
+
+        # pad per-image patch sequences to a common length (multiple of
+        # merge^2 so merged groups stay aligned)
+        p_max = max(f.shape[0] for f in flats)
+        group = self.merge_size**2
+        p_max = ((p_max + group - 1) // group) * group
+        b = len(flats)
+        patch_dim = flats[0].shape[1]
+        pixel_values = np.zeros((b, p_max, patch_dim), np.float32)
+        patch_mask = np.zeros((b, p_max), bool)
+        hpos = np.zeros((b, p_max), np.int32)
+        wpos = np.zeros((b, p_max), np.int32)
+        for i, (flat, grid) in enumerate(zip(flats, grids)):
+            n = flat.shape[0]
+            pixel_values[i, :n] = flat
+            patch_mask[i, :n] = True
+            hp, wp = vision_positions(grid, self.merge_size)
+            hpos[i, :n] = hp
+            wpos[i, :n] = wp
+
+        batch["pixel_values"] = pixel_values
+        batch["patch_mask"] = patch_mask
+        batch["vision_hpos"] = hpos
+        batch["vision_wpos"] = wpos
+        batch["image_grid_thw"] = np.asarray(grids, np.int64)
+        batch["position_ids"] = get_rope_index(
+            batch["input_ids"],
+            batch["attention_mask"],
+            batch["image_grid_thw"],
+            self.image_token_id,
+            self.vision_start_token_id,
+            self.merge_size,
+        )
+        return batch
+
+    def process_texts(self, texts: Sequence[str]) -> Batch:
+        batch = self._tokenize(texts)
+        batch["position_ids"] = get_rope_index(
+            batch["input_ids"], batch["attention_mask"], None, self.image_token_id, self.vision_start_token_id
+        )
+        return batch
+
+    def get_n_patches(self, image_size: Tuple[int, int], spatial_merge_size: Optional[int] = None) -> Tuple[int, int]:
+        """Merged-token grid (processing_colqwen2.py:127-152).
+
+        NOTE: the reference passes ``image_size[0]`` as *width* and
+        ``image_size[1]`` as *height* (processing_colqwen2.py:141-147),
+        despite the base-class docstring saying (height, width); we reproduce
+        that behavior exactly.
+        """
+        merge = spatial_merge_size or self.merge_size
+        width, height = image_size[0], image_size[1]
+        h_new, w_new = smart_resize(
+            height, width, self.patch_size * self.merge_size, self.min_pixels, self.max_pixels
+        )
+        return w_new // self.patch_size // merge, h_new // self.patch_size // merge
+
+    def get_image_mask(self, batch: Batch) -> np.ndarray:
+        return batch["input_ids"] == self.image_token_id
