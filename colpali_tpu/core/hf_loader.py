@@ -202,6 +202,52 @@ QWEN2_VL_RULES: Tuple[_RuleT, ...] = (
 )
 
 
+QWEN25_VL_RULES: Tuple[_RuleT, ...] = (
+    # --- vision tower (RMSNorm blocks, biased SwiGLU, RMSNorm ln_q) ---
+    (r"visual\.patch_embed\.proj\.weight", "model/visual/patch_embed/kernel", t_conv3d_patch),
+    (r"visual\.blocks\.(\d+)\.norm([12])\.weight", "model/visual/blocks_{i}/norm{j}/weight", t_id),
+    (r"visual\.blocks\.(\d+)\.attn\.(q|k|v)_proj\.weight",
+     "model/visual/blocks_{i}/attn/{j}_proj/kernel", t_linear),
+    (r"visual\.blocks\.(\d+)\.attn\.(q|k|v)_proj\.bias",
+     "model/visual/blocks_{i}/attn/{j}_proj/bias", t_id),
+    (r"visual\.blocks\.(\d+)\.attn\.proj\.weight", "model/visual/blocks_{i}/attn/o_proj/kernel", t_linear),
+    (r"visual\.blocks\.(\d+)\.attn\.proj\.bias", "model/visual/blocks_{i}/attn/o_proj/bias", t_id),
+    (r"visual\.blocks\.(\d+)\.mlp\.(gate|up|down)_proj\.weight",
+     "model/visual/blocks_{i}/mlp/{j}_proj/kernel", t_linear),
+    (r"visual\.blocks\.(\d+)\.mlp\.(gate|up|down)_proj\.bias",
+     "model/visual/blocks_{i}/mlp/{j}_proj/bias", t_id),
+    (r"visual\.merger\.ln_q\.weight", "model/visual/ln_q/weight", t_id),
+    (r"visual\.merger\.mlp\.0\.weight", "model/visual/merger_fc1/kernel", t_linear),
+    (r"visual\.merger\.mlp\.0\.bias", "model/visual/merger_fc1/bias", t_id),
+    (r"visual\.merger\.mlp\.2\.weight", "model/visual/merger_fc2/kernel", t_linear),
+    (r"visual\.merger\.mlp\.2\.bias", "model/visual/merger_fc2/bias", t_id),
+    # --- Qwen2 text decoder (same as qwen2_vl) ---
+    (r"language_model\.embed_tokens\.weight", "model/language_model/embed_tokens/embedding", t_id),
+    (r"language_model\.layers\.(\d+)\.(input_layernorm|post_attention_layernorm)\.weight",
+     "model/language_model/layers_{i}/{j}/weight", t_id),
+    (r"language_model\.layers\.(\d+)\.self_attn\.(q|k|v|o)_proj\.weight",
+     "model/language_model/layers_{i}/self_attn/{j}_proj/kernel", t_linear),
+    (r"language_model\.layers\.(\d+)\.self_attn\.(q|k|v)_proj\.bias",
+     "model/language_model/layers_{i}/self_attn/{j}_proj/bias", t_id),
+    (r"language_model\.layers\.(\d+)\.mlp\.(gate|up|down)_proj\.weight",
+     "model/language_model/layers_{i}/mlp/{j}_proj/kernel", t_linear),
+    (r"language_model\.norm\.weight", "model/language_model/norm/weight", t_id),
+    # --- retrieval head ---
+    (r"custom_text_proj\.weight", "head/custom_text_proj/kernel", t_linear),
+    (r"custom_text_proj\.bias", "head/custom_text_proj/bias", t_id),
+    # --- dropped ---
+    (r"lm_head\.weight", "", t_id),
+    (r".*rotary_emb\.inv_freq", "", t_id),
+)
+
+
+def load_colqwen25_params(checkpoint_dir: str, strict: bool = True) -> Dict[str, Any]:
+    """Load a (Col)Qwen2.5-VL HF checkpoint directory into flax params."""
+    state = load_safetensors_dir(checkpoint_dir)
+    state = split_fused_qkv(normalize_keys(state, QWEN2_VL_KEY_REMAPS))
+    return convert_state_dict(state, QWEN25_VL_RULES, (), strict=strict)
+
+
 def split_fused_qkv(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     """Split HF's fused vision ``attn.qkv`` (3E, E) into q/k/v projections."""
     out: Dict[str, Any] = {}

@@ -12,6 +12,13 @@ from colpali_tpu.models.configs import (  # noqa: F401
     SiglipVisionConfig,
 )
 from colpali_tpu.models.paligemma import BiPali, ColPali, PaliGemmaBackbone  # noqa: F401
+from colpali_tpu.models.qwen2_5_vl import (  # noqa: F401
+    BiQwen2_5,
+    ColQwen2_5,
+    Qwen25VLBackbone,
+    Qwen25VLConfig,
+    Qwen25VLVisionConfig,
+)
 from colpali_tpu.models.qwen2_vl import (  # noqa: F401
     BiQwen2,
     ColQwen2,
