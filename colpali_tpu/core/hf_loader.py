@@ -202,6 +202,75 @@ QWEN2_VL_RULES: Tuple[_RuleT, ...] = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Gemma3 family
+# ---------------------------------------------------------------------------
+
+GEMMA3_KEY_REMAPS: Tuple[Tuple[str, str], ...] = (
+    (r"^base_model\.model\.", ""),
+    (r"^model\.", ""),  # ColGemma3 wraps Gemma3Model under .model in some exports
+    (r"^language_model\.model\.", "language_model."),  # HF _checkpoint_conversion_mapping
+    (r"\.lora_[AB]\.", ".__lora__."),
+)
+
+_G3_VT = r"vision_tower\.vision_model"
+
+GEMMA3_RULES: Tuple[_RuleT, ...] = (
+    # --- SigLIP vision tower (same layout as PaliGemma's) ---
+    (_G3_VT + r"\.embeddings\.patch_embedding\.weight", "model/vision_tower/patch_embedding/kernel", t_conv2d),
+    (_G3_VT + r"\.embeddings\.patch_embedding\.bias", "model/vision_tower/patch_embedding/bias", t_id),
+    (_G3_VT + r"\.embeddings\.position_embedding\.weight",
+     "model/vision_tower/position_embedding/embedding", t_id),
+    (_G3_VT + r"\.encoder\.layers\.(\d+)\.layer_norm([12])\.weight",
+     "model/vision_tower/layers_{i}/layer_norm{j}/scale", t_id),
+    (_G3_VT + r"\.encoder\.layers\.(\d+)\.layer_norm([12])\.bias",
+     "model/vision_tower/layers_{i}/layer_norm{j}/bias", t_id),
+    (_G3_VT + r"\.encoder\.layers\.(\d+)\.self_attn\.(q|k|v)_proj\.weight",
+     "model/vision_tower/layers_{i}/self_attn/{j}_proj/kernel", t_linear),
+    (_G3_VT + r"\.encoder\.layers\.(\d+)\.self_attn\.(q|k|v)_proj\.bias",
+     "model/vision_tower/layers_{i}/self_attn/{j}_proj/bias", t_id),
+    (_G3_VT + r"\.encoder\.layers\.(\d+)\.self_attn\.out_proj\.weight",
+     "model/vision_tower/layers_{i}/self_attn/o_proj/kernel", t_linear),
+    (_G3_VT + r"\.encoder\.layers\.(\d+)\.self_attn\.out_proj\.bias",
+     "model/vision_tower/layers_{i}/self_attn/o_proj/bias", t_id),
+    (_G3_VT + r"\.encoder\.layers\.(\d+)\.mlp\.fc([12])\.weight",
+     "model/vision_tower/layers_{i}/mlp/fc{j}/kernel", t_linear),
+    (_G3_VT + r"\.encoder\.layers\.(\d+)\.mlp\.fc([12])\.bias",
+     "model/vision_tower/layers_{i}/mlp/fc{j}/bias", t_id),
+    (_G3_VT + r"\.post_layernorm\.weight", "model/vision_tower/post_layernorm/scale", t_id),
+    (_G3_VT + r"\.post_layernorm\.bias", "model/vision_tower/post_layernorm/bias", t_id),
+    (_G3_VT + r"\.head\..*", "", t_id),
+    # --- projector ---
+    (r"multi_modal_projector\.mm_input_projection_weight", "model/mm_input_projection", t_id),
+    (r"multi_modal_projector\.mm_soft_emb_norm\.weight", "model/mm_soft_emb_norm/weight", t_id),
+    # --- Gemma3 text decoder ---
+    (r"language_model\.embed_tokens\.weight", "model/language_model/embed_tokens/embedding", t_id),
+    (r"language_model\.layers\.(\d+)\."
+     r"(input_layernorm|post_attention_layernorm|pre_feedforward_layernorm|post_feedforward_layernorm)"
+     r"\.weight",
+     "model/language_model/layers_{i}/{j}/weight", t_id),
+    (r"language_model\.layers\.(\d+)\.self_attn\.(q|k|v|o)_proj\.weight",
+     "model/language_model/layers_{i}/self_attn/{j}_proj/kernel", t_linear),
+    (r"language_model\.layers\.(\d+)\.self_attn\.(q|k)_norm\.weight",
+     "model/language_model/layers_{i}/self_attn/{j}_norm/weight", t_id),
+    (r"language_model\.layers\.(\d+)\.mlp\.(gate|up|down)_proj\.weight",
+     "model/language_model/layers_{i}/mlp/{j}_proj/kernel", t_linear),
+    (r"language_model\.norm\.weight", "model/language_model/norm/weight", t_id),
+    # --- retrieval head ---
+    (r"custom_text_proj\.weight", "head/custom_text_proj/kernel", t_linear),
+    (r"custom_text_proj\.bias", "head/custom_text_proj/bias", t_id),
+    # --- dropped ---
+    (r"lm_head\.weight", "", t_id),
+    (r".*rotary_emb\.inv_freq", "", t_id),
+)
+
+
+def load_colgemma3_params(checkpoint_dir: str, strict: bool = True) -> Dict[str, Any]:
+    """Load a (Col)Gemma3 HF checkpoint directory into flax params."""
+    state = load_safetensors_dir(checkpoint_dir)
+    return convert_state_dict(state, GEMMA3_RULES, GEMMA3_KEY_REMAPS, strict=strict)
+
+
 QWEN25_VL_RULES: Tuple[_RuleT, ...] = (
     # --- vision tower (RMSNorm blocks, biased SwiGLU, RMSNorm ln_q) ---
     (r"visual\.patch_embed\.proj\.weight", "model/visual/patch_embed/kernel", t_conv3d_patch),

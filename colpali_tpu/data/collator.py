@@ -1,0 +1,126 @@
+"""Training collator: example dicts -> prefixed model input batches.
+
+Behavioral spec: /root/reference/colpali_engine/collators/
+visual_retriever_collator.py — sample one query / one positive per example,
+prefix queries with the processor's query prefix + 10x augmentation token,
+auto-detect text vs image payloads, key-prefix the three sub-batches
+(``query_`` / ``doc_`` / ``neg_doc_``), and reshape explicit negatives to
+``(B, n_neg, ...)``.
+
+TPU addition: optional fixed padding targets so every batch compiles to the
+same shapes (the reference pads per-batch "longest", which would retrace
+XLA every step).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from colpali_tpu.data.dataset import ColPaliEngineDataset
+from colpali_tpu.processors.base import BaseVisualRetrieverProcessor
+
+N_AUGMENTATION_TOKENS = 10
+
+
+def prefix_keys(data: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    return {f"{prefix}{k}": v for k, v in data.items()}
+
+
+def _is_image(x: Any) -> bool:
+    return hasattr(x, "convert") or (isinstance(x, np.ndarray) and x.ndim >= 2)
+
+
+class VisualRetrieverCollator:
+    query_prefix = "query_"
+    pos_doc_prefix = "doc_"
+    neg_doc_prefix = "neg_doc_"
+
+    def __init__(
+        self,
+        processor: BaseVisualRetrieverProcessor,
+        max_length: int = 2048,
+        pad_seq_to: Optional[int] = None,
+        rng: Optional[random.Random] = None,
+    ):
+        self.processor = processor
+        self.max_length = max_length
+        self.pad_seq_to = pad_seq_to
+        self._rng = rng or random
+
+    def __call__(self, examples: List[Dict[str, Any]]) -> Dict[str, Any]:
+        queries: List[str] = []
+        pos_targets: List[Any] = []
+        neg_targets: List[Any] = []
+
+        for example in examples:
+            if ColPaliEngineDataset.QUERY_KEY not in example:
+                raise KeyError(f"Missing {ColPaliEngineDataset.QUERY_KEY} in example.")
+            query = example[ColPaliEngineDataset.QUERY_KEY]
+            queries.append(self._rng.choice(query) if isinstance(query, list) else query)
+
+            if ColPaliEngineDataset.POS_TARGET_KEY not in example:
+                raise KeyError(f"Missing {ColPaliEngineDataset.POS_TARGET_KEY} in example.")
+            pos = example[ColPaliEngineDataset.POS_TARGET_KEY]
+            pos_targets.append(self._rng.choice(pos) if isinstance(pos, list) else pos)
+
+            neg = example.get(ColPaliEngineDataset.NEG_TARGET_KEY)
+            if neg is not None:
+                neg_targets.append(neg)
+
+        if not all(isinstance(q, str) for q in queries):
+            raise ValueError("All queries must be strings.")
+
+        queries = [
+            self.processor.query_prefix + q + self.processor.query_augmentation_token * N_AUGMENTATION_TOKENS
+            for q in queries
+        ]
+        batch = {
+            **self.auto_collate(queries, self.query_prefix),
+            **self.auto_collate(pos_targets, self.pos_doc_prefix),
+        }
+        if neg_targets:
+            batch.update(self.auto_collate(neg_targets, self.neg_doc_prefix))
+        if self.pad_seq_to is not None:
+            batch = {k: self._pad_static(k, v) for k, v in batch.items()}
+        return batch
+
+    def auto_collate(self, batch: Sequence[Union[str, Any, list]], key_prefix: str = "") -> Dict[str, Any]:
+        """str -> process_texts; image -> process_images; list -> negatives
+        reshaped to (B, n_neg, ...) (reference :98-127)."""
+        first = batch[0]
+        if isinstance(first, str):
+            proc = self.processor.process_texts(texts=list(batch))
+        elif isinstance(first, list):
+            batch_size = len(batch)
+            flat = [item for items in batch for item in items]
+            num_neg = len(flat) // batch_size
+            if isinstance(flat[0], str):
+                proc = self.processor.process_texts(texts=flat)
+            elif _is_image(flat[0]):
+                proc = self.processor.process_images(images=flat)
+            else:
+                raise ValueError(f"Unsupported batch type: {type(flat[0])}.")
+            proc = {
+                k: v.reshape(batch_size, num_neg, *v.shape[1:]) if isinstance(v, np.ndarray) else v
+                for k, v in proc.items()
+            }
+        elif _is_image(first):
+            proc = self.processor.process_images(images=list(batch))
+        else:
+            raise ValueError(f"Unsupported batch type: {type(first)}.")
+        return prefix_keys(proc, key_prefix)
+
+    def _pad_static(self, key: str, value: np.ndarray) -> np.ndarray:
+        """Right-pad the sequence dim to a fixed length for shape stability."""
+        if not isinstance(value, np.ndarray) or "input_ids" not in key and "attention_mask" not in key:
+            return value
+        seq_axis = value.ndim - 1
+        cur = value.shape[seq_axis]
+        if cur >= self.pad_seq_to:
+            return value
+        pad = [(0, 0)] * value.ndim
+        pad[seq_axis] = (0, self.pad_seq_to - cur)
+        return np.pad(value, pad)

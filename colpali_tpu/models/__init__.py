@@ -11,6 +11,13 @@ from colpali_tpu.models.configs import (  # noqa: F401
     PaliGemmaConfig,
     SiglipVisionConfig,
 )
+from colpali_tpu.models.gemma3 import (  # noqa: F401
+    BiGemma3,
+    ColGemma3,
+    Gemma3Backbone,
+    Gemma3Config,
+    Gemma3TextConfig,
+)
 from colpali_tpu.models.paligemma import BiPali, ColPali, PaliGemmaBackbone  # noqa: F401
 from colpali_tpu.models.qwen2_5_vl import (  # noqa: F401
     BiQwen2_5,

@@ -123,6 +123,8 @@ class Attention(nn.Module):
     out_bias: Optional[bool] = None  # bias on o_proj; None -> same as use_bias
     scale: Optional[float] = None
     out_dim: Optional[int] = None
+    qk_norm_eps: Optional[float] = None  # per-head RMS q/k norm (Gemma3, Qwen3)
+    qk_norm_offset: bool = True  # Gemma convention (1+w); False for Qwen3
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -145,6 +147,12 @@ class Attention(nn.Module):
         )
         k = dense(kv_heads * self.head_dim, "k_proj", self.use_bias)(x).reshape(b, s, kv_heads, self.head_dim)
         v = dense(kv_heads * self.head_dim, "v_proj", self.use_bias)(x).reshape(b, s, kv_heads, self.head_dim)
+
+        if self.qk_norm_eps is not None:
+            q = RMSNorm(eps=self.qk_norm_eps, add_unit_offset=self.qk_norm_offset,
+                        param_dtype=self.param_dtype, name="q_norm")(q)
+            k = RMSNorm(eps=self.qk_norm_eps, add_unit_offset=self.qk_norm_offset,
+                        param_dtype=self.param_dtype, name="k_norm")(k)
 
         if rope is not None:
             cos, sin = rope

@@ -1,0 +1,83 @@
+"""Collator tests (mirrors reference tests/collators/ with a fake processor)."""
+
+import numpy as np
+import pytest
+
+from colpali_tpu.data import VisualRetrieverCollator
+
+
+class FakeProcessor:
+    """Text length = word count; images -> fixed pixel blobs."""
+
+    query_prefix = ""
+    query_augmentation_token = "<pad>"
+
+    def process_texts(self, texts):
+        lens = [len(t.replace("<pad>", " <pad> ").split()) for t in texts]
+        m = max(lens)
+        ids = np.zeros((len(texts), m), np.int32)
+        mask = np.zeros((len(texts), m), np.int32)
+        for i, n in enumerate(lens):
+            ids[i, :n] = 1
+            mask[i, :n] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+    def process_images(self, images):
+        n = len(images)
+        return {
+            "input_ids": np.ones((n, 4), np.int32),
+            "attention_mask": np.ones((n, 4), np.int32),
+            "pixel_values": np.zeros((n, 8, 8, 3), np.float32),
+        }
+
+
+class FakeImage:
+    def convert(self, mode):
+        return self
+
+
+@pytest.fixture
+def collator():
+    return VisualRetrieverCollator(FakeProcessor())
+
+
+class TestCollator:
+    def test_text_doc_batch(self, collator):
+        batch = collator([
+            {"query": "what is x", "pos_target": "doc one", "neg_target": None},
+            {"query": "y", "pos_target": "doc two words here", "neg_target": None},
+        ])
+        assert set(batch) == {"query_input_ids", "query_attention_mask", "doc_input_ids", "doc_attention_mask"}
+        assert batch["query_input_ids"].shape[0] == 2
+
+    def test_image_doc_batch(self, collator):
+        batch = collator([
+            {"query": "q", "pos_target": FakeImage(), "neg_target": None},
+        ])
+        assert "doc_pixel_values" in batch
+
+    def test_negatives_reshaped(self, collator):
+        batch = collator([
+            {"query": "q1", "pos_target": "p", "neg_target": ["n one", "n two"]},
+            {"query": "q2", "pos_target": "p", "neg_target": ["n three", "n four"]},
+        ])
+        assert batch["neg_doc_input_ids"].shape[:2] == (2, 2)
+
+    def test_query_augmentation_appended(self, collator):
+        batch = collator([{"query": "hello", "pos_target": "p", "neg_target": None}])
+        # "hello" + 10 <pad> tokens -> 11 words
+        assert batch["query_input_ids"].shape[1] == 11
+
+    def test_multiple_queries_sampled(self, collator):
+        batch = collator([{"query": ["a b", "c d"], "pos_target": "p", "neg_target": None}])
+        assert batch["query_input_ids"].shape[0] == 1
+
+    def test_static_padding(self):
+        collator = VisualRetrieverCollator(FakeProcessor(), pad_seq_to=32)
+        batch = collator([{"query": "short", "pos_target": "p", "neg_target": None}])
+        assert batch["query_input_ids"].shape[1] == 32
+        assert batch["doc_input_ids"].shape[1] == 32
+
+    def test_missing_query_raises(self, collator):
+        with pytest.raises(KeyError, match="query"):
+            collator([{"pos_target": "p"}])
