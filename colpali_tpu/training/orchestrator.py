@@ -1,0 +1,159 @@
+"""Training orchestrator: the ColModelTraining equivalent.
+
+Behavioral spec: /root/reference/colpali_engine/trainer/colmodel_training.py
+(config dataclass + train/save wrapper) and the raw torch loop
+colmodel_torch_training.py:68-247 (per-step logging every 10 steps, eval
+hook, end-of-training save). The inner loop here is the jitted GSPMD train
+step from :mod:`colpali_tpu.training.trainer` with Orbax checkpointing and
+resume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from colpali_tpu.data.collator import VisualRetrieverCollator
+from colpali_tpu.data.sampler import SingleDatasetBatchSampler
+from colpali_tpu.training.checkpointing import CheckpointManager, save_pretrained
+from colpali_tpu.training.trainer import (
+    TrainConfig,
+    TrainState,
+    create_train_state,
+    make_train_step,
+    shard_train_step,
+)
+
+
+@dataclasses.dataclass
+class ColModelTrainingConfig:
+    """Mirrors the reference's ColModelTrainingConfig surface
+    (colmodel_training.py:21-71), with jax-native members."""
+
+    model: Any  # flax nn.Module (ColPali / ColQwen2 / ...)
+    params: Dict[str, Any]
+    processor: Any
+    loss_func: Any
+    train_datasets: list
+    eval_dataset: Optional[Any] = None
+    output_dir: str = "./models/run"
+    global_batch_size: int = 8
+    num_epochs: int = 1
+    max_steps: Optional[int] = None
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    mesh: Optional[Any] = None  # jax.sharding.Mesh for DP/TP
+    save_steps: int = 500
+    save_total_limit: int = 1
+    log_steps: int = 10
+    resume_from_checkpoint: bool = False
+    seed: int = 0
+    pad_seq_to: Optional[int] = None
+
+
+class ColModelTraining:
+    """Owns collator, sampler, train state, and the step loop
+    (reference colmodel_training.py:74-118)."""
+
+    def __init__(self, config: ColModelTrainingConfig):
+        self.config = config
+        self.collator = VisualRetrieverCollator(config.processor, pad_seq_to=config.pad_seq_to)
+        self.sampler = SingleDatasetBatchSampler(
+            config.train_datasets, config.global_batch_size, seed=config.seed
+        )
+        self._all_data = _ConcatDataset(config.train_datasets)
+        self.metrics_history: list = []
+
+        has_negatives = self._probe_negatives()
+        self.train_step = make_train_step(config.loss_func, has_negatives=has_negatives)
+        self.state = create_train_state(config.model.apply, config.params, config.train)
+
+        self.batch_sharding = None
+        if config.mesh is not None:
+            self.train_step, self.state, self.batch_sharding = shard_train_step(
+                self.train_step, self.state, config.mesh
+            )
+        else:
+            self.train_step = jax.jit(self.train_step)
+
+        self.ckpt = CheckpointManager(
+            f"{config.output_dir}/checkpoints",
+            save_interval_steps=config.save_steps,
+            max_to_keep=config.save_total_limit,
+        )
+        if config.resume_from_checkpoint and self.ckpt.latest_step is not None:
+            self.state = self.ckpt.restore(self.state)
+
+    def _probe_negatives(self) -> bool:
+        sample = self.config.train_datasets[0][0]
+        return sample.get("neg_target") is not None
+
+    def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        if self.batch_sharding is not None:
+            return jax.device_put(batch, self.batch_sharding)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def batches(self, epoch: int) -> Iterable[Dict[str, np.ndarray]]:
+        self.sampler.set_epoch(epoch)
+        for indices in self.sampler:
+            yield self.collator([self._all_data[i] for i in indices])
+
+    def train(self, on_step: Optional[Callable[[int, Dict], None]] = None) -> Dict[str, Any]:
+        cfg = self.config
+        step = int(self.state.step)
+        t_start = time.time()
+        samples = 0
+        for epoch in range(cfg.num_epochs):
+            for batch in self.batches(epoch):
+                self.state, metrics = self.train_step(self.state, self._device_batch(batch))
+                step += 1
+                samples += cfg.global_batch_size
+                if step % cfg.log_steps == 0:
+                    entry = {"step": step, "loss": float(metrics["loss"]),
+                             "grad_norm": float(metrics["grad_norm"])}
+                    self.metrics_history.append(entry)
+                    print(f"step {step}: loss={entry['loss']:.4f} grad_norm={entry['grad_norm']:.3f}")
+                self.ckpt.save(step, self.state)
+                if on_step is not None:
+                    on_step(step, metrics)
+                if cfg.max_steps is not None and step >= cfg.max_steps:
+                    break
+            else:
+                continue
+            break
+        self.ckpt.wait()
+        runtime = time.time() - t_start
+        summary = {
+            "train_runtime": runtime,
+            "train_samples_per_second": samples / runtime if runtime > 0 else 0.0,
+            "final_step": step,
+        }
+        print(f"train_runtime: {runtime:.1f}s, samples/sec: {summary['train_samples_per_second']:.2f}")
+        return summary
+
+    def save(self, output_dir: Optional[str] = None) -> None:
+        """Final export (reference colmodel_training.py:109-118)."""
+        out = output_dir or self.config.output_dir
+        model = self.config.model
+        model_config = getattr(model, "config", None)
+        save_pretrained(out, jax.device_get(self.state.params), config=model_config)
+
+
+class _ConcatDataset:
+    """Global-index view over multiple datasets (sampler emits cumulative
+    indices, reference sampler.py:66-80)."""
+
+    def __init__(self, datasets):
+        self.datasets = datasets
+        self.offsets = np.concatenate([[0], np.cumsum([len(d) for d in datasets])])
+
+    def __getitem__(self, idx: int):
+        ds = int(np.searchsorted(self.offsets, idx, side="right") - 1)
+        return self.datasets[ds][idx - int(self.offsets[ds])]
+
+    def __len__(self):
+        return int(self.offsets[-1])

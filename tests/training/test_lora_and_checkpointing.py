@@ -1,0 +1,116 @@
+"""LoRA adapter + checkpointing tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from colpali_tpu.losses import ColbertLoss
+from colpali_tpu.models.configs import GemmaConfig, PaliGemmaConfig, SiglipVisionConfig
+from colpali_tpu.models.paligemma import ColPali
+from colpali_tpu.training.checkpointing import (
+    CheckpointManager,
+    load_params_safetensors,
+    save_params_safetensors,
+)
+from colpali_tpu.training.lora import count_params, init_lora_params, make_lora_train_step, merge_lora
+from colpali_tpu.training.trainer import TrainConfig, create_train_state, make_train_step
+
+IMAGE_TOKEN = 2
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = PaliGemmaConfig(
+        vision=SiglipVisionConfig(hidden_size=16, intermediate_size=32, num_hidden_layers=1,
+                                  num_attention_heads=2, image_size=28, patch_size=14),
+        text=GemmaConfig(vocab_size=32, hidden_size=16, intermediate_size=32, num_hidden_layers=1,
+                         num_attention_heads=2, num_key_value_heads=1, head_dim=8),
+        projection_dim=16, image_token_index=IMAGE_TOKEN)
+    model = ColPali(cfg, dim=8)
+    rng = np.random.default_rng(0)
+    ids = np.concatenate([np.full((2, 4), IMAGE_TOKEN), rng.integers(3, 30, size=(2, 5))], 1).astype(np.int32)
+    batch = {
+        "query_input_ids": jnp.asarray(rng.integers(3, 30, size=(2, 8)), jnp.int32),
+        "query_attention_mask": jnp.ones((2, 8), jnp.int32),
+        "doc_input_ids": jnp.asarray(ids),
+        "doc_attention_mask": jnp.ones((2, 9), jnp.int32),
+        "doc_pixel_values": jnp.asarray(rng.normal(size=(2, 28, 28, 3)), jnp.float32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["doc_input_ids"], batch["doc_attention_mask"],
+                        batch["doc_pixel_values"])["params"]
+    return model, params, batch
+
+
+class TestLoRA:
+    def test_init_targets_lm_and_head(self, tiny):
+        _, params, _ = tiny
+        lora = init_lora_params(params, jax.random.PRNGKey(1), rank=4)
+        assert any("custom_text_proj" in k for k in lora)
+        assert any("language_model" in k for k in lora)
+        assert not any("vision_tower" in k for k in lora)
+        # adapters are tiny compared to the base
+        assert count_params(lora) < 0.2 * count_params(params)
+
+    def test_zero_b_means_identity(self, tiny):
+        _, params, _ = tiny
+        lora = init_lora_params(params, jax.random.PRNGKey(1), rank=4)
+        merged = merge_lora(params, lora, alpha=4, rank=4)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(merged)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    def test_lora_training_moves_loss(self, tiny):
+        model, params, batch = tiny
+        lora = init_lora_params(params, jax.random.PRNGKey(1), rank=4)
+        loss_obj = ColbertLoss(temperature=0.1)
+
+        def loss_forward(p, b):
+            q = model.apply({"params": p}, b["query_input_ids"], b["query_attention_mask"])
+            d = model.apply({"params": p}, b["doc_input_ids"], b["doc_attention_mask"], b["doc_pixel_values"])
+            return loss_obj(q, d)
+
+        lora_loss = make_lora_train_step(loss_forward, params, alpha=4, rank=4)
+        grad_fn = jax.jit(jax.value_and_grad(lora_loss))
+        l0, grads = grad_fn(lora, batch)
+        assert np.isfinite(float(l0))
+        # one SGD step on the adapters must change the loss
+        lora2 = jax.tree.map(lambda p, g: p - 0.5 * g, lora, grads)
+        l1, _ = grad_fn(lora2, batch)
+        assert float(l1) != float(l0)
+
+
+class TestCheckpointing:
+    def test_safetensors_roundtrip(self, tiny, tmp_path):
+        _, params, _ = tiny
+        path = str(tmp_path / "model.safetensors")
+        save_params_safetensors(params, path)
+        restored = load_params_safetensors(path)
+        for (pa, a), (pb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(params), key=lambda t: str(t[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(restored), key=lambda t: str(t[0])),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_orbax_train_state_roundtrip(self, tiny, tmp_path):
+        model, params, batch = tiny
+        state = create_train_state(model.apply, params, TrainConfig(warmup_steps=0, learning_rate=1e-3))
+        step = jax.jit(make_train_step(ColbertLoss(temperature=0.1)))
+        state, _ = step(state, batch)
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), save_interval_steps=1)
+        assert mgr.save(int(state.step), state)
+        mgr.wait()
+
+        template = create_train_state(model.apply, params, TrainConfig(warmup_steps=0, learning_rate=1e-3))
+        restored = mgr.restore(template)
+        assert int(restored.step) == int(state.step)
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["head"]["custom_text_proj"]["kernel"]),
+            np.asarray(state.params["head"]["custom_text_proj"]["kernel"]),
+        )
+        # training continues from the restored state
+        restored, metrics = step(restored, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        mgr.close()

@@ -1,0 +1,115 @@
+"""End-to-end orchestrator test: datasets -> sampler -> collator -> jitted
+train loop -> checkpoint -> resume (hermetic, fake processor)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from colpali_tpu.data import ColPaliEngineDataset, Corpus
+from colpali_tpu.losses import ColbertLoss
+from colpali_tpu.models.configs import GemmaConfig, PaliGemmaConfig, SiglipVisionConfig
+from colpali_tpu.models.paligemma import ColPali
+from colpali_tpu.training.orchestrator import ColModelTraining, ColModelTrainingConfig
+from colpali_tpu.training.trainer import TrainConfig
+
+IMAGE_TOKEN = 2
+
+
+class FakeProcessor:
+    query_prefix = ""
+    query_augmentation_token = "<pad>"
+
+    def process_texts(self, texts):
+        ids = np.full((len(texts), 8), 5, np.int32)
+        return {"input_ids": ids, "attention_mask": np.ones_like(ids)}
+
+    def process_images(self, images):
+        n = len(images)
+        ids = np.concatenate([np.full((n, 4), IMAGE_TOKEN, np.int32), np.full((n, 4), 6, np.int32)], 1)
+        return {
+            "input_ids": ids,
+            "attention_mask": np.ones_like(ids),
+            "pixel_values": np.stack([np.asarray(im, np.float32) for im in images]),
+        }
+
+
+@pytest.fixture
+def setup(tmp_path):
+    import jax
+
+    rng = np.random.default_rng(0)
+    corpus = Corpus([{"doc": rng.normal(size=(28, 28, 3)).astype(np.float32)} for _ in range(16)])
+    data = [{"query": f"question {i}", "pos_target": [i % 16]} for i in range(16)]
+    ds = ColPaliEngineDataset(data, corpus=corpus)
+
+    cfg = PaliGemmaConfig(
+        vision=SiglipVisionConfig(hidden_size=16, intermediate_size=32, num_hidden_layers=1,
+                                  num_attention_heads=2, image_size=28, patch_size=14),
+        text=GemmaConfig(vocab_size=32, hidden_size=16, intermediate_size=32, num_hidden_layers=1,
+                         num_attention_heads=2, num_key_value_heads=1, head_dim=8),
+        projection_dim=16, image_token_index=IMAGE_TOKEN)
+    model = ColPali(cfg, dim=8)
+    dummy = FakeProcessor().process_images([np.zeros((28, 28, 3), np.float32)])
+    import jax.numpy as jnp
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(dummy["input_ids"]),
+        jnp.asarray(dummy["attention_mask"]),
+        jnp.asarray(dummy["pixel_values"]),
+    )["params"]
+    return ds, model, params, str(tmp_path)
+
+
+class TestOrchestrator:
+    def test_full_loop_and_save(self, setup):
+        ds, model, params, outdir = setup
+        config = ColModelTrainingConfig(
+            model=model,
+            params=params,
+            processor=FakeProcessor(),
+            loss_func=ColbertLoss(temperature=0.1),
+            train_datasets=[ds],
+            output_dir=outdir,
+            global_batch_size=4,
+            num_epochs=1,
+            train=TrainConfig(learning_rate=1e-3, warmup_steps=0),
+            save_steps=2,
+            log_steps=1,
+        )
+        trainer = ColModelTraining(config)
+        summary = trainer.train()
+        assert summary["final_step"] == 4  # 16 samples / batch 4
+        assert all(np.isfinite(m["loss"]) for m in trainer.metrics_history)
+        trainer.save()
+        assert os.path.exists(os.path.join(outdir, "model.safetensors"))
+        assert os.path.exists(os.path.join(outdir, "training_provenance.json"))
+        with open(os.path.join(outdir, "training_provenance.json")) as f:
+            assert "git_hash" in json.load(f)
+
+    def test_resume_from_checkpoint(self, setup):
+        ds, model, params, outdir = setup
+        base = dict(
+            model=model,
+            params=params,
+            processor=FakeProcessor(),
+            loss_func=ColbertLoss(temperature=0.1),
+            train_datasets=[ds],
+            output_dir=outdir,
+            global_batch_size=4,
+            train=TrainConfig(learning_rate=1e-3, warmup_steps=0),
+            save_steps=1,
+            max_steps=2,
+        )
+        t1 = ColModelTraining(ColModelTrainingConfig(**base))
+        t1.train()
+        t1.ckpt.close()
+
+        resumed = ColModelTraining(
+            ColModelTrainingConfig(**{**base, "resume_from_checkpoint": True, "max_steps": 3})
+        )
+        assert int(resumed.state.step) == 2  # picked up where we left off
+        summary = resumed.train()
+        assert summary["final_step"] == 3
