@@ -203,6 +203,67 @@ QWEN2_VL_RULES: Tuple[_RuleT, ...] = (
 
 
 # ---------------------------------------------------------------------------
+# Idefics3 / SmolVLM family
+# ---------------------------------------------------------------------------
+
+IDEFICS3_KEY_REMAPS: Tuple[Tuple[str, str], ...] = (
+    (r"^base_model\.model\.", ""),
+    (r"^model\.", ""),
+    (r"\.lora_[AB]\.", ".__lora__."),
+)
+
+_I3_VT = r"vision_model"
+
+IDEFICS3_RULES: Tuple[_RuleT, ...] = (
+    (_I3_VT + r"\.embeddings\.patch_embedding\.weight", "model/vision_model/patch_embedding/kernel", t_conv2d),
+    (_I3_VT + r"\.embeddings\.patch_embedding\.bias", "model/vision_model/patch_embedding/bias", t_id),
+    (_I3_VT + r"\.embeddings\.position_embedding\.weight",
+     "model/vision_model/position_embedding/embedding", t_id),
+    (_I3_VT + r"\.encoder\.layers\.(\d+)\.layer_norm([12])\.weight",
+     "model/vision_model/layers_{i}/layer_norm{j}/scale", t_id),
+    (_I3_VT + r"\.encoder\.layers\.(\d+)\.layer_norm([12])\.bias",
+     "model/vision_model/layers_{i}/layer_norm{j}/bias", t_id),
+    (_I3_VT + r"\.encoder\.layers\.(\d+)\.self_attn\.(q|k|v)_proj\.weight",
+     "model/vision_model/layers_{i}/self_attn/{j}_proj/kernel", t_linear),
+    (_I3_VT + r"\.encoder\.layers\.(\d+)\.self_attn\.(q|k|v)_proj\.bias",
+     "model/vision_model/layers_{i}/self_attn/{j}_proj/bias", t_id),
+    (_I3_VT + r"\.encoder\.layers\.(\d+)\.self_attn\.out_proj\.weight",
+     "model/vision_model/layers_{i}/self_attn/o_proj/kernel", t_linear),
+    (_I3_VT + r"\.encoder\.layers\.(\d+)\.self_attn\.out_proj\.bias",
+     "model/vision_model/layers_{i}/self_attn/o_proj/bias", t_id),
+    (_I3_VT + r"\.encoder\.layers\.(\d+)\.mlp\.fc([12])\.weight",
+     "model/vision_model/layers_{i}/mlp/fc{j}/kernel", t_linear),
+    (_I3_VT + r"\.encoder\.layers\.(\d+)\.mlp\.fc([12])\.bias",
+     "model/vision_model/layers_{i}/mlp/fc{j}/bias", t_id),
+    (_I3_VT + r"\.post_layernorm\.weight", "model/vision_model/post_layernorm/scale", t_id),
+    (_I3_VT + r"\.post_layernorm\.bias", "model/vision_model/post_layernorm/bias", t_id),
+    # --- connector ---
+    (r"connector\.modality_projection\.proj\.weight", "model/modality_projection/kernel", t_linear),
+    # --- Llama/SmolLM text decoder ---
+    (r"text_model\.embed_tokens\.weight", "model/text_model/embed_tokens/embedding", t_id),
+    (r"text_model\.layers\.(\d+)\.(input_layernorm|post_attention_layernorm)\.weight",
+     "model/text_model/layers_{i}/{j}/weight", t_id),
+    (r"text_model\.layers\.(\d+)\.self_attn\.(q|k|v|o)_proj\.weight",
+     "model/text_model/layers_{i}/self_attn/{j}_proj/kernel", t_linear),
+    (r"text_model\.layers\.(\d+)\.mlp\.(gate|up|down)_proj\.weight",
+     "model/text_model/layers_{i}/mlp/{j}_proj/kernel", t_linear),
+    (r"text_model\.norm\.weight", "model/text_model/norm/weight", t_id),
+    # --- retrieval head (named `linear` in ColIdefics3) ---
+    (r"linear\.weight", "head/linear/kernel", t_linear),
+    (r"linear\.bias", "head/linear/bias", t_id),
+    # --- dropped ---
+    (r"lm_head\.weight", "", t_id),
+    (r".*rotary_emb\.inv_freq", "", t_id),
+)
+
+
+def load_colidefics3_params(checkpoint_dir: str, strict: bool = True) -> Dict[str, Any]:
+    """Load a (Col)Idefics3/SmolVLM HF checkpoint directory into flax params."""
+    state = load_safetensors_dir(checkpoint_dir)
+    return convert_state_dict(state, IDEFICS3_RULES, IDEFICS3_KEY_REMAPS, strict=strict)
+
+
+# ---------------------------------------------------------------------------
 # Gemma3 family
 # ---------------------------------------------------------------------------
 

@@ -4,3 +4,7 @@ from colpali_tpu.interpretability.similarity_maps import (  # noqa: F401
     plot_all_similarity_maps,
     plot_similarity_map,
 )
+from colpali_tpu.interpretability.split_image import (  # noqa: F401
+    get_split_image_similarity_maps,
+    rearrange_image_embeddings,
+)

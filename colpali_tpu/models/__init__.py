@@ -18,6 +18,13 @@ from colpali_tpu.models.gemma3 import (  # noqa: F401
     Gemma3Config,
     Gemma3TextConfig,
 )
+from colpali_tpu.models.idefics3 import (  # noqa: F401
+    BiIdefics3,
+    ColIdefics3,
+    Idefics3Backbone,
+    Idefics3Config,
+    Idefics3VisionConfig,
+)
 from colpali_tpu.models.paligemma import BiPali, ColPali, PaliGemmaBackbone  # noqa: F401
 from colpali_tpu.models.qwen2_5_vl import (  # noqa: F401
     BiQwen2_5,

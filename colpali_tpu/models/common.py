@@ -47,6 +47,7 @@ class MultiVectorHead(nn.Module):
 
     dim: int = 128
     norm_eps: float = 0.0  # ColModernVBert clamps at 1e-12, others at 0
+    proj_name: str = "custom_text_proj"  # ColIdefics3 names it "linear"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -57,7 +58,7 @@ class MultiVectorHead(nn.Module):
         attention_mask: jnp.ndarray,
         image_token_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        proj = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="custom_text_proj")(
+        proj = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name=self.proj_name)(
             hidden_states
         )
         proj = l2_normalize(proj, eps=self.norm_eps)

@@ -96,10 +96,12 @@ class Qwen2TextConfig:
     rope_theta: float = 1000000.0
     rms_norm_eps: float = 1e-6
     mrope_section: tuple = (16, 24, 24)
+    attention_bias: bool = True  # Qwen2: bias on q/k/v; Llama/SmolLM: False
 
     @classmethod
     def from_hf_config(cls, cfg: Mapping[str, Any]) -> "Qwen2TextConfig":
         rope_scaling = cfg.get("rope_scaling") or {}
+        head_dim = cfg.get("head_dim") or cfg["hidden_size"] // cfg["num_attention_heads"]
         return cls(
             vocab_size=cfg["vocab_size"],
             hidden_size=cfg["hidden_size"],
@@ -107,10 +109,13 @@ class Qwen2TextConfig:
             num_hidden_layers=cfg["num_hidden_layers"],
             num_attention_heads=cfg["num_attention_heads"],
             num_key_value_heads=cfg.get("num_key_value_heads", cfg["num_attention_heads"]),
-            head_dim=cfg.get("head_dim") or cfg["hidden_size"] // cfg["num_attention_heads"],
+            head_dim=head_dim,
             rope_theta=cfg.get("rope_theta", 1000000.0),
             rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
-            mrope_section=tuple(rope_scaling.get("mrope_section", (16, 24, 24))),
+            # without mrope, any sectioning is equivalent for text (all three
+            # position channels are equal); one full-width section is cleanest
+            mrope_section=tuple(rope_scaling.get("mrope_section", (head_dim // 2,))),
+            attention_bias=cfg.get("attention_bias", True),
         )
 
 
@@ -264,8 +269,8 @@ class Qwen2DecoderLayer(nn.Module):
             num_heads=cfg.num_attention_heads,
             num_kv_heads=cfg.num_key_value_heads,
             head_dim=cfg.head_dim,
-            use_bias=True,  # Qwen2: bias on q/k/v
-            out_bias=False,  # ... but not on o_proj
+            use_bias=cfg.attention_bias,  # Qwen2: bias on q/k/v; Llama: none
+            out_bias=False,
             out_dim=cfg.hidden_size,
             dtype=self.dtype,
             param_dtype=self.param_dtype,

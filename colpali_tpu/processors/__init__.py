@@ -1,4 +1,5 @@
 from colpali_tpu.processors.base import BaseVisualRetrieverProcessor  # noqa: F401
 from colpali_tpu.processors.colpali import ColPaliProcessor  # noqa: F401
+from colpali_tpu.processors.idefics3 import ColIdefics3Processor  # noqa: F401
 from colpali_tpu.processors.qwen2_5_vl import ColQwen2_5Processor  # noqa: F401
 from colpali_tpu.processors.qwen2_vl import ColQwen2Processor  # noqa: F401

@@ -1,0 +1,201 @@
+"""ColIdefics3 (ColSmol) processor: image splitting + split-image prompts.
+
+Behavioral spec:
+- reference ColIdefics3Processor
+  (/root/reference/colpali_engine/models/idefics3/colidefics3/processing_colidefics3.py)
+  delegates to HF Idefics3Processor; queries go through plain tokenization
+  with "Query: " handling upstream, and the 10x augmentation suffix uses the
+  tokenizer's special token (``<end_of_utterance>``/pad).
+- HF Idefics3 pipeline: resize so the longest edge <= ``size.longest_edge``
+  (4x512 for ColSmol), split into ceil-grid 512px sub-images + one global
+  512px image (image_processing_idefics3.py:382-440), prompt layout with
+  ``<fake_token_around_image>`` / ``<row_r_col_c>`` / ``<global-img>``
+  markers (processing_idefics3.py:46-87).
+
+TPU deviation (documented): every tile is resized to exactly
+``tile_size`` x ``tile_size`` instead of ragged crops + patch masks — all
+vision shapes are static. Resampling differences are sub-pixel.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from colpali_tpu.processors.base import BaseVisualRetrieverProcessor, Batch
+from colpali_tpu.processors.image_processing import to_rgb_array
+
+
+def _resize(arr: np.ndarray, h: int, w: int) -> np.ndarray:
+    return np.asarray(
+        jax.image.resize(jnp.asarray(arr, jnp.float32), (h, w, 3), method="bicubic", antialias=True)
+    )
+
+
+def resized_dimensions(height: int, width: int, longest_edge: Optional[int]) -> Tuple[int, int]:
+    """Longest-edge resize with even dims (reference
+    Idefics3SplitImageInterpretabilityMixin._calculate_resized_dimensions,
+    processing_utils.py:338-383)."""
+    if longest_edge is None:
+        return height, width
+    aspect_ratio = width / height
+    if width >= height:
+        width_new = longest_edge
+        height_new = int(width_new / aspect_ratio)
+        height_new += height_new % 2
+    else:
+        height_new = longest_edge
+        width_new = int(height_new * aspect_ratio)
+        width_new += width_new % 2
+    return max(height_new, 1), max(width_new, 1)
+
+
+class ColIdefics3Processor(BaseVisualRetrieverProcessor):
+    image_token: str = "<image>"
+    fake_image_token: str = "<fake_token_around_image>"
+    global_img_token: str = "<global-img>"
+
+    def __init__(
+        self,
+        tokenizer: Any,
+        tile_size: int = 512,
+        longest_edge: int = 2048,
+        image_seq_len: int = 64,
+        image_mean: Sequence[float] = (0.5, 0.5, 0.5),
+        image_std: Sequence[float] = (0.5, 0.5, 0.5),
+    ):
+        self.tokenizer = tokenizer
+        self.tile_size = tile_size
+        self.longest_edge = longest_edge
+        self.image_seq_len = image_seq_len
+        self.image_mean = np.asarray(image_mean, np.float32)
+        self.image_std = np.asarray(image_std, np.float32)
+        self.image_token_id = tokenizer.convert_tokens_to_ids(self.image_token)
+
+    @classmethod
+    def from_pretrained(cls, path: str, **kwargs) -> "ColIdefics3Processor":
+        import json
+        import os
+
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(path)
+        init_kwargs: Dict[str, Any] = {}
+        pp_path = os.path.join(path, "preprocessor_config.json")
+        if os.path.exists(pp_path):
+            with open(pp_path) as f:
+                pp = json.load(f)
+            init_kwargs["tile_size"] = pp.get("max_image_size", {}).get("longest_edge", 512)
+            init_kwargs["longest_edge"] = pp.get("size", {}).get("longest_edge", 2048)
+            init_kwargs["image_mean"] = pp.get("image_mean", (0.5, 0.5, 0.5))
+            init_kwargs["image_std"] = pp.get("image_std", (0.5, 0.5, 0.5))
+        proc_path = os.path.join(path, "processor_config.json")
+        if os.path.exists(proc_path):
+            with open(proc_path) as f:
+                init_kwargs["image_seq_len"] = json.load(f).get("image_seq_len", 64)
+        init_kwargs.update(kwargs)
+        return cls(tokenizer, **init_kwargs)
+
+    @property
+    def query_augmentation_token(self) -> str:
+        return self.tokenizer.pad_token
+
+    def _split_one(self, image) -> Tuple[np.ndarray, int, int]:
+        """-> (tiles (T, S, S, 3) normalized with global tile last, rows, cols)."""
+        arr = to_rgb_array(image).astype(np.float32)
+        h0, w0 = arr.shape[:2]
+        s = self.tile_size
+        h1, w1 = resized_dimensions(h0, w0, self.longest_edge if max(h0, w0) > self.longest_edge else None)
+        resized = _resize(arr, h1, w1) if (h1, w1) != (h0, w0) else arr
+
+        tiles: List[np.ndarray] = []
+        if h1 > s or w1 > s:
+            rows, cols = math.ceil(h1 / s), math.ceil(w1 / s)
+            opt_h, opt_w = math.ceil(h1 / rows), math.ceil(w1 / cols)
+            for r in range(rows):
+                for c in range(cols):
+                    crop = resized[r * opt_h : min((r + 1) * opt_h, h1), c * opt_w : min((c + 1) * opt_w, w1)]
+                    tiles.append(_resize(crop, s, s))
+        else:
+            rows = cols = 0
+        tiles.append(_resize(resized, s, s))  # global view
+        stacked = np.stack(tiles)
+        stacked = (stacked / 255.0 - self.image_mean) / self.image_std
+        return stacked.astype(np.float32), rows, cols
+
+    def _image_prompt(self, rows: int, cols: int) -> str:
+        """HF get_image_prompt_string (processing_idefics3.py:46-87)."""
+        img = self.image_token * self.image_seq_len
+        if rows == 0 and cols == 0:
+            return f"{self.fake_image_token}{self.global_img_token}{img}{self.fake_image_token}"
+        text = ""
+        for r in range(rows):
+            for c in range(cols):
+                text += f"{self.fake_image_token}<row_{r + 1}_col_{c + 1}>{img}"
+            text += "\n"
+        text += f"\n{self.fake_image_token}{self.global_img_token}{img}{self.fake_image_token}"
+        return text
+
+    def _tokenize(self, texts: Sequence[str]) -> Batch:
+        enc = self.tokenizer(
+            list(texts),
+            padding="longest",
+            padding_side="right",
+            add_special_tokens=False,
+            return_tensors="np",
+        )
+        return {"input_ids": np.asarray(enc["input_ids"]), "attention_mask": np.asarray(enc["attention_mask"])}
+
+    def process_images(self, images: Sequence[Any], context_prompts: Optional[Sequence[str]] = None) -> Batch:
+        split = [self._split_one(im) for im in images]
+        prompts = []
+        user_prompts = list(context_prompts) if context_prompts else ["Describe the image."] * len(images)
+        for (tiles, rows, cols), user in zip(split, user_prompts):
+            prompts.append(f"<|im_start|>User:{self._image_prompt(rows, cols)}{user}<end_of_utterance>\n")
+        batch = self._tokenize(prompts)
+
+        t_max = max(t.shape[0] for t, _, _ in split)
+        s = self.tile_size
+        pixel_values = np.zeros((len(images), t_max, s, s, 3), np.float32)
+        tile_mask = np.zeros((len(images), t_max), bool)
+        for i, (tiles, _, _) in enumerate(split):
+            pixel_values[i, : tiles.shape[0]] = tiles
+            tile_mask[i, : tiles.shape[0]] = True
+        batch["pixel_values"] = pixel_values
+        batch["tile_mask"] = tile_mask
+        return batch
+
+    def process_texts(self, texts: Sequence[str]) -> Batch:
+        return self._tokenize([f"<|im_start|>Query: {t}<end_of_utterance>\n" for t in texts])
+
+    def get_n_patches(self, image_size: Tuple[int, int], patch_size: Optional[int] = None) -> Tuple[int, int]:
+        """Token grid of the LOCAL tiles, ceil(resized / tile) x tokens/side
+        (reference processing_colidefics3.py:92-126)."""
+        h, w = image_size
+        h1, w1 = resized_dimensions(h, w, self.longest_edge if max(h, w) > self.longest_edge else None)
+        side = int(math.sqrt(self.image_seq_len))
+        if h1 > self.tile_size or w1 > self.tile_size:
+            rows, cols = math.ceil(h1 / self.tile_size), math.ceil(w1 / self.tile_size)
+        else:
+            rows = cols = 1
+        return cols * side, rows * side
+
+    def get_image_mask(self, batch: Batch) -> np.ndarray:
+        return batch["input_ids"] == self.image_token_id
+
+    def get_local_image_mask(self, batch: Batch) -> np.ndarray:
+        """Image-token mask excluding the global tile (the LAST image_seq_len
+        image tokens per row; reference processing_utils.py:299-336)."""
+        full = self.get_image_mask(batch)
+        local = full.copy()
+        for i in range(full.shape[0]):
+            positions = np.nonzero(full[i])[0]
+            if positions.size > self.image_seq_len:
+                local[i, positions[-self.image_seq_len :]] = False
+            else:
+                pass  # single-tile images keep the global view as their map
+        return local
