@@ -203,6 +203,66 @@ QWEN2_VL_RULES: Tuple[_RuleT, ...] = (
 
 
 # ---------------------------------------------------------------------------
+# Qwen3-VL family
+# ---------------------------------------------------------------------------
+
+QWEN3_VL_RULES: Tuple[_RuleT, ...] = (
+    # --- vision tower ---
+    (r"visual\.patch_embed\.proj\.weight", "model/visual/patch_embed/kernel", t_conv3d_patch),
+    (r"visual\.patch_embed\.proj\.bias", "model/visual/patch_embed/bias", t_id),
+    (r"visual\.pos_embed\.weight", "model/visual/pos_embed/embedding", t_id),
+    (r"visual\.blocks\.(\d+)\.norm([12])\.weight", "model/visual/blocks_{i}/norm{j}/scale", t_id),
+    (r"visual\.blocks\.(\d+)\.norm([12])\.bias", "model/visual/blocks_{i}/norm{j}/bias", t_id),
+    (r"visual\.blocks\.(\d+)\.attn\.(q|k|v)_proj\.weight",
+     "model/visual/blocks_{i}/attn/{j}_proj/kernel", t_linear),
+    (r"visual\.blocks\.(\d+)\.attn\.(q|k|v)_proj\.bias",
+     "model/visual/blocks_{i}/attn/{j}_proj/bias", t_id),
+    (r"visual\.blocks\.(\d+)\.attn\.proj\.weight", "model/visual/blocks_{i}/attn/o_proj/kernel", t_linear),
+    (r"visual\.blocks\.(\d+)\.attn\.proj\.bias", "model/visual/blocks_{i}/attn/o_proj/bias", t_id),
+    (r"visual\.blocks\.(\d+)\.mlp\.linear_fc([12])\.weight",
+     "model/visual/blocks_{i}/linear_fc{j}/kernel", t_linear),
+    (r"visual\.blocks\.(\d+)\.mlp\.linear_fc([12])\.bias",
+     "model/visual/blocks_{i}/linear_fc{j}/bias", t_id),
+    (r"visual\.merger\.norm\.weight", "model/visual/merger/norm/scale", t_id),
+    (r"visual\.merger\.norm\.bias", "model/visual/merger/norm/bias", t_id),
+    (r"visual\.merger\.linear_fc([12])\.weight", "model/visual/merger/linear_fc{i}/kernel", t_linear),
+    (r"visual\.merger\.linear_fc([12])\.bias", "model/visual/merger/linear_fc{i}/bias", t_id),
+    (r"visual\.deepstack_merger_list\.(\d+)\.norm\.weight",
+     "model/visual/deepstack_merger_{i}/norm/scale", t_id),
+    (r"visual\.deepstack_merger_list\.(\d+)\.norm\.bias",
+     "model/visual/deepstack_merger_{i}/norm/bias", t_id),
+    (r"visual\.deepstack_merger_list\.(\d+)\.linear_fc([12])\.weight",
+     "model/visual/deepstack_merger_{i}/linear_fc{j}/kernel", t_linear),
+    (r"visual\.deepstack_merger_list\.(\d+)\.linear_fc([12])\.bias",
+     "model/visual/deepstack_merger_{i}/linear_fc{j}/bias", t_id),
+    # --- Qwen3 text decoder (q/k norms, no attn bias) ---
+    (r"language_model\.embed_tokens\.weight", "model/language_model/embed_tokens/embedding", t_id),
+    (r"language_model\.layers\.(\d+)\.(input_layernorm|post_attention_layernorm)\.weight",
+     "model/language_model/layers_{i}/{j}/weight", t_id),
+    (r"language_model\.layers\.(\d+)\.self_attn\.(q|k|v|o)_proj\.weight",
+     "model/language_model/layers_{i}/self_attn/{j}_proj/kernel", t_linear),
+    (r"language_model\.layers\.(\d+)\.self_attn\.(q|k)_norm\.weight",
+     "model/language_model/layers_{i}/self_attn/{j}_norm/weight", t_id),
+    (r"language_model\.layers\.(\d+)\.mlp\.(gate|up|down)_proj\.weight",
+     "model/language_model/layers_{i}/mlp/{j}_proj/kernel", t_linear),
+    (r"language_model\.norm\.weight", "model/language_model/norm/weight", t_id),
+    # --- retrieval head ---
+    (r"custom_text_proj\.weight", "head/custom_text_proj/kernel", t_linear),
+    (r"custom_text_proj\.bias", "head/custom_text_proj/bias", t_id),
+    # --- dropped ---
+    (r"lm_head\.weight", "", t_id),
+    (r".*rotary_emb\.inv_freq", "", t_id),
+)
+
+
+def load_colqwen3_params(checkpoint_dir: str, strict: bool = True) -> Dict[str, Any]:
+    """Load a (Col)Qwen3-VL HF checkpoint directory into flax params."""
+    state = load_safetensors_dir(checkpoint_dir)
+    state = split_fused_qkv(normalize_keys(state, QWEN2_VL_KEY_REMAPS))
+    return convert_state_dict(state, QWEN3_VL_RULES, (), strict=strict)
+
+
+# ---------------------------------------------------------------------------
 # Idefics3 / SmolVLM family
 # ---------------------------------------------------------------------------
 

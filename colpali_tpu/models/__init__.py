@@ -25,7 +25,23 @@ from colpali_tpu.models.idefics3 import (  # noqa: F401
     Idefics3Config,
     Idefics3VisionConfig,
 )
+from colpali_tpu.models.modernvbert import (  # noqa: F401
+    BiModernVBert,
+    ColModernVBert,
+    ModernBertTextConfig,
+    ModernVBertConfig,
+    ModernVBertForMaskedLM,
+    ModernVBertModel,
+)
 from colpali_tpu.models.paligemma import BiPali, ColPali, PaliGemmaBackbone  # noqa: F401
+from colpali_tpu.models.qwen3_vl import (  # noqa: F401
+    BiQwen3,
+    ColQwen3,
+    Qwen3TextConfig,
+    Qwen3VLBackbone,
+    Qwen3VLConfig,
+    Qwen3VLVisionConfig,
+)
 from colpali_tpu.models.qwen2_5_vl import (  # noqa: F401
     BiQwen2_5,
     ColQwen2_5,
