@@ -36,10 +36,10 @@ class ColModelTrainingConfig:
     (colmodel_training.py:21-71), with jax-native members."""
 
     model: Any  # flax nn.Module (ColPali / ColQwen2 / ...)
-    params: Dict[str, Any]
-    processor: Any
     loss_func: Any
     train_datasets: list
+    params: Optional[Dict[str, Any]] = None  # None -> random init from first batch
+    processor: Any = None
     eval_dataset: Optional[Any] = None
     output_dir: str = "./models/run"
     global_batch_size: int = 8
@@ -70,7 +70,8 @@ class ColModelTraining:
 
         has_negatives = self._probe_negatives()
         self.train_step = make_train_step(config.loss_func, has_negatives=has_negatives)
-        self.state = create_train_state(config.model.apply, config.params, config.train)
+        params = config.params if config.params is not None else self._init_params()
+        self.state = create_train_state(config.model.apply, params, config.train)
 
         self.batch_sharding = None
         if config.mesh is not None:
@@ -91,6 +92,21 @@ class ColModelTraining:
     def _probe_negatives(self) -> bool:
         sample = self.config.train_datasets[0][0]
         return sample.get("neg_target") is not None
+
+    def _init_params(self) -> Dict[str, Any]:
+        """Random init from the first doc batch's shapes (used when no
+        checkpoint params are supplied, e.g. YAML-driven smoke runs)."""
+        batch = self.collator([self.config.train_datasets[0][i] for i in range(2)])
+        kwargs = {}
+        if "doc_pixel_values" in batch:
+            kwargs["pixel_values"] = jnp.asarray(batch["doc_pixel_values"])
+        variables = self.config.model.init(
+            jax.random.PRNGKey(self.config.seed),
+            jnp.asarray(batch["doc_input_ids"]),
+            jnp.asarray(batch["doc_attention_mask"]),
+            **kwargs,
+        )
+        return variables["params"]
 
     def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
         if self.batch_sharding is not None:

@@ -1,0 +1,86 @@
+"""Config system + hard-negative mining + misc utils tests."""
+
+import numpy as np
+import pytest
+
+from colpali_tpu.configs import instantiate, load_config
+from colpali_tpu.retrieval.hardneg import mine_hard_negatives
+from colpali_tpu.utils.dataset_loading import load_dummy_dataset
+from colpali_tpu.utils.testing import DummyProcessor, tiny_colpali_config
+
+
+class TestInstantiate:
+    def test_nested_targets(self):
+        node = {
+            "_target_": "colpali_tpu.losses.ColbertLoss",
+            "temperature": 0.5,
+        }
+        obj = instantiate(node)
+        assert obj.temperature == 0.5
+
+    def test_plain_values_passthrough(self):
+        assert instantiate({"a": [1, 2], "b": "x"}) == {"a": [1, 2], "b": "x"}
+
+    def test_smoke_yaml_loads(self):
+        cfg = load_config("configs/train_colpali_smoke.yaml")
+        assert cfg["global_batch_size"] == 4
+        assert cfg["model"].dim == 16
+        assert len(cfg["train_datasets"][0]) == 16
+
+    def test_bad_target_raises(self):
+        with pytest.raises((ImportError, AttributeError, ValueError)):
+            instantiate({"_target_": "nope.not.a.thing"})
+
+
+class TestHardNegativeMining:
+    def test_dense_mining(self):
+        rng = np.random.default_rng(0)
+        docs = rng.normal(size=(50, 16)).astype(np.float32)
+        gold = [3, 10, 40]
+        queries = docs[gold] + rng.normal(size=(3, 16)).astype(np.float32) * 0.01
+        out = mine_hard_negatives(queries, docs, gold, k=10)
+        assert len(out) == 3
+        for row, g in zip(out, gold):
+            assert row["gold_in_top_100"]
+            assert g not in row["negative_passages"]
+            assert len(row["negative_passages"]) == 9  # gold removed from top-10
+
+    def test_multivector_mining(self):
+        rng = np.random.default_rng(1)
+        docs = [rng.normal(size=(6, 8)).astype(np.float32) for _ in range(20)]
+        queries = [docs[2][:3].copy(), docs[7][:4].copy()]
+        out = mine_hard_negatives(queries, docs, [2, 7], k=5, multi_vector=True)
+        assert out[0]["gold_in_top_100"] and out[1]["gold_in_top_100"]
+
+
+class TestDummyPipelinePieces:
+    def test_dummy_dataset(self):
+        ds = load_dummy_dataset(n=4, image_size=16)
+        assert len(ds) == 4
+        sample = ds[0]
+        assert sample["pos_target"][0].shape == (16, 16, 3)
+
+    def test_dummy_processor_roundtrip(self):
+        proc = DummyProcessor(image_size=28)
+        t = proc.process_texts(["hello world"])
+        assert t["input_ids"].shape[0] == 1
+        im = proc.process_images([np.zeros((50, 40, 3), np.uint8)])
+        assert im["pixel_values"].shape == (1, 28, 28, 3)
+
+    def test_tiny_config_builds_model(self):
+        import jax
+        import jax.numpy as jnp
+
+        from colpali_tpu.models import ColPali
+
+        cfg = tiny_colpali_config()
+        model = ColPali(cfg, dim=8)
+        proc = DummyProcessor()
+        batch = proc.process_images([np.zeros((28, 28, 3), np.uint8)])
+        out = model.init_with_output(
+            jax.random.PRNGKey(0),
+            jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["attention_mask"]),
+            jnp.asarray(batch["pixel_values"]),
+        )[0]
+        assert out.shape == (1, 6, 8)
