@@ -74,8 +74,9 @@ def main():
                 q, acc = carry
                 scores = score_fn(q, store, scales)
                 top, _ = jax.lax.top_k(scores, 100)
-                # data dependency: next iteration's queries depend on this top-k
-                q = q * (1 + 0e-9 * top[0, 0]).astype(q.dtype)
+                # value-preserving, non-foldable dependency: blocks XLA from
+                # hoisting the scoring out of the loop
+                q = q + (top[0, 0] > 1e30).astype(q.dtype)
                 return (q, acc + top[0, 0])
 
             _, acc = jax.lax.fori_loop(0, ITERS, body, (q, jnp.float32(0)))
@@ -89,7 +90,7 @@ def main():
                 q, acc = carry
                 scores = maxsim(q.astype(jnp.float32), docs)
                 top, _ = jax.lax.top_k(scores, min(100, num_docs))
-                q = q * (1 + 0e-9 * top[0, 0]).astype(q.dtype)
+                q = q + (top[0, 0] > 1e30).astype(q.dtype)
                 return (q, acc + top[0, 0])
 
             _, acc = jax.lax.fori_loop(0, ITERS, body, (q, jnp.float32(0)))

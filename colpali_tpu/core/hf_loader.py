@@ -17,6 +17,8 @@ from __future__ import annotations
 import json
 import os
 import re
+
+import jax
 from typing import Any, Callable, Dict, Mapping, Tuple
 
 import jax.numpy as jnp
@@ -520,3 +522,40 @@ def load_colpali_params(checkpoint_dir: str, strict: bool = True) -> Dict[str, A
     """Load a (Col)PaliGemma HF checkpoint directory into flax params."""
     state = load_safetensors_dir(checkpoint_dir)
     return convert_state_dict(state, PALIGEMMA_RULES, PALIGEMMA_KEY_REMAPS, strict=strict)
+
+
+def stack_layer_params(
+    params: Dict[str, Any],
+    stack_names: Tuple[str, ...] = ("layers", "blocks"),
+) -> Dict[str, Any]:
+    """Convert unrolled ``layers_{i}/...`` subtrees into the scanned layout
+    ``layers/layer/...`` with a stacked leading axis (for models built with
+    ``scan_layers=True``). Recurses over the whole tree; idempotent on trees
+    without numbered layers."""
+    import re as _re
+
+    if not isinstance(params, dict):
+        return params
+
+    out: Dict[str, Any] = {}
+    numbered: Dict[str, Dict[int, Any]] = {}
+    for key, value in params.items():
+        m = _re.fullmatch(r"(" + "|".join(stack_names) + r")_(\d+)", key)
+        if m is not None:
+            numbered.setdefault(m.group(1), {})[int(m.group(2))] = value
+        else:
+            out[key] = stack_layer_params(value, stack_names)
+
+    for base, by_idx in numbered.items():
+        layers = [stack_layer_params(by_idx[i], stack_names) for i in range(len(by_idx))]
+        leaves_per_layer = [jax.tree_util.tree_leaves_with_path(layer) for layer in layers]
+        stacked: Dict[str, Any] = {}
+        for leaf_idx, (path_tuple, _first) in enumerate(leaves_per_layer[0]):
+            arrs = [lpl[leaf_idx][1] for lpl in leaves_per_layer]
+            node = stacked
+            parts = [str(getattr(k, "key", k)) for k in path_tuple]
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            node[parts[-1]] = jnp.stack(arrs, axis=0)
+        out[base] = {"layer": stacked}
+    return out

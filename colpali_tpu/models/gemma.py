@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from colpali_tpu.models.configs import GemmaConfig
-from colpali_tpu.models.layers import Attention, Dtype, GatedMLP, RMSNorm, rope_cos_sin
+from colpali_tpu.models.layers import Attention, Dtype, GatedMLP, RMSNorm, rope_cos_sin, scanned_stack
 
 
 class GemmaDecoderLayer(nn.Module):
@@ -60,16 +60,24 @@ class GemmaDecoder(nn.Module):
     config: GemmaConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False  # scan over layers: 1 traced layer, fast compile
+    remat: bool = False  # rematerialize layer activations in the backward pass
 
     def setup(self):
         cfg = self.config
         self.embed_tokens = nn.Embed(
             cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype
         )
-        self.layers = [
-            GemmaDecoderLayer(cfg, dtype=self.dtype, param_dtype=self.param_dtype, name=f"layers_{i}")
-            for i in range(cfg.num_hidden_layers)
-        ]
+        layer_kwargs = dict(config=cfg, dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.scan_layers:
+            self.layer_stack = scanned_stack(
+                GemmaDecoderLayer, layer_kwargs, cfg.num_hidden_layers, num_args=2, remat=self.remat
+            )(name="layers")
+        else:
+            lcls = nn.remat(GemmaDecoderLayer) if self.remat else GemmaDecoderLayer
+            self.layers = [
+                lcls(**layer_kwargs, name=f"layers_{i}") for i in range(cfg.num_hidden_layers)
+            ]
         self.norm = RMSNorm(eps=cfg.rms_norm_eps, param_dtype=self.param_dtype)
 
     def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
@@ -93,6 +101,9 @@ class GemmaDecoder(nn.Module):
         normalizer = jnp.asarray(cfg.hidden_size**0.5, dtype=self.dtype)
         x = inputs_embeds.astype(self.dtype) * normalizer
 
-        for layer in self.layers:
-            x = layer(x, attn_bias, rope)
+        if self.scan_layers:
+            x, _ = self.layer_stack(x, attn_bias, rope)
+        else:
+            for layer in self.layers:
+                x = layer(x, attn_bias, rope)
         return self.norm(x)

@@ -207,6 +207,33 @@ class MLP(nn.Module):
         return nn.Dense(x.shape[-1], dtype=self.dtype, param_dtype=self.param_dtype, name="fc2")(h)
 
 
+def scanned_stack(layer_cls, layer_kwargs: dict, num_layers: int, num_args: int, remat: bool = False):
+    """Build an ``nn.scan`` class over ``num_layers`` copies of a layer.
+
+    One traced layer instead of N: compile time and HLO size drop by
+    ~num_layers (the TPU-first choice for deep stacks). Params live at
+    ``<name>/layer/...`` with a leading stacked layer axis — use
+    :func:`colpali_tpu.core.hf_loader.stack_layer_params` to convert from the
+    unrolled ``layers_{i}`` checkpoint layout. ``remat=True`` additionally
+    wraps the layer in ``jax.checkpoint`` (the reference's
+    gradient_checkpointing_enable, colmodel_torch_training.py:44-55).
+    """
+    lcls = nn.remat(layer_cls) if remat else layer_cls
+
+    class Body(nn.Module):
+        @nn.compact
+        def __call__(self, carry, *bargs):
+            return lcls(**layer_kwargs, name="layer")(carry, *bargs), None
+
+    return nn.scan(
+        Body,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        length=num_layers,
+        in_axes=tuple(nn.broadcast for _ in range(num_args)),
+    )
+
+
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:
     """L2 normalization; with eps=0 matches torch ``x / x.norm()`` exactly
     (NaN on zero rows, like the reference); pass eps>0 for clamped variants

@@ -34,14 +34,18 @@ class PaliGemmaBackbone(nn.Module):
     config: PaliGemmaConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
-        self.vision_tower = SiglipVisionTower(cfg.vision, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.vision_tower = SiglipVisionTower(cfg.vision, dtype=self.dtype, param_dtype=self.param_dtype,
+                                              scan_layers=self.scan_layers, remat=self.remat)
         self.multi_modal_projector = nn.Dense(
             cfg.projection_dim, dtype=self.dtype, param_dtype=self.param_dtype
         )
-        self.language_model = GemmaDecoder(cfg.text, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.language_model = GemmaDecoder(cfg.text, dtype=self.dtype, param_dtype=self.param_dtype,
+                                           scan_layers=self.scan_layers, remat=self.remat)
 
     def __call__(
         self,
@@ -93,9 +97,12 @@ class ColPali(nn.Module):
     mask_non_image_embeddings: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
-        self.model = PaliGemmaBackbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = PaliGemmaBackbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype,
+                                       scan_layers=self.scan_layers, remat=self.remat)
         self.head = MultiVectorHead(dim=self.dim, dtype=self.dtype, param_dtype=self.param_dtype)
 
     def __call__(

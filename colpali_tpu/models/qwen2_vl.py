@@ -39,6 +39,7 @@ from colpali_tpu.models.layers import (
     RMSNorm,
     apply_rope,
     make_attention_bias,
+    scanned_stack,
     upcast_dtype,
 )
 
@@ -186,6 +187,8 @@ class Qwen2VisionTower(nn.Module):
     config: Qwen2VLVisionConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, patches, hpos, wpos, patch_mask):
@@ -207,10 +210,15 @@ class Qwen2VisionTower(nn.Module):
         # full attention among the image's valid patches
         attn_bias = make_attention_bias(patch_mask.astype(jnp.int32), causal=False)
 
-        for i in range(cfg.depth):
-            x = Qwen2VisionBlock(cfg, dtype=self.dtype, param_dtype=self.param_dtype, name=f"blocks_{i}")(
-                x, attn_bias, rope
-            )
+        block_kwargs = dict(config=cfg, dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.scan_layers:
+            x, _ = scanned_stack(
+                Qwen2VisionBlock, block_kwargs, cfg.depth, num_args=2, remat=self.remat
+            )(name="blocks")(x, attn_bias, rope)
+        else:
+            lcls = nn.remat(Qwen2VisionBlock) if self.remat else Qwen2VisionBlock
+            for i in range(cfg.depth):
+                x = lcls(**block_kwargs, name=f"blocks_{i}")(x, attn_bias, rope)
 
         # PatchMerger: LN -> group 4 consecutive merge-ordered patches -> MLP
         merge = cfg.spatial_merge_size**2
@@ -296,16 +304,24 @@ class Qwen2Decoder(nn.Module):
     config: Qwen2TextConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
         self.embed_tokens = nn.Embed(
             cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype
         )
-        self.layers = [
-            Qwen2DecoderLayer(cfg, dtype=self.dtype, param_dtype=self.param_dtype, name=f"layers_{i}")
-            for i in range(cfg.num_hidden_layers)
-        ]
+        layer_kwargs = dict(config=cfg, dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.scan_layers:
+            self.layer_stack = scanned_stack(
+                Qwen2DecoderLayer, layer_kwargs, cfg.num_hidden_layers, num_args=2, remat=self.remat
+            )(name="layers")
+        else:
+            lcls = nn.remat(Qwen2DecoderLayer) if self.remat else Qwen2DecoderLayer
+            self.layers = [
+                lcls(**layer_kwargs, name=f"layers_{i}") for i in range(cfg.num_hidden_layers)
+            ]
         self.norm = RMSNorm(eps=cfg.rms_norm_eps, add_unit_offset=False, param_dtype=self.param_dtype)
 
     def embed(self, input_ids):
@@ -316,8 +332,11 @@ class Qwen2Decoder(nn.Module):
         cfg = self.config
         rope = mrope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta, cfg.mrope_section)
         x = inputs_embeds.astype(self.dtype)
-        for layer in self.layers:
-            x = layer(x, attn_bias, rope)
+        if self.scan_layers:
+            x, _ = self.layer_stack(x, attn_bias, rope)
+        else:
+            for layer in self.layers:
+                x = layer(x, attn_bias, rope)
         return self.norm(x)
 
 
@@ -327,11 +346,15 @@ class Qwen2VLBackbone(nn.Module):
     config: Qwen2VLConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
-        self.visual = Qwen2VisionTower(cfg.vision, dtype=self.dtype, param_dtype=self.param_dtype)
-        self.language_model = Qwen2Decoder(cfg.text, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.visual = Qwen2VisionTower(cfg.vision, dtype=self.dtype, param_dtype=self.param_dtype,
+                                       scan_layers=self.scan_layers, remat=self.remat)
+        self.language_model = Qwen2Decoder(cfg.text, dtype=self.dtype, param_dtype=self.param_dtype,
+                                           scan_layers=self.scan_layers, remat=self.remat)
 
     def __call__(
         self,
@@ -381,9 +404,12 @@ class ColQwen2(nn.Module):
     mask_non_image_embeddings: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
-        self.model = Qwen2VLBackbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = Qwen2VLBackbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype,
+                                     scan_layers=self.scan_layers, remat=self.remat)
         self.head = MultiVectorHead(dim=self.dim, dtype=self.dtype, param_dtype=self.param_dtype)
 
     def __call__(self, input_ids, attention_mask, pixel_values=None, **vision_kwargs):

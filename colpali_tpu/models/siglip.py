@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from colpali_tpu.models.configs import SiglipVisionConfig
-from colpali_tpu.models.layers import MLP, Attention, Dtype
+from colpali_tpu.models.layers import MLP, Attention, Dtype, scanned_stack
 
 
 class SiglipEncoderLayer(nn.Module):
@@ -59,6 +59,8 @@ class SiglipVisionTower(nn.Module):
     config: SiglipVisionConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
@@ -84,8 +86,15 @@ class SiglipVisionTower(nn.Module):
         )(jnp.arange(x.shape[1])[None, :])
         x = x + pos
 
-        for i in range(cfg.num_hidden_layers):
-            x = SiglipEncoderLayer(cfg, dtype=self.dtype, param_dtype=self.param_dtype, name=f"layers_{i}")(x)
+        layer_kwargs = dict(config=cfg, dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.scan_layers:
+            x, _ = scanned_stack(
+                SiglipEncoderLayer, layer_kwargs, cfg.num_hidden_layers, num_args=0, remat=self.remat
+            )(name="layers")(x)
+        else:
+            lcls = nn.remat(SiglipEncoderLayer) if self.remat else SiglipEncoderLayer
+            for i in range(cfg.num_hidden_layers):
+                x = lcls(**layer_kwargs, name=f"layers_{i}")(x)
 
         return nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype, name="post_layernorm"
