@@ -1,0 +1,73 @@
+"""Retrieval evaluation loop: embeddings -> index -> ranked lists -> metrics.
+
+ViDoRe-style evaluation driven entirely by this package's ops (the reference
+needs the external vidore-benchmark for this). Works from precomputed
+embeddings or a (model, processor) pair.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from colpali_tpu.evaluation.metrics import mrr_at_k, ndcg_at_k, recall_at_k
+from colpali_tpu.retrieval.store import CorpusIndex
+
+
+def evaluate_retrieval(
+    query_embeddings: Sequence[np.ndarray],
+    doc_embeddings: Sequence[np.ndarray],
+    relevance: Sequence[Any],
+    k_values: Sequence[int] = (1, 5, 10, 100),
+    index_dtype: str = "bf16",
+    mesh: Optional[Any] = None,
+) -> Dict[str, float]:
+    """Score all queries against the corpus and compute ranked metrics.
+
+    Args:
+        query_embeddings / doc_embeddings: ragged multi-vector embeddings.
+        relevance: per-query gold doc ids (list) or {doc_id: gain} mapping.
+        k_values: cutoffs; reports ndcg/recall/mrr at each.
+
+    Returns:
+        {"ndcg@5": ..., "recall@10": ..., ...} averaged over queries.
+    """
+    index = CorpusIndex(doc_embeddings, dtype=index_dtype, mesh=mesh)
+    max_k = min(max(k_values), index.num_docs)
+    _, ranked = index.search(query_embeddings, k=max_k)
+
+    metrics: Dict[str, List[float]] = {}
+    for q, rel in enumerate(relevance):
+        for k in k_values:
+            metrics.setdefault(f"ndcg@{k}", []).append(ndcg_at_k(ranked[q], rel, k))
+            metrics.setdefault(f"recall@{k}", []).append(recall_at_k(ranked[q], rel, k))
+            metrics.setdefault(f"mrr@{k}", []).append(mrr_at_k(ranked[q], rel, k))
+    return {name: float(np.mean(vals)) for name, vals in metrics.items()}
+
+
+def embed_dataset(
+    model_apply: Callable,
+    variables: Any,
+    processor: Any,
+    items: Sequence[Any],
+    batch_size: int = 8,
+    is_images: bool = True,
+) -> List[np.ndarray]:
+    """Embed texts/images in batches, returning per-item unpadded embeddings.
+
+    The inference path of SURVEY.md §3.3: process -> forward -> strip padding
+    (so downstream scoring sees only real tokens).
+    """
+    import jax.numpy as jnp
+
+    out: List[np.ndarray] = []
+    for i in range(0, len(items), batch_size):
+        chunk = list(items[i : i + batch_size])
+        batch = processor.process_images(chunk) if is_images else processor.process_texts(chunk)
+        model_inputs = {k: jnp.asarray(v) for k, v in batch.items()}
+        emb = np.asarray(model_apply(variables, **model_inputs), np.float32)
+        mask = np.asarray(batch["attention_mask"]).astype(bool)
+        for row in range(emb.shape[0]):
+            out.append(emb[row][mask[row]])
+    return out
