@@ -74,10 +74,11 @@ def main():
                 q, acc = carry
                 scores = score_fn(q, store, scales)
                 top, _ = jax.lax.top_k(scores, 100)
-                # value-preserving, non-foldable dependency: blocks XLA from
-                # hoisting the scoring out of the loop
-                q = q + (top[0, 0] > 1e30).astype(q.dtype)
-                return (q, acc + top[0, 0])
+                # all rows feed the result (prevents batch-row DCE); the
+                # predicate blocks loop hoisting without changing values
+                s = jnp.mean(top)
+                q = q + (s > 1e30).astype(q.dtype)
+                return (q, acc + s)
 
             _, acc = jax.lax.fori_loop(0, ITERS, body, (q, jnp.float32(0)))
             return acc
@@ -90,8 +91,9 @@ def main():
                 q, acc = carry
                 scores = maxsim(q.astype(jnp.float32), docs)
                 top, _ = jax.lax.top_k(scores, min(100, num_docs))
-                q = q + (top[0, 0] > 1e30).astype(q.dtype)
-                return (q, acc + top[0, 0])
+                s = jnp.mean(top)
+                q = q + (s > 1e30).astype(q.dtype)
+                return (q, acc + s)
 
             _, acc = jax.lax.fori_loop(0, ITERS, body, (q, jnp.float32(0)))
             return acc

@@ -265,6 +265,45 @@ def load_colqwen3_params(checkpoint_dir: str, strict: bool = True) -> Dict[str, 
 
 
 # ---------------------------------------------------------------------------
+# Qwen2.5-Omni family (thinker = audio tower + qwen2.5 vision + qwen2 text)
+# ---------------------------------------------------------------------------
+
+
+def t_conv1d(w: Any) -> np.ndarray:
+    """torch Conv1d weight (O, I, k) -> flax kernel (k, I, O)."""
+    return _np(w).transpose(2, 1, 0)
+
+
+OMNI_AUDIO_RULES: Tuple[_RuleT, ...] = (
+    (r"(?:audio_tower\.)?conv1\.weight", "conv1/kernel", t_conv1d),
+    (r"(?:audio_tower\.)?conv1\.bias", "conv1/bias", t_id),
+    (r"(?:audio_tower\.)?conv2\.weight", "conv2/kernel", t_conv1d),
+    (r"(?:audio_tower\.)?conv2\.bias", "conv2/bias", t_id),
+    (r"(?:audio_tower\.)?layers\.(\d+)\.self_attn\.(q|k|v)_proj\.weight",
+     "layers_{i}/self_attn/{j}_proj/kernel", t_linear),
+    (r"(?:audio_tower\.)?layers\.(\d+)\.self_attn\.(q|v)_proj\.bias",
+     "layers_{i}/self_attn/{j}_proj/bias", t_id),
+    (r"(?:audio_tower\.)?layers\.(\d+)\.self_attn\.out_proj\.weight",
+     "layers_{i}/self_attn/o_proj/kernel", t_linear),
+    (r"(?:audio_tower\.)?layers\.(\d+)\.self_attn\.out_proj\.bias",
+     "layers_{i}/self_attn/o_proj/bias", t_id),
+    (r"(?:audio_tower\.)?layers\.(\d+)\.(self_attn_layer_norm|final_layer_norm)\.weight",
+     "layers_{i}/{j}/scale", t_id),
+    (r"(?:audio_tower\.)?layers\.(\d+)\.(self_attn_layer_norm|final_layer_norm)\.bias",
+     "layers_{i}/{j}/bias", t_id),
+    (r"(?:audio_tower\.)?layers\.(\d+)\.fc([12])\.weight", "layers_{i}/fc{j}/kernel", t_linear),
+    (r"(?:audio_tower\.)?layers\.(\d+)\.fc([12])\.bias", "layers_{i}/fc{j}/bias", t_id),
+    (r"(?:audio_tower\.)?ln_post\.weight", "ln_post/scale", t_id),
+    (r"(?:audio_tower\.)?ln_post\.bias", "ln_post/bias", t_id),
+    (r"(?:audio_tower\.)?proj\.weight", "proj/kernel", t_linear),
+    (r"(?:audio_tower\.)?proj\.bias", "proj/bias", t_id),
+    # generation-only artifacts
+    (r"(?:audio_tower\.)?audio_bos_eos_token\.weight", "", t_id),
+    (r"(?:audio_tower\.)?positional_embedding\.positional_embedding", "", t_id),
+)
+
+
+# ---------------------------------------------------------------------------
 # Idefics3 / SmolVLM family
 # ---------------------------------------------------------------------------
 

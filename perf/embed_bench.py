@@ -91,12 +91,13 @@ def main():
         def body(i, carry):
             acc, ids = carry
             out = model.apply(params, **{**inputs, "input_ids": ids})
-            # value-preserving but NOT algebraically-foldable dependency:
-            # XLA cannot hoist the forward out of the loop (|out| <= 1, so
-            # the predicate is always 0, but only at runtime)
-            bump = (out[0, 0, 0].astype(jnp.float32) > 1e30).astype(ids.dtype)
-            ids = ids + bump
-            return (acc + out[0, 0, 0].astype(jnp.float32), ids)
+            # Every output element must feed the result: reducing a single
+            # element would let XLA dead-code-eliminate the other batch rows
+            # (they are independent). The predicate is value-preserving but
+            # not algebraically foldable, so the loop cannot be hoisted.
+            s = jnp.mean(out.astype(jnp.float32))
+            ids = ids + (s > 1e30).astype(ids.dtype)
+            return (acc + s, ids)
 
         acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), inputs["input_ids"]))
         return acc

@@ -1,0 +1,89 @@
+"""Omni processor tests: mel extraction parity + audio batch layout."""
+
+import numpy as np
+import pytest
+
+from colpali_tpu.processors.qwen_omni import ColQwen2_5OmniProcessor, log_mel_spectrogram
+
+
+class StubTokenizer:
+    special = ["<|endoftext|>", "<|im_start|>", "<|im_end|>", "<|vision_start|>", "<|vision_end|>",
+               "<|image_pad|>", "<|AUDIO|>", "<|audio_bos|>", "<|audio_eos|>"]
+
+    def __init__(self):
+        self.vocab = {tok: i for i, tok in enumerate(self.special)}
+
+    def convert_tokens_to_ids(self, token):
+        return self.vocab.get(token, -1)
+
+    def _encode(self, text):
+        for sp in self.special:
+            text = text.replace(sp, f" {sp} ")
+        ids = []
+        for w in text.split():
+            if w not in self.vocab:
+                self.vocab[w] = len(self.vocab)
+            ids.append(self.vocab[w])
+        return ids
+
+    def __call__(self, texts, padding=None, padding_side="left", add_special_tokens=False, return_tensors=None):
+        enc = [self._encode(t) for t in texts]
+        m = max(len(e) for e in enc)
+        ids = np.zeros((len(enc), m), np.int64)
+        mask = np.zeros((len(enc), m), np.int64)
+        for i, e in enumerate(enc):
+            ids[i, m - len(e):] = e
+            mask[i, m - len(e):] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+@pytest.fixture
+def processor():
+    return ColQwen2_5OmniProcessor(StubTokenizer(), patch_size=2, merge_size=2, min_pixels=16,
+                                   max_pixels=1024, n_window=4, num_mel_bins=32)
+
+
+class TestMelExtraction:
+    def test_matches_whisper_feature_extractor(self):
+        transformers = pytest.importorskip("transformers")
+        rng = np.random.default_rng(0)
+        wav = rng.normal(size=(16000,)).astype(np.float32) * 0.1
+        fe = transformers.WhisperFeatureExtractor(
+            feature_size=128, sampling_rate=16000, hop_length=160, chunk_length=30, n_fft=400
+        )
+        hf = fe(wav, sampling_rate=16000, return_tensors="np", padding="do_not_pad",
+                do_normalize=False)["input_features"][0]
+        ours = log_mel_spectrogram(wav)
+        assert ours.shape == hf.shape
+        np.testing.assert_allclose(ours, hf, atol=1e-4)
+
+
+class TestProcessAudios:
+    def test_chunk_layout_and_token_count(self, processor):
+        rng = np.random.default_rng(1)
+        # 3201 samples -> 20 mel frames -> chunks of 8: [8, 8, 4]
+        wav = rng.normal(size=(3201,)).astype(np.float32)
+        batch = processor.process_audios([wav])
+        assert batch["audio_chunks"].shape[1] == 3
+        assert batch["audio_frame_mask"][0].sum() == 20
+        # tokens: full chunk -> 4 after-cnn -> 2; tail 4 -> 2 after-cnn -> 1
+        expected_tokens = 2 + 2 + 1
+        n_audio = (batch["input_ids"][0] == processor.audio_token_id).sum()
+        assert n_audio == expected_tokens
+
+    def test_ragged_audio_batch(self, processor):
+        rng = np.random.default_rng(2)
+        wavs = [rng.normal(size=(3201,)).astype(np.float32), rng.normal(size=(1601,)).astype(np.float32)]
+        batch = processor.process_audios(wavs)
+        assert batch["audio_chunks"].shape[0] == 2
+        assert batch["audio_frame_mask"][1].sum() == 10
+
+    def test_query_prefix(self, processor):
+        batch = processor.process_queries(["find the meeting recording"])
+        ids = batch["input_ids"][0]
+        # "Query:" prefix word must be present
+        assert processor.tokenizer.vocab.get("Query:") in ids.tolist()
+
+    def test_get_n_patches_raises(self, processor):
+        with pytest.raises(NotImplementedError):
+            processor.get_n_patches((100, 100))
