@@ -40,6 +40,12 @@ from colpali_tpu.models.qwen_omni import (  # noqa: F401
     OmniAudioConfig,
     QwenOmniConfig,
 )
+from colpali_tpu.models.qwen3_5 import (  # noqa: F401
+    BiQwen3_5,
+    ColQwen3_5,
+    Qwen35TextConfig,
+    Qwen35VLConfig,
+)
 from colpali_tpu.models.qwen3_vl import (  # noqa: F401
     BiQwen3,
     ColQwen3,
