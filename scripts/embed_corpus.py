@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Embed a directory of page images into multi-vector embeddings (.npz).
+
+The offline half of the serving path: checkpoint + images -> ragged per-page
+embeddings consumed by `scripts/serve.py` / `CorpusIndex` /
+`scripts/compute_hardnegs.py`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+FAMILIES = {
+    "colpali": ("colpali_tpu.models.ColPali", "colpali_tpu.models.PaliGemmaConfig",
+                "colpali_tpu.processors.ColPaliProcessor", "load_colpali_params"),
+    "colqwen2": ("colpali_tpu.models.ColQwen2", "colpali_tpu.models.Qwen2VLConfig",
+                 "colpali_tpu.processors.ColQwen2Processor", "load_colqwen2_params"),
+    "colqwen2_5": ("colpali_tpu.models.ColQwen2_5", "colpali_tpu.models.Qwen25VLConfig",
+                   "colpali_tpu.processors.ColQwen2_5Processor", "load_colqwen25_params"),
+}
+
+
+def _resolve(path):
+    import importlib
+
+    mod, _, attr = path.rpartition(".")
+    return getattr(importlib.import_module(mod), attr)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("family", choices=sorted(FAMILIES))
+    parser.add_argument("checkpoint_dir")
+    parser.add_argument("image_dir")
+    parser.add_argument("output", help="output .npz (keys emb_<i> + files.json alongside)")
+    parser.add_argument("--batch-size", type=int, default=8)
+    args = parser.parse_args()
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from colpali_tpu.core import hf_loader
+    from colpali_tpu.evaluation.evaluator import embed_dataset
+
+    model_path, config_path, proc_path, loader_name = FAMILIES[args.family]
+    config_cls = _resolve(config_path)
+    config = config_cls.from_hf_config(hf_loader.load_hf_config(args.checkpoint_dir))
+    model = _resolve(model_path)(config, dtype=jnp.bfloat16)
+    params = getattr(hf_loader, loader_name)(args.checkpoint_dir)
+    processor = _resolve(proc_path).from_pretrained(args.checkpoint_dir)
+
+    files = sorted(
+        f for f in os.listdir(args.image_dir) if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))
+    )
+    images = [Image.open(os.path.join(args.image_dir, f)) for f in files]
+    embeddings = embed_dataset(model.apply, {"params": params}, processor, images,
+                               batch_size=args.batch_size, is_images=True)
+
+    np.savez(args.output, **{f"emb_{i}": e for i, e in enumerate(embeddings)})
+    import json
+
+    with open(args.output + ".files.json", "w") as f:
+        json.dump(files, f)
+    print(f"Embedded {len(files)} pages -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Minimal retrieval server over a device-resident CorpusIndex.
+
+The reference has NO serving layer (SURVEY.md §1: inference is a README
+snippet); this exposes the TPU-native index over HTTP:
+
+  POST /search   {"embeddings": [[...], ...] , "k": 10}
+      -> {"doc_ids": [...], "scores": [...], "files": [...]}
+  GET  /healthz
+
+Query embeddings are produced client-side (or via scripts/api_call.py against
+an embed endpoint); the corpus comes from scripts/embed_corpus.py output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def load_corpus(path: str):
+    data = np.load(path)
+    embs = [data[k] for k in sorted(data.files, key=lambda s: int(s.split("_")[1]))]
+    try:
+        with open(path + ".files.json") as f:
+            files = json.load(f)
+    except FileNotFoundError:
+        files = [str(i) for i in range(len(embs))]
+    return embs, files
+
+
+def make_handler(index, files):
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", "num_docs": index.num_docs})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/search":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length))
+                qs = [np.asarray(e, np.float32) for e in payload["embeddings"]]
+                k = int(payload.get("k", 10))
+                scores, ids = index.search(qs, k=k)
+                self._json(200, {
+                    "doc_ids": ids.tolist(),
+                    "scores": scores.tolist(),
+                    "files": [[files[i] for i in row] for row in ids],
+                })
+            except Exception as exc:  # noqa: BLE001 — surface the error to the client
+                self._json(400, {"error": str(exc)})
+
+        def log_message(self, fmt, *fmt_args):
+            pass  # quiet
+
+    return Handler
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("corpus_npz", help="output of scripts/embed_corpus.py")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--dtype", default="int8", choices=["bf16", "int8"])
+    args = parser.parse_args()
+
+    from colpali_tpu.retrieval import CorpusIndex
+
+    embs, files = load_corpus(args.corpus_npz)
+    index = CorpusIndex(embs, dtype=args.dtype)
+    print(f"Serving {index.num_docs} docs ({index.nbytes / 2**20:.1f} MiB on device) on :{args.port}")
+    ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(index, files)).serve_forever()
+
+
+if __name__ == "__main__":
+    main()
