@@ -83,6 +83,33 @@ def patchify(
     return flat, (grid_t, grid_h, grid_w)
 
 
+def patchify_video(
+    frames_tchw: np.ndarray,
+    patch_size: int = 14,
+    temporal_patch_size: int = 2,
+    merge_size: int = 2,
+) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """Flatten normalized (T, C, H, W) video frames into merge-ordered patch
+    rows (same HF pipeline as :func:`patchify`, with grid_t = ceil(T/2))."""
+    patches = np.asarray(frames_tchw)
+    if patches.shape[0] % temporal_patch_size != 0:
+        repeats = np.repeat(
+            patches[-1][None], temporal_patch_size - patches.shape[0] % temporal_patch_size, 0
+        )
+        patches = np.concatenate([patches, repeats], axis=0)
+    channel = patches.shape[1]
+    grid_t = patches.shape[0] // temporal_patch_size
+    grid_h, grid_w = patches.shape[2] // patch_size, patches.shape[3] // patch_size
+    patches = patches.reshape(
+        grid_t, temporal_patch_size, channel,
+        grid_h // merge_size, merge_size, patch_size,
+        grid_w // merge_size, merge_size, patch_size,
+    )
+    patches = patches.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    flat = patches.reshape(grid_t * grid_h * grid_w, channel * temporal_patch_size * patch_size**2)
+    return flat, (grid_t, grid_h, grid_w)
+
+
 def vision_positions(grid_thw: Tuple[int, int, int], merge_size: int = 2) -> Tuple[np.ndarray, np.ndarray]:
     """Per-patch (h, w) grid positions in merge-block order (HF rot_pos_emb,
     modeling_qwen2_vl.py:673-701)."""

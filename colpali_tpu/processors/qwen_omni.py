@@ -136,15 +136,68 @@ class ColQwen2_5OmniProcessor(ColQwen2_5Processor):  # noqa: N801
         batch["audio_frame_mask"] = frame_mask
         return batch
 
+    video_token: str = "<|VIDEO|>"
+
     def process_videos(self, videos: Sequence[Sequence[Any]], fps: float = 1.0) -> Batch:
-        """Videos as frame lists -> the qwen2.5 vision pipeline with temporal
-        patching (frame pairs share one temporal patch)."""
-        # Temporal support: treat each frame as an image tile sequence; for
-        # round-1 the video path samples ONE representative frame per second
-        # and concatenates grids (exact multi-frame grid_t > 1 support comes
-        # with the video patchifier).
-        first_frames = [frames[0] for frames in videos]
-        batch = self.process_images(first_frames)
+        """Videos as frame lists -> qwen2.5 vision pipeline with temporal
+        patching (pairs of frames share one temporal patch, grid_t = T/2)."""
+        import jax
+        import jax.numpy as jnp
+
+        from colpali_tpu.processors.image_processing import to_rgb_array
+        from colpali_tpu.processors.qwen2_vl import patchify_video, smart_resize, vision_positions
+        from colpali_tpu.processors.qwen2_5_vl import window_ids_from_positions
+
+        flats, grids = [], []
+        for frames in videos:
+            arrs = [to_rgb_array(f).astype(np.float32) for f in frames]
+            h0, w0 = arrs[0].shape[:2]
+            h1, w1 = smart_resize(h0, w0, self.patch_size * self.merge_size, self.min_pixels, self.max_pixels)
+            norm_frames = []
+            for arr in arrs:
+                resized = np.asarray(
+                    jax.image.resize(jnp.asarray(arr), (h1, w1, 3), method="bicubic", antialias=True)
+                )
+                norm_frames.append(((resized / 255.0 - self.image_mean) / self.image_std).transpose(2, 0, 1))
+            flat, grid = patchify_video(
+                np.stack(norm_frames), self.patch_size, self.temporal_patch_size, self.merge_size
+            )
+            flats.append(flat)
+            grids.append(grid)
+
+        texts = []
+        for t, h, w in grids:
+            n_merged = t * (h // self.merge_size) * (w // self.merge_size)
+            texts.append(
+                "<|im_start|>user\n<|vision_start|>"
+                + self.video_token * n_merged
+                + "<|vision_end|>Describe the video.<|im_end|><|endoftext|>"
+            )
+        batch = self._tokenize(texts)
+
+        group = self.merge_size**2
+        p_max = ((max(f.shape[0] for f in flats) + group - 1) // group) * group
+        b = len(videos)
+        pixel_values = np.zeros((b, p_max, flats[0].shape[1]), np.float32)
+        patch_mask = np.zeros((b, p_max), bool)
+        hpos = np.zeros((b, p_max), np.int32)
+        wpos = np.zeros((b, p_max), np.int32)
+        window_id = np.full((b, p_max), -1, np.int32)
+        for i, (flat, grid) in enumerate(zip(flats, grids)):
+            n = flat.shape[0]
+            pixel_values[i, :n] = flat
+            patch_mask[i, :n] = True
+            hp, wp = vision_positions(grid, self.merge_size)
+            hpos[i, :n] = hp
+            wpos[i, :n] = wp
+            window_id[i, :n] = window_ids_from_positions(
+                hp, wp, grid, self.merge_size, self._window_patches
+            )
+        batch.update(
+            pixel_values=pixel_values, patch_mask=patch_mask, vision_hpos=hpos,
+            vision_wpos=wpos, window_id=window_id,
+            video_grid_thw=np.asarray(grids, np.int64),
+        )
         return batch
 
     def process_queries(self, texts=None, queries=None, **kwargs) -> Batch:

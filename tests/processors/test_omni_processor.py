@@ -8,7 +8,7 @@ from colpali_tpu.processors.qwen_omni import ColQwen2_5OmniProcessor, log_mel_sp
 
 class StubTokenizer:
     special = ["<|endoftext|>", "<|im_start|>", "<|im_end|>", "<|vision_start|>", "<|vision_end|>",
-               "<|image_pad|>", "<|AUDIO|>", "<|audio_bos|>", "<|audio_eos|>"]
+               "<|image_pad|>", "<|AUDIO|>", "<|audio_bos|>", "<|audio_eos|>", "<|VIDEO|>"]
 
     def __init__(self):
         self.vocab = {tok: i for i, tok in enumerate(self.special)}
@@ -87,3 +87,23 @@ class TestProcessAudios:
     def test_get_n_patches_raises(self, processor):
         with pytest.raises(NotImplementedError):
             processor.get_n_patches((100, 100))
+
+
+class TestProcessVideos:
+    def test_video_temporal_patching(self, processor):
+        rng = np.random.default_rng(3)
+        # 4 frames of 8x8 -> grid_t = 2, 4x4 patch grid
+        frames = [rng.integers(0, 255, size=(8, 8, 3), dtype=np.uint8) for _ in range(4)]
+        batch = processor.process_videos([frames])
+        t, h, w = batch["video_grid_thw"][0]
+        assert t == 2
+        n_merged = t * (h // 2) * (w // 2)
+        vid_tok = processor.tokenizer.vocab.get("<|VIDEO|>")
+        assert (batch["input_ids"][0] == vid_tok).sum() == n_merged
+        assert batch["patch_mask"][0].sum() == t * h * w
+
+    def test_odd_frame_count_padded(self, processor):
+        rng = np.random.default_rng(4)
+        frames = [rng.integers(0, 255, size=(8, 8, 3), dtype=np.uint8) for _ in range(3)]
+        batch = processor.process_videos([frames])
+        assert batch["video_grid_thw"][0][0] == 2  # 3 frames -> pad to 4 -> t=2
