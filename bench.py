@@ -18,7 +18,6 @@ Method notes:
 
 from __future__ import annotations
 
-import functools
 import json
 import time
 
@@ -38,8 +37,9 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     num_docs = 999_936 if on_tpu else 4096  # multiple of 128
 
-    from colpali_tpu.ops.maxsim_pallas import maxsim_pallas_int8_tm
+    from colpali_tpu.ops.maxsim_pallas import maxsim_pallas_int8mxu_tm
     from colpali_tpu.ops.maxsim import maxsim
+    from colpali_tpu.ops.quant import quantize_per_token
 
     rng = np.random.default_rng(0)
     # int8 corpus, token-major (Np, C, D) + per-token scales (Np, C).
@@ -66,13 +66,14 @@ def main():
     )
 
     if on_tpu:
-        score_fn = maxsim_pallas_int8_tm
-
+        # the serving configuration: full-int8 MXU kernel with per-token
+        # quantized queries (CorpusIndex's default for int8 indexes)
         @jax.jit
         def chained(q, store, scales):
             def body(i, carry):
                 q, acc = carry
-                scores = score_fn(q, store, scales)
+                q_int8, q_scales = quantize_per_token(q.astype(jnp.float32))
+                scores = maxsim_pallas_int8mxu_tm(q_int8, q_scales, store, scales)
                 top, _ = jax.lax.top_k(scores, 100)
                 # all rows feed the result (prevents batch-row DCE); the
                 # predicate blocks loop hoisting without changing values

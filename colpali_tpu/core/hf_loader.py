@@ -598,3 +598,84 @@ def stack_layer_params(
             node[parts[-1]] = jnp.stack(arrs, axis=0)
         out[base] = {"layer": stacked}
     return out
+
+
+# ---------------------------------------------------------------------------
+# Qwen3.5 / Qwen3-Next hybrid family
+# ---------------------------------------------------------------------------
+
+def t_conv1d_depthwise(w: Any) -> np.ndarray:
+    """torch depthwise Conv1d weight (C, 1, K) -> our kernel (K, C)."""
+    return _np(w)[:, 0, :].T
+
+
+QWEN35_RULES: Tuple[_RuleT, ...] = (
+    (r"language_model\.embed_tokens\.weight", "model/language_model/embed_tokens/embedding", t_id),
+    (r"language_model\.layers\.(\d+)\.(input_layernorm|post_attention_layernorm)\.weight",
+     "model/language_model/layers_{i}/{j}/weight", t_id),
+    # gated full-attention layers
+    (r"language_model\.layers\.(\d+)\.self_attn\.(q|k|v|o)_proj\.weight",
+     "model/language_model/layers_{i}/self_attn/{j}_proj/kernel", t_linear),
+    (r"language_model\.layers\.(\d+)\.self_attn\.(q|k)_norm\.weight",
+     "model/language_model/layers_{i}/self_attn/{j}_norm/weight", t_id),
+    # GatedDeltaNet linear-attention layers
+    (r"language_model\.layers\.(\d+)\.linear_attn\.in_proj_(qkvz|ba)\.weight",
+     "model/language_model/layers_{i}/linear_attn/in_proj_{j}/kernel", t_linear),
+    (r"language_model\.layers\.(\d+)\.linear_attn\.conv1d\.weight",
+     "model/language_model/layers_{i}/linear_attn/conv1d_kernel", t_conv1d_depthwise),
+    (r"language_model\.layers\.(\d+)\.linear_attn\.A_log",
+     "model/language_model/layers_{i}/linear_attn/A_log", t_id),
+    (r"language_model\.layers\.(\d+)\.linear_attn\.dt_bias",
+     "model/language_model/layers_{i}/linear_attn/dt_bias", t_id),
+    (r"language_model\.layers\.(\d+)\.linear_attn\.norm\.weight",
+     "model/language_model/layers_{i}/linear_attn/norm_weight", t_id),
+    (r"language_model\.layers\.(\d+)\.linear_attn\.out_proj\.weight",
+     "model/language_model/layers_{i}/linear_attn/out_proj/kernel", t_linear),
+    # dense MLPs
+    (r"language_model\.layers\.(\d+)\.mlp\.(gate|up|down)_proj\.weight",
+     "model/language_model/layers_{i}/mlp/{j}_proj/kernel", t_linear),
+    # MoE MLPs (router + experts + shared expert)
+    (r"language_model\.layers\.(\d+)\.mlp\.gate\.weight",
+     "model/language_model/layers_{i}/mlp/gate/kernel", t_linear),
+    (r"language_model\.layers\.(\d+)\.mlp\.shared_expert_gate\.weight",
+     "model/language_model/layers_{i}/mlp/shared_expert_gate/kernel", t_linear),
+    (r"language_model\.layers\.(\d+)\.mlp\.shared_expert\.(gate|up|down)_proj\.weight",
+     "model/language_model/layers_{i}/mlp/shared_expert/{j}_proj/kernel", t_linear),
+    (r"language_model\.norm\.weight", "model/language_model/norm/weight", t_id),
+    # retrieval head
+    (r"custom_text_proj\.weight", "head/custom_text_proj/kernel", t_linear),
+    (r"custom_text_proj\.bias", "head/custom_text_proj/bias", t_id),
+    # dropped
+    (r"lm_head\.weight", "", t_id),
+    (r".*rotary_emb\.inv_freq", "", t_id),
+) + tuple(
+    # vision tower: same layout as Qwen3-VL
+    rule for rule in QWEN3_VL_RULES if rule[0].startswith(r"visual\.")
+)
+
+
+def _expert_rules_pass(state: Mapping[str, Any]) -> Dict[str, Any]:
+    """Rename `mlp.experts.N.*` -> `mlp.experts_N.*` so the generic rules can
+    address each expert subtree."""
+    out: Dict[str, Any] = {}
+    for key, value in state.items():
+        out[re.sub(r"\.mlp\.experts\.(\d+)\.", r".mlp.__expert_\1__.", key)] = value
+    return out
+
+
+QWEN35_EXPERT_RULES: Tuple[_RuleT, ...] = (
+    (r"language_model\.layers\.(\d+)\.mlp\.__expert_(\d+)__\.gate_proj\.weight",
+     "model/language_model/layers_{i}/mlp/experts_{j}/gate_proj/kernel", t_linear),
+    (r"language_model\.layers\.(\d+)\.mlp\.__expert_(\d+)__\.up_proj\.weight",
+     "model/language_model/layers_{i}/mlp/experts_{j}/up_proj/kernel", t_linear),
+    (r"language_model\.layers\.(\d+)\.mlp\.__expert_(\d+)__\.down_proj\.weight",
+     "model/language_model/layers_{i}/mlp/experts_{j}/down_proj/kernel", t_linear),
+)
+
+
+def load_colqwen35_params(checkpoint_dir: str, strict: bool = True) -> Dict[str, Any]:
+    """Load a (Col)Qwen3.5 HF checkpoint directory into flax params."""
+    state = load_safetensors_dir(checkpoint_dir)
+    state = split_fused_qkv(normalize_keys(state, QWEN2_VL_KEY_REMAPS))
+    state = _expert_rules_pass(state)
+    return convert_state_dict(state, QWEN35_EXPERT_RULES + QWEN35_RULES, (), strict=strict)

@@ -9,7 +9,7 @@ external-corpus docid indirection and negative subsampling. Framework-free
 from __future__ import annotations
 
 import random
-from typing import Any, Dict, List, Optional, Sequence, Union
+from typing import Any, Dict, List, Optional, Sequence
 
 Document = Any  # str | PIL.Image.Image
 

@@ -233,3 +233,77 @@ def maxsim_topk_tm(
     """Top-k docs per query by MaxSim score. Returns (scores, indices)."""
     scores = maxsim_pallas_tm(query_embeddings, doc_embeddings_tm, interpret=interpret)
     return jax.lax.top_k(scores, k)
+
+
+def _maxsim_int8mxu_kernel(q_ref, qs_ref, d_ref, ds_ref, out_ref, *, tok_chunk: int, nq: int):
+    """Full-int8 MXU variant: int8 x int8 -> int32 matmuls; doc scales applied
+    to the similarity slice before the running max; query-token scales applied
+    at the final weighted row-sum (positive scales commute with the max).
+
+    Shapes (VMEM): q_ref (B*Nq, D) int8; qs_ref (B*Nq, 1) f32;
+    d_ref (Np, DOC_TILE, D) int8; ds_ref (Np, DOC_TILE) f32;
+    out_ref (B, DOC_TILE) f32.
+    """
+    bnq, dim = q_ref.shape
+    np_ = d_ref.shape[0]
+    b = bnq // nq
+    q2 = q_ref[:]
+    m = jnp.full((bnq, DOC_TILE), -jnp.inf, dtype=jnp.float32)
+    for s in range(np_ // tok_chunk):
+        dt = d_ref[s * tok_chunk : (s + 1) * tok_chunk].reshape(tok_chunk * DOC_TILE, dim)
+        sim = jax.lax.dot_general(
+            q2, dt, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        for t in range(tok_chunk):
+            ds = ds_ref[s * tok_chunk + t : s * tok_chunk + t + 1]  # (1, DOC_TILE)
+            m = jnp.maximum(m, sim[:, t * DOC_TILE : (t + 1) * DOC_TILE] * ds)
+    m = m * qs_ref[:]
+    rows = [jnp.sum(m[i * nq : (i + 1) * nq], axis=0, keepdims=True) for i in range(b)]
+    out_ref[:] = rows[0] if b == 1 else jnp.concatenate(rows, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def maxsim_pallas_int8mxu_tm(
+    query_int8: jnp.ndarray,
+    query_scales: jnp.ndarray,
+    doc_embeddings_int8_tm: jnp.ndarray,
+    doc_scales_tm: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """MaxSim with int8 MATMULS (the fastest serving path: ~1.6x the
+    dequant+bf16 kernel on v5e — 394 int8 TOPS vs 197 bf16 TFLOPs).
+
+    ``query_int8/query_scales``: per-token symmetric quantization of the
+    (B, Nq, D) queries (see ops.quant.quantize_per_token). Corpus as in
+    :func:`maxsim_pallas_int8_tm`. Adds ~1/127-per-component query
+    quantization error on top of the corpus quantization.
+    """
+    b, nq, d = query_int8.shape
+    np_, c, _ = doc_embeddings_int8_tm.shape
+    if c % DOC_TILE != 0:
+        raise ValueError(f"num docs ({c}) must be a multiple of {DOC_TILE}")
+    tok_chunk = _pick_tok_chunk(b, nq, np_)
+
+    q_flat = query_int8.reshape(b * nq, d)
+    qs_flat = query_scales.reshape(b * nq, 1).astype(jnp.float32)
+    grid_spec = pl.GridSpec(
+        grid=(c // DOC_TILE,),
+        in_specs=[
+            pl.BlockSpec((b * nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b * nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, DOC_TILE, d), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, DOC_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, DOC_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_maxsim_int8mxu_kernel, tok_chunk=tok_chunk, nq=nq),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, c), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nq * c * np_ * d,
+            bytes_accessed=query_int8.size + doc_embeddings_int8_tm.size + doc_scales_tm.size * 4 + b * c * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_flat, qs_flat, doc_embeddings_int8_tm, doc_scales_tm)

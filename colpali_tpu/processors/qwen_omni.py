@@ -13,7 +13,7 @@ pipeline (Slaney-scale filterbank, log10, max-8 clamp, (x+4)/4 scaling).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import numpy as np
 

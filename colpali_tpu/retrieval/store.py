@@ -15,7 +15,7 @@ attention occupies elsewhere".
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +26,7 @@ from colpali_tpu.ops.maxsim import maxsim
 from colpali_tpu.ops.maxsim_pallas import (
     DOC_TILE,
     maxsim_pallas_int8_tm,
+    maxsim_pallas_int8mxu_tm,
     maxsim_pallas_tm,
 )
 from colpali_tpu.ops.quant import quantize_per_token
@@ -58,10 +59,14 @@ class CorpusIndex:
         doc_tokens: Optional[int] = None,
         mesh: Optional[Mesh] = None,
         axis: str = "data",
+        quantize_queries: bool = True,
     ):
         if dtype not in ("bf16", "int8"):
             raise ValueError(f"Unsupported index dtype: {dtype}")
         self.dtype = dtype
+        # int8 indexes default to the full-int8 MXU kernel (pass False for
+        # the bf16-matmul dequant kernel: slower, no query quant error)
+        self.quantize_queries = quantize_queries
         self.mesh = mesh
         self.axis = axis
 
@@ -114,10 +119,13 @@ class CorpusIndex:
     def _score_padded(self, queries: jnp.ndarray) -> jnp.ndarray:
         """(B, Nq, D) -> (B, padded_docs) fp32 scores."""
         if _on_tpu():
-            q = queries.astype(jnp.bfloat16)
             if self.dtype == "int8":
-                return maxsim_pallas_int8_tm(q, self._store, self._scales)
-            return maxsim_pallas_tm(q, self._store)
+                if self.quantize_queries:
+                    # full-int8 MXU path (fastest; adds query quant error)
+                    q_int8, q_scales = quantize_per_token(queries.astype(jnp.float32))
+                    return maxsim_pallas_int8mxu_tm(q_int8, q_scales, self._store, self._scales)
+                return maxsim_pallas_int8_tm(queries.astype(jnp.bfloat16), self._store, self._scales)
+            return maxsim_pallas_tm(queries.astype(jnp.bfloat16), self._store)
         # CPU/GPU fallback: plain XLA maxsim over the doc-major view.
         store = self._store
         if self.dtype == "int8":

@@ -15,7 +15,7 @@ trainable memory.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Sequence
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ reference's env flag, dataset_transformation.py:9).
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List
 
 from colpali_tpu.data.dataset import ColPaliEngineDataset, Corpus
 

@@ -19,11 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_colqwen2(batch: int, patches: int, text_tokens: int):
+def build_colqwen2(batch: int, patches: int, text_tokens: int, scan: bool = False):
     from colpali_tpu.models.qwen2_vl import ColQwen2, Qwen2VLConfig
 
     config = Qwen2VLConfig()  # Qwen2-VL-2B
-    model = ColQwen2(config, dim=128, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    model = ColQwen2(config, dim=128, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, scan_layers=scan)
     n_merged = patches // 4
     s = n_merged + text_tokens
     rng = np.random.default_rng(0)
@@ -42,12 +42,12 @@ def build_colqwen2(batch: int, patches: int, text_tokens: int):
     return model, batch_inputs
 
 
-def build_colpali(batch: int, text_tokens: int = 6):
+def build_colpali(batch: int, text_tokens: int = 6, scan: bool = False):
     from colpali_tpu.models.paligemma import ColPali
     from colpali_tpu.models.configs import PaliGemmaConfig
 
     config = PaliGemmaConfig()  # PaliGemma-3B-448
-    model = ColPali(config, dim=128, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    model = ColPali(config, dim=128, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, scan_layers=scan)
     n_img = config.vision.num_patches  # 1024
     s = n_img + text_tokens
     rng = np.random.default_rng(0)
@@ -70,14 +70,15 @@ def main():
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--patches", type=int, default=768)
     parser.add_argument("--iters", type=int, default=8)
+    parser.add_argument("--scan", action="store_true", help="scan-over-layers (fast compile)")
     args = parser.parse_args()
 
     t0 = time.time()
     print(f"[{time.time()-t0:6.1f}s] building {args.model} batch={args.batch}", flush=True)
     if args.model == "colqwen2":
-        model, inputs = build_colqwen2(args.batch, args.patches, text_tokens=20)
+        model, inputs = build_colqwen2(args.batch, args.patches, text_tokens=20, scan=args.scan)
     else:
-        model, inputs = build_colpali(args.batch)
+        model, inputs = build_colpali(args.batch, scan=args.scan)
 
     print(f"[{time.time()-t0:6.1f}s] init params on device...", flush=True)
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), **inputs))()

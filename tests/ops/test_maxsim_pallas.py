@@ -67,3 +67,19 @@ class TestMaxSimPallas:
         expected = np.asarray(maxsim(jnp.asarray(q), jnp.asarray(docs)))
         # int8 quantization error on unit vectors is ~1/127 per component
         np.testing.assert_allclose(np.asarray(got), expected, rtol=0.05, atol=0.2)
+
+    def test_int8_mxu_close_to_fp(self, rng):
+        """Full-int8 MXU kernel (int8 matmuls, scales folded into max/sum)."""
+        from colpali_tpu.ops.maxsim_pallas import maxsim_pallas_int8mxu_tm
+
+        q = rng.normal(size=(2, 16, 128)).astype(np.float32)
+        docs = rng.normal(size=(128, 16, 128)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        docs /= np.linalg.norm(docs, axis=-1, keepdims=True)
+        q_int8, q_scales = quantize_per_token(jnp.asarray(q))
+        d_int8, d_scales = quantize_per_token(jnp.asarray(docs))
+        got = maxsim_pallas_int8mxu_tm(
+            q_int8, q_scales, to_token_major(d_int8), jnp.transpose(d_scales, (1, 0)), interpret=True
+        )
+        expected = np.asarray(maxsim(jnp.asarray(q), jnp.asarray(docs)))
+        np.testing.assert_allclose(np.asarray(got), expected, rtol=0.05, atol=0.3)
