@@ -119,19 +119,47 @@ class CorpusIndex:
     def _score_padded(self, queries: jnp.ndarray) -> jnp.ndarray:
         """(B, Nq, D) -> (B, padded_docs) fp32 scores."""
         if _on_tpu():
-            if self.dtype == "int8":
-                if self.quantize_queries:
-                    # full-int8 MXU path (fastest; adds query quant error)
-                    q_int8, q_scales = quantize_per_token(queries.astype(jnp.float32))
-                    return maxsim_pallas_int8mxu_tm(q_int8, q_scales, self._store, self._scales)
-                return maxsim_pallas_int8_tm(queries.astype(jnp.bfloat16), self._store, self._scales)
-            return maxsim_pallas_tm(queries.astype(jnp.bfloat16), self._store)
-        # CPU/GPU fallback: plain XLA maxsim over the doc-major view.
+            kernel = self._kernel_fn()
+            args = (queries, self._store) if self._scales is None else (queries, self._store, self._scales)
+            if self.mesh is None:
+                return kernel(*args)
+            # Multi-chip: a pallas_call is opaque to GSPMD, so shard_map it
+            # over the corpus axis — each chip scores its local doc shard;
+            # the (B, C) output stays sharded over docs for the global top-k
+            # (SURVEY.md §5: the corpus axis is this problem's long dimension).
+            from jax.experimental.shard_map import shard_map
+
+            store_specs = (P(None, self.axis, None),) if self._scales is None else (
+                P(None, self.axis, None), P(None, self.axis),
+            )
+            sharded = shard_map(
+                kernel,
+                mesh=self.mesh,
+                in_specs=(P(), *store_specs),
+                out_specs=P(None, self.axis),
+                check_rep=False,
+            )
+            return sharded(*args)
+        # CPU/GPU fallback: plain XLA maxsim over the doc-major view (GSPMD
+        # shards this automatically when a mesh is attached).
         store = self._store
         if self.dtype == "int8":
             store = store.astype(jnp.float32) * self._scales[..., None]
         docs = jnp.transpose(store, (1, 0, 2)).astype(jnp.float32)
         return maxsim(queries.astype(jnp.float32), docs)
+
+    def _kernel_fn(self):
+        """Kernel closure: (queries_f32, store[, scales]) -> (B, C) scores."""
+        if self.dtype == "int8":
+            if self.quantize_queries:
+
+                def kernel(q, store, scales):
+                    q_int8, q_scales = quantize_per_token(q.astype(jnp.float32))
+                    return maxsim_pallas_int8mxu_tm(q_int8, q_scales, store, scales)
+
+                return kernel
+            return lambda q, store, scales: maxsim_pallas_int8_tm(q.astype(jnp.bfloat16), store, scales)
+        return lambda q, store: maxsim_pallas_tm(q.astype(jnp.bfloat16), store)
 
     def score(self, query_embeddings: Union[Sequence[Array], Array]) -> np.ndarray:
         """Full score matrix ``(n_queries, num_docs)`` (reference
