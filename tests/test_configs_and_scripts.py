@@ -84,3 +84,26 @@ class TestDummyPipelinePieces:
             jnp.asarray(batch["pixel_values"]),
         )[0]
         assert out.shape == (1, 6, 8)
+
+
+class TestComputeHardnegsCLI:
+    def test_end_to_end(self, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        rng = np.random.default_rng(0)
+        docs = rng.normal(size=(30, 8)).astype(np.float32)
+        queries = docs[[3, 10]] + 0.01
+        np.savez(tmp_path / "q.npz", embeddings=queries)
+        np.savez(tmp_path / "d.npz", embeddings=docs)
+        (tmp_path / "gold.json").write_text("[3, 10]")
+        out = tmp_path / "negs.jsonl"
+        result = subprocess.run(
+            [sys.executable, "scripts/compute_hardnegs.py", str(tmp_path / "q.npz"),
+             str(tmp_path / "d.npz"), str(tmp_path / "gold.json"), str(out), "--k", "5"],
+            capture_output=True, text=True, cwd=".",
+        )
+        assert result.returncode == 0, result.stderr[-500:]
+        rows = [json.loads(line) for line in out.read_text().splitlines()]
+        assert len(rows) == 2 and all(r["gold_in_top_100"] for r in rows)
