@@ -24,7 +24,14 @@ import jax.numpy as jnp
 
 from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_embeddings
 from colpali_tpu.models.configs import DenseHeadConfig, SiglipVisionConfig
-from colpali_tpu.models.layers import Attention, Dtype, GatedMLP, RMSNorm, rope_cos_sin
+from colpali_tpu.models.layers import (
+    Attention,
+    Dtype,
+    GatedMLP,
+    RMSNorm,
+    rope_cos_sin,
+    scanned_stack,
+)
 from colpali_tpu.models.siglip import SiglipVisionTower
 
 
@@ -127,14 +134,23 @@ def gemma3_attention_bias(
 
 
 class Gemma3DecoderLayer(nn.Module):
+    """One Gemma3 block. ``is_sliding`` is a scalar bool selecting the
+    sliding-window bias + local rope vs the full-attention bias + scaled
+    global rope — passed per layer so the stack is uniform and scannable
+    (a concrete constant on the unrolled path, so XLA folds the selects)."""
+
     config: Gemma3TextConfig
-    layer_idx: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_bias, rope):
+    def __call__(self, x, is_sliding, bias_full, bias_sliding, rope_global, rope_local):
         cfg = self.config
+        attn_bias = jnp.where(is_sliding, bias_sliding, bias_full)
+        rope = (
+            jnp.where(is_sliding, rope_local[0], rope_global[0]),
+            jnp.where(is_sliding, rope_local[1], rope_global[1]),
+        )
         norm = lambda name: RMSNorm(  # noqa: E731
             eps=cfg.rms_norm_eps, param_dtype=self.param_dtype, name=name
         )
@@ -175,16 +191,30 @@ class Gemma3Decoder(nn.Module):
     config: Gemma3TextConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False  # scan over layers: 1 traced layer, fast compile
+    remat: bool = False  # rematerialize layer activations in the backward pass
 
     def setup(self):
         cfg = self.config
         self.embed_tokens = nn.Embed(
             cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype
         )
-        self.layers = [
-            Gemma3DecoderLayer(cfg, i, dtype=self.dtype, param_dtype=self.param_dtype, name=f"layers_{i}")
-            for i in range(cfg.num_hidden_layers)
-        ]
+        layer_kwargs = dict(config=cfg, dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.scan_layers:
+            # the sliding/global alternation rides along as a scanned flag
+            self.layer_stack = scanned_stack(
+                Gemma3DecoderLayer,
+                layer_kwargs,
+                cfg.num_hidden_layers,
+                num_args=5,
+                remat=self.remat,
+                scanned_args=1,
+            )(name="layers")
+        else:
+            lcls = nn.remat(Gemma3DecoderLayer) if self.remat else Gemma3DecoderLayer
+            self.layers = [
+                lcls(**layer_kwargs, name=f"layers_{i}") for i in range(cfg.num_hidden_layers)
+            ]
         self.norm = RMSNorm(eps=cfg.rms_norm_eps, param_dtype=self.param_dtype)
 
     def embed(self, input_ids):
@@ -200,13 +230,16 @@ class Gemma3Decoder(nn.Module):
         rope_local = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_local_base_freq)
 
         x = inputs_embeds.astype(self.dtype)
-        for i, layer in enumerate(self.layers):
-            sliding = cfg.layer_type(i) == "sliding_attention"
-            x = layer(
-                x,
-                attn_bias_sliding if sliding else attn_bias_full,
-                rope_local if sliding else rope_global,
+        flags = jnp.asarray(
+            [cfg.layer_type(i) == "sliding_attention" for i in range(cfg.num_hidden_layers)]
+        )
+        if self.scan_layers:
+            x, _ = self.layer_stack(
+                x, flags, attn_bias_full, attn_bias_sliding, rope_global, rope_local
             )
+        else:
+            for i, layer in enumerate(self.layers):
+                x = layer(x, flags[i], attn_bias_full, attn_bias_sliding, rope_global, rope_local)
         return self.norm(x)
 
 
@@ -216,10 +249,18 @@ class Gemma3Backbone(nn.Module):
     config: Gemma3Config
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
-        self.vision_tower = SiglipVisionTower(cfg.vision, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.vision_tower = SiglipVisionTower(
+            cfg.vision,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            scan_layers=self.scan_layers,
+            remat=self.remat,
+        )
         self.mm_soft_emb_norm = RMSNorm(eps=cfg.vision.layer_norm_eps, param_dtype=self.param_dtype)
         self.mm_input_projection = self.param(
             "mm_input_projection",
@@ -227,7 +268,13 @@ class Gemma3Backbone(nn.Module):
             (cfg.vision.hidden_size, cfg.text.hidden_size),
             self.param_dtype,
         )
-        self.language_model = Gemma3Decoder(cfg.text, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.language_model = Gemma3Decoder(
+            cfg.text,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            scan_layers=self.scan_layers,
+            remat=self.remat,
+        )
 
     def get_image_features(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
         """(B, H, W, 3) -> (B, mm_tokens_per_image, text_hidden)."""
@@ -275,9 +322,12 @@ class ColGemma3(nn.Module):
     mask_non_image_embeddings: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
-        self.model = Gemma3Backbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = Gemma3Backbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype,
+                                    scan_layers=self.scan_layers, remat=self.remat)
         self.head = MultiVectorHead(dim=self.dim, dtype=self.dtype, param_dtype=self.param_dtype)
 
     def __call__(self, input_ids, attention_mask, pixel_values=None):
@@ -298,9 +348,12 @@ class BiGemma3(nn.Module):
     embedding_dim: Optional[int] = None  # {768, 1536, 2560}
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
-        self.model = Gemma3Backbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = Gemma3Backbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype,
+                                    scan_layers=self.scan_layers, remat=self.remat)
         self.head = DenseHead(
             DenseHeadConfig(pooling_strategy=self.pooling_strategy, embedding_dim=self.embedding_dim),
             dtype=self.dtype,

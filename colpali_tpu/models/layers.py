@@ -207,7 +207,15 @@ class MLP(nn.Module):
         return nn.Dense(x.shape[-1], dtype=self.dtype, param_dtype=self.param_dtype, name="fc2")(h)
 
 
-def scanned_stack(layer_cls, layer_kwargs: dict, num_layers: int, num_args: int, remat: bool = False):
+def scanned_stack(
+    layer_cls,
+    layer_kwargs: dict,
+    num_layers: int,
+    num_args: int,
+    remat: bool = False,
+    scanned_args: int = 0,
+    collect: bool = False,
+):
     """Build an ``nn.scan`` class over ``num_layers`` copies of a layer.
 
     One traced layer instead of N: compile time and HLO size drop by
@@ -217,20 +225,31 @@ def scanned_stack(layer_cls, layer_kwargs: dict, num_layers: int, num_args: int,
     unrolled ``layers_{i}`` checkpoint layout. ``remat=True`` additionally
     wraps the layer in ``jax.checkpoint`` (the reference's
     gradient_checkpointing_enable, colmodel_torch_training.py:44-55).
+
+    The first ``scanned_args`` layer arguments (after the carry) are scanned
+    over their leading (per-layer) axis; the rest broadcast to every layer.
+    This is how heterogeneous-but-periodic stacks (Gemma3 sliding/global
+    alternation, Qwen3-VL deepstack injection) stay scannable: pass the
+    per-layer selector as a scanned input and select inside the layer.
+
+    ``collect=True`` additionally returns the per-layer outputs as the scan's
+    ys (a stacked ``(num_layers, ...)`` array) — for stacks whose intermediate
+    activations are tapped from outside (Qwen3-VL's deepstack mergers).
     """
     lcls = nn.remat(layer_cls) if remat else layer_cls
 
     class Body(nn.Module):
         @nn.compact
         def __call__(self, carry, *bargs):
-            return lcls(**layer_kwargs, name="layer")(carry, *bargs), None
+            out = lcls(**layer_kwargs, name="layer")(carry, *bargs)
+            return out, (out if collect else None)
 
     return nn.scan(
         Body,
         variable_axes={"params": 0},
         split_rngs={"params": True},
         length=num_layers,
-        in_axes=tuple(nn.broadcast for _ in range(num_args)),
+        in_axes=tuple(0 if i < scanned_args else nn.broadcast for i in range(num_args)),
     )
 
 

@@ -37,6 +37,7 @@ from colpali_tpu.models.layers import (
     GatedMLP,
     RMSNorm,
     make_attention_bias,
+    scanned_stack,
 )
 
 
@@ -252,11 +253,17 @@ class Qwen3VisionBlock(nn.Module):
 
 
 class Qwen3VisionTower(nn.Module):
-    """Returns (merged_features, deepstack_features list)."""
+    """Returns (merged_features, deepstack_features list).
+
+    With ``scan_layers=True`` the blocks run under one ``nn.scan`` that also
+    collects every layer's output, so the deepstack taps read from the
+    stacked ys instead of breaking the scan."""
 
     config: Qwen3VLVisionConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, patches, hpos, wpos, patch_mask, pos_idx, pos_weight):
@@ -280,19 +287,28 @@ class Qwen3VisionTower(nn.Module):
 
         attn_bias = make_attention_bias(patch_mask.astype(jnp.int32), causal=False)
 
-        deepstack = []
-        for i in range(cfg.depth):
-            x = Qwen3VisionBlock(cfg, dtype=self.dtype, param_dtype=self.param_dtype, name=f"blocks_{i}")(
-                x, attn_bias, rope
-            )
-            if i in cfg.deepstack_visual_indexes:
-                k = cfg.deepstack_visual_indexes.index(i)
-                deepstack.append(
-                    Qwen3VisionPatchMerger(
-                        cfg, postshuffle_norm=True, dtype=self.dtype, param_dtype=self.param_dtype,
-                        name=f"deepstack_merger_{k}",
-                    )(x)
-                )
+        block_kwargs = dict(config=cfg, dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.scan_layers:
+            stack = scanned_stack(
+                Qwen3VisionBlock, block_kwargs, cfg.depth, num_args=2,
+                remat=self.remat, collect=True,
+            )(name="blocks")
+            x, ys = stack(x, attn_bias, rope)
+            taps = [ys[i] for i in cfg.deepstack_visual_indexes]
+        else:
+            taps = []
+            for i in range(cfg.depth):
+                x = Qwen3VisionBlock(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+                                     name=f"blocks_{i}")(x, attn_bias, rope)
+                if i in cfg.deepstack_visual_indexes:
+                    taps.append(x)
+        deepstack = [
+            Qwen3VisionPatchMerger(
+                cfg, postshuffle_norm=True, dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"deepstack_merger_{k}",
+            )(tap)
+            for k, tap in enumerate(taps)
+        ]
         merged = Qwen3VisionPatchMerger(cfg, dtype=self.dtype, param_dtype=self.param_dtype, name="merger")(x)
         return merged, deepstack
 
@@ -323,12 +339,20 @@ def interleaved_mrope_cos_sin(
 
 
 class Qwen3DecoderLayer(nn.Module):
+    """One Qwen3 block + optional deepstack injection.
+
+    ``inj_stack`` is the (n_deepstack, B, S, D) tensor of image-position
+    visual features (already scattered to sequence positions); layer ``i``
+    adds slice ``i`` when ``i < n_deepstack`` (HF _deepstack_process,
+    modeling_qwen3_vl.py:876-882). Taking the slice by a clamped dynamic
+    index keeps the layer uniform, so the whole stack scans."""
+
     config: Qwen3TextConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_bias, rope):
+    def __call__(self, x, layer_idx, attn_bias, rope, inj_stack=None):
         cfg = self.config
         residual = x
         h = RMSNorm(eps=cfg.rms_norm_eps, add_unit_offset=False, param_dtype=self.param_dtype,
@@ -351,7 +375,15 @@ class Qwen3DecoderLayer(nn.Module):
                     name="post_attention_layernorm")(x)
         h = GatedMLP(intermediate_size=cfg.intermediate_size, activation="silu", dtype=self.dtype,
                      param_dtype=self.param_dtype, name="mlp")(h)
-        return residual + h
+        x = residual + h
+        if inj_stack is not None:
+            n_ds = inj_stack.shape[0]
+            i = jnp.asarray(layer_idx)  # concrete int on the unrolled path
+            inj = jax.lax.dynamic_index_in_dim(
+                inj_stack.astype(x.dtype), jnp.minimum(i, n_ds - 1), 0, keepdims=False
+            )
+            x = x + inj * (i < n_ds).astype(x.dtype)
+        return x
 
 
 class Qwen3Decoder(nn.Module):
@@ -360,15 +392,30 @@ class Qwen3Decoder(nn.Module):
     config: Qwen3TextConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False  # scan over layers: 1 traced layer, fast compile
+    remat: bool = False  # rematerialize layer activations in the backward pass
 
     def setup(self):
         cfg = self.config
         self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
                                      param_dtype=self.param_dtype)
-        self.layers = [
-            Qwen3DecoderLayer(cfg, dtype=self.dtype, param_dtype=self.param_dtype, name=f"layers_{i}")
-            for i in range(cfg.num_hidden_layers)
-        ]
+        layer_kwargs = dict(config=cfg, dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.scan_layers:
+            # the layer index is a scanned input: the deepstack injection
+            # becomes a clamped dynamic slice inside the (uniform) layer
+            self.layer_stack = scanned_stack(
+                Qwen3DecoderLayer,
+                layer_kwargs,
+                cfg.num_hidden_layers,
+                num_args=4,
+                remat=self.remat,
+                scanned_args=1,
+            )(name="layers")
+        else:
+            lcls = nn.remat(Qwen3DecoderLayer) if self.remat else Qwen3DecoderLayer
+            self.layers = [
+                lcls(**layer_kwargs, name=f"layers_{i}") for i in range(cfg.num_hidden_layers)
+            ]
         self.norm = RMSNorm(eps=cfg.rms_norm_eps, add_unit_offset=False, param_dtype=self.param_dtype)
 
     def embed(self, input_ids):
@@ -378,15 +425,26 @@ class Qwen3Decoder(nn.Module):
         cfg = self.config
         rope = interleaved_mrope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta, cfg.mrope_section)
         x = inputs_embeds.astype(self.dtype)
-        for i, layer in enumerate(self.layers):
-            x = layer(x, attn_bias, rope)
-            if deepstack is not None and i < len(deepstack):
-                # add the i-th deepstack feature at image-token positions
-                # (HF _deepstack_process, modeling_qwen3_vl.py:876-882)
-                n_img = deepstack[i].shape[1]
+
+        inj_stack = None
+        if deepstack is not None and len(deepstack) > 0:
+            # scatter each deepstack feature to its image-token positions once,
+            # outside the layer stack (HF _deepstack_process,
+            # modeling_qwen3_vl.py:876-882) -> (n_deepstack, B, S, D)
+            injs = []
+            for ds in deepstack:
+                n_img = ds.shape[1]
                 idx = jnp.clip(jnp.cumsum(image_mask, axis=1) - 1, 0, n_img - 1)
-                scattered = jnp.take_along_axis(deepstack[i].astype(x.dtype), idx[..., None], axis=1)
-                x = x + jnp.where(image_mask[..., None], scattered, 0)
+                scattered = jnp.take_along_axis(ds.astype(x.dtype), idx[..., None], axis=1)
+                injs.append(jnp.where(image_mask[..., None], scattered, 0))
+            inj_stack = jnp.stack(injs)
+
+        if self.scan_layers:
+            idxs = jnp.arange(cfg.num_hidden_layers)
+            x, _ = self.layer_stack(x, idxs, attn_bias, rope, inj_stack)
+        else:
+            for i, layer in enumerate(self.layers):
+                x = layer(x, i, attn_bias, rope, inj_stack)
         return self.norm(x)
 
 
@@ -394,11 +452,15 @@ class Qwen3VLBackbone(nn.Module):
     config: Qwen3VLConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
-        self.visual = Qwen3VisionTower(cfg.vision, dtype=self.dtype, param_dtype=self.param_dtype)
-        self.language_model = Qwen3Decoder(cfg.text, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.visual = Qwen3VisionTower(cfg.vision, dtype=self.dtype, param_dtype=self.param_dtype,
+                                       scan_layers=self.scan_layers, remat=self.remat)
+        self.language_model = Qwen3Decoder(cfg.text, dtype=self.dtype, param_dtype=self.param_dtype,
+                                           scan_layers=self.scan_layers, remat=self.remat)
 
     def __call__(
         self,
@@ -438,9 +500,12 @@ class ColQwen3(nn.Module):
     mask_non_image_embeddings: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
-        self.model = Qwen3VLBackbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = Qwen3VLBackbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype,
+                                     scan_layers=self.scan_layers, remat=self.remat)
         self.head = MultiVectorHead(dim=self.dim, dtype=self.dtype, param_dtype=self.param_dtype)
 
     def __call__(self, input_ids, attention_mask, pixel_values=None, **vision_kwargs):
@@ -458,9 +523,12 @@ class BiQwen3(nn.Module):
     pooling_strategy: str = "last"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
-        self.model = Qwen3VLBackbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = Qwen3VLBackbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype,
+                                     scan_layers=self.scan_layers, remat=self.remat)
         self.head = DenseHead(DenseHeadConfig(pooling_strategy=self.pooling_strategy),
                               dtype=self.dtype, param_dtype=self.param_dtype)
 
