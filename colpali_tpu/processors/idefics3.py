@@ -3,9 +3,10 @@
 Behavioral spec:
 - reference ColIdefics3Processor
   (/root/reference/colpali_engine/models/idefics3/colidefics3/processing_colidefics3.py)
-  delegates to HF Idefics3Processor; queries go through plain tokenization
-  with "Query: " handling upstream, and the 10x augmentation suffix uses the
-  tokenizer's special token (``<end_of_utterance>``/pad).
+  delegates to HF Idefics3Processor with ``visual_prompt_prefix =
+  "<|im_start|>User:<image>Describe the image.<end_of_utterance>\\nAssistant:"``
+  (:25); queries are tokenized RAW (no prefix wrapper, :64-78), with the
+  base 10x ``<end_of_utterance>`` augmentation suffix (:23).
 - HF Idefics3 pipeline: resize so the longest edge <= ``size.longest_edge``
   (4x512 for ColSmol), split into ceil-grid 512px sub-images + one global
   512px image (image_processing_idefics3.py:382-440), prompt layout with
@@ -58,6 +59,8 @@ class ColIdefics3Processor(BaseVisualRetrieverProcessor):
     image_token: str = "<image>"
     fake_image_token: str = "<fake_token_around_image>"
     global_img_token: str = "<global-img>"
+    prompt_prefix: str = "<|im_start|>User:"
+    prompt_suffix: str = "<end_of_utterance>\nAssistant:"
 
     def __init__(
         self,
@@ -100,9 +103,8 @@ class ColIdefics3Processor(BaseVisualRetrieverProcessor):
         init_kwargs.update(kwargs)
         return cls(tokenizer, **init_kwargs)
 
-    @property
-    def query_augmentation_token(self) -> str:
-        return self.tokenizer.pad_token
+    # reference ClassVar (processing_colidefics3.py:23)
+    query_augmentation_token: str = "<end_of_utterance>"
 
     def _split_one(self, image) -> Tuple[np.ndarray, int, int]:
         """-> (tiles (T, S, S, 3) normalized with global tile last, rows, cols)."""
@@ -155,7 +157,9 @@ class ColIdefics3Processor(BaseVisualRetrieverProcessor):
         prompts = []
         user_prompts = list(context_prompts) if context_prompts else ["Describe the image."] * len(images)
         for (tiles, rows, cols), user in zip(split, user_prompts):
-            prompts.append(f"<|im_start|>User:{self._image_prompt(rows, cols)}{user}<end_of_utterance>\n")
+            prompts.append(
+                f"{self.prompt_prefix}{self._image_prompt(rows, cols)}{user}{self.prompt_suffix}"
+            )
         batch = self._tokenize(prompts)
 
         t_max = max(t.shape[0] for t, _, _ in split)
@@ -170,7 +174,9 @@ class ColIdefics3Processor(BaseVisualRetrieverProcessor):
         return batch
 
     def process_texts(self, texts: Sequence[str]) -> Batch:
-        return self._tokenize([f"<|im_start|>Query: {t}<end_of_utterance>\n" for t in texts])
+        """Raw tokenization — the reference applies no query wrapper
+        (processing_colidefics3.py:64-78)."""
+        return self._tokenize(list(texts))
 
     def get_n_patches(self, image_size: Tuple[int, int], patch_size: Optional[int] = None) -> Tuple[int, int]:
         """Token grid of the LOCAL tiles, ceil(resized / tile) x tokens/side

@@ -54,3 +54,17 @@ class ColQwen3Processor(ColQwen2Processor):
         batch["pos_idx"] = pos_idx
         batch["pos_weight"] = pos_wgt
         return batch
+
+
+class ColQwen3_5Processor(ColQwen3Processor):  # noqa: N801 — reference naming
+    """Qwen3.5 retriever processor (reference processing_colqwen3_5.py:12-121):
+    identical pipeline to ColQwen3 — same visual prompt (:24-26), raw query
+    tokenization (:106-120), ``<|endoftext|>`` augmentation (:27) — the
+    Qwen3.5 backbone reuses the Qwen3-VL vision tower and geometry."""
+
+
+class BiQwen3_5Processor(ColQwen3_5Processor):  # noqa: N801 — reference naming
+    """Dense variant (reference processing_biqwen3_5.py:9-37)."""
+
+    def score(self, qs, ps, **kwargs) -> np.ndarray:
+        return self.score_single_vector(qs, ps)
