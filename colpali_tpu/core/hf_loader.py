@@ -654,28 +654,40 @@ QWEN35_RULES: Tuple[_RuleT, ...] = (
 )
 
 
-def _expert_rules_pass(state: Mapping[str, Any]) -> Dict[str, Any]:
-    """Rename `mlp.experts.N.*` -> `mlp.experts_N.*` so the generic rules can
-    address each expert subtree."""
-    out: Dict[str, Any] = {}
+def stack_expert_weights(state: Mapping[str, Any]) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Pop per-expert ``...mlp.experts.N.{gate,up,down}_proj.weight`` entries
+    and stack them into the (E, d_in, d_out) arrays StackedExperts expects
+    (models/qwen3_5.py). Returns (remaining_state, flax_updates) where
+    flax_updates maps path tuples like
+    ``("model", "language_model", "layers_0", "mlp", "experts", "gate_proj")``
+    to stacked arrays."""
+    pat = re.compile(r"language_model\.layers\.(\d+)\.mlp\.experts\.(\d+)\.(gate|up|down)_proj\.weight")
+    groups: Dict[Tuple[int, str], Dict[int, Any]] = {}
+    rest: Dict[str, Any] = {}
     for key, value in state.items():
-        out[re.sub(r"\.mlp\.experts\.(\d+)\.", r".mlp.__expert_\1__.", key)] = value
-    return out
-
-
-QWEN35_EXPERT_RULES: Tuple[_RuleT, ...] = (
-    (r"language_model\.layers\.(\d+)\.mlp\.__expert_(\d+)__\.gate_proj\.weight",
-     "model/language_model/layers_{i}/mlp/experts_{j}/gate_proj/kernel", t_linear),
-    (r"language_model\.layers\.(\d+)\.mlp\.__expert_(\d+)__\.up_proj\.weight",
-     "model/language_model/layers_{i}/mlp/experts_{j}/up_proj/kernel", t_linear),
-    (r"language_model\.layers\.(\d+)\.mlp\.__expert_(\d+)__\.down_proj\.weight",
-     "model/language_model/layers_{i}/mlp/experts_{j}/down_proj/kernel", t_linear),
-)
+        m = pat.fullmatch(key)
+        if m is None:
+            rest[key] = value
+        else:
+            groups.setdefault((int(m.group(1)), m.group(3)), {})[int(m.group(2))] = value
+    updates: Dict[Tuple[str, ...], Any] = {}
+    for (layer, proj), by_e in groups.items():
+        stacked = np.stack([_np(by_e[e]).T for e in range(len(by_e))])  # (E, d_in, d_out)
+        updates[
+            ("model", "language_model", f"layers_{layer}", "mlp", "experts", f"{proj}_proj")
+        ] = stacked
+    return rest, updates
 
 
 def load_colqwen35_params(checkpoint_dir: str, strict: bool = True) -> Dict[str, Any]:
     """Load a (Col)Qwen3.5 HF checkpoint directory into flax params."""
     state = load_safetensors_dir(checkpoint_dir)
     state = split_fused_qkv(normalize_keys(state, QWEN2_VL_KEY_REMAPS))
-    state = _expert_rules_pass(state)
-    return convert_state_dict(state, QWEN35_EXPERT_RULES + QWEN35_RULES, (), strict=strict)
+    state, expert_updates = stack_expert_weights(state)
+    params = convert_state_dict(state, QWEN35_RULES, (), strict=strict)
+    for path, value in expert_updates.items():
+        node = params
+        for part in path[:-1]:
+            node = node.setdefault(part, {})
+        node[path[-1]] = value
+    return params

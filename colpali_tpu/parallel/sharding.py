@@ -31,6 +31,14 @@ DEFAULT_TP_RULES: Tuple[Tuple[str, P], ...] = (
     (r".*self_attn/(q|k|v)_proj/bias", P("model")),
     (r".*self_attn/o_proj/kernel", P("model", None)),
     (r".*self_attn/o_proj/bias", P()),
+    # MoE stacked experts (models/qwen3_5.py::StackedExperts): shard the
+    # expert axis — expert parallelism; GSPMD turns the one-hot dispatch and
+    # combine einsums into all_to_all-style collectives over `model`
+    # (stacked-expert leaves have no trailing /kernel, so this cannot
+    # swallow shared_expert or dense-MLP Dense kernels)
+    (r".*experts/(gate|up|down)_proj", P("model", None, None)),
+    (r".*shared_expert/(gate|up)_proj/kernel", P(None, "model")),
+    (r".*shared_expert/down_proj/kernel", P("model", None)),
     # gated MLP: column-parallel gate/up, row-parallel down
     (r".*mlp/(gate|up)_proj/kernel", P(None, "model")),
     (r".*mlp/down_proj/kernel", P("model", None)),
