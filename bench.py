@@ -14,6 +14,13 @@ Method notes:
   block_until_ready() does not reliably block, so the kernel is called N
   times inside ONE jit with a data dependency chaining iterations; device
   time = total / N.
+- QUERY_BATCH=1 measures the latency SLA (one query's top-100 over the
+  whole corpus — HBM-bound: the corpus is read once per sweep, measured
+  ~630 GB/s of the 819 GB/s peak). Larger batches amortize the sweep
+  (B=8 costs ~20 ms, i.e. 2.5 ms/query) but are MXU-bound, not a latency
+  number.
+- The corpus lives in tile-major layout ((C/128, Np, 128, D) — one
+  contiguous block per kernel grid step), matching CorpusIndex's store.
 """
 
 from __future__ import annotations
@@ -26,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 TARGET_MS = 50.0
-QUERY_BATCH = 8  # queries scored together per corpus sweep
+QUERY_BATCH = 1  # latency config: one query batch per corpus sweep
 QUERY_TOKENS = 32
 DIM = 128
 DOC_TOKENS = 64
@@ -37,29 +44,30 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     num_docs = 999_936 if on_tpu else 4096  # multiple of 128
 
-    from colpali_tpu.ops.maxsim_pallas import maxsim_pallas_int8mxu_tm
+    from colpali_tpu.ops.maxsim_pallas import DOC_TILE, maxsim_pallas_int8mxu_tiled
     from colpali_tpu.ops.maxsim import maxsim
     from colpali_tpu.ops.quant import quantize_per_token
 
     rng = np.random.default_rng(0)
-    # int8 corpus, token-major (Np, C, D) + per-token scales (Np, C).
+    n_tiles = num_docs // DOC_TILE
+    # int8 corpus, tile-major (C/T, Np, T, D) + per-token scales (C/T, Np, T).
     # Generated ON device: pushing 8 GB through the axon host tunnel would
     # dominate the benchmark setup time.
     @jax.jit
     def make_store(key):
-        # scan token-by-token so transient buffers stay small (an int32
+        # scan tile-by-tile so transient buffers stay small (an int32
         # intermediate for the whole corpus would be 32 GB)
-        keys = jax.random.split(key, DOC_TOKENS)
+        keys = jax.random.split(key, n_tiles)
 
         def step(carry, k):
-            bits = jax.random.bits(k, (num_docs, DIM // 4), jnp.uint32)
-            return carry, jax.lax.bitcast_convert_type(bits, jnp.int8).reshape(num_docs, DIM)
+            bits = jax.random.bits(k, (DOC_TOKENS, DOC_TILE, DIM // 4), jnp.uint32)
+            return carry, jax.lax.bitcast_convert_type(bits, jnp.int8).reshape(DOC_TOKENS, DOC_TILE, DIM)
 
-        _, rows = jax.lax.scan(step, 0, keys)
-        return rows  # (DOC_TOKENS, num_docs, DIM) int8
+        _, tiles = jax.lax.scan(step, 0, keys)
+        return tiles  # (n_tiles, DOC_TOKENS, DOC_TILE, DIM) int8
 
     store = make_store(jax.random.PRNGKey(0))
-    scales = jnp.full((DOC_TOKENS, num_docs), 1.0 / (127.0 * np.sqrt(DIM)), jnp.float32)
+    scales = jnp.full((n_tiles, DOC_TOKENS, DOC_TILE), 1.0 / (127.0 * np.sqrt(DIM)), jnp.float32)
     queries = jnp.asarray(
         rng.normal(size=(QUERY_BATCH, QUERY_TOKENS, DIM)).astype(np.float32) / np.sqrt(DIM),
         dtype=jnp.bfloat16,
@@ -73,7 +81,7 @@ def main():
             def body(i, carry):
                 q, acc = carry
                 q_int8, q_scales = quantize_per_token(q.astype(jnp.float32))
-                scores = maxsim_pallas_int8mxu_tm(q_int8, q_scales, store, scales)
+                scores = maxsim_pallas_int8mxu_tiled(q_int8, q_scales, store, scales)
                 top, _ = jax.lax.top_k(scores, 100)
                 # all rows feed the result (prevents batch-row DCE); the
                 # predicate blocks loop hoisting without changing values
@@ -86,7 +94,9 @@ def main():
     else:
         @jax.jit
         def chained(q, store, scales):
-            docs = jnp.transpose(store.astype(jnp.float32) * scales[..., None], (1, 0, 2))
+            deq = store.astype(jnp.float32) * scales[..., None]
+            nt, np_, t, d = deq.shape
+            docs = jnp.transpose(deq, (0, 2, 1, 3)).reshape(nt * t, np_, d)
 
             def body(i, carry):
                 q, acc = carry

@@ -44,6 +44,30 @@ def to_token_major(doc_embeddings: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(doc_embeddings, (1, 0, 2))
 
 
+def to_tile_major(doc_embeddings_tm: jnp.ndarray) -> jnp.ndarray:
+    """(Np, C, D) token-major -> (C//DOC_TILE, Np, DOC_TILE, D) tile-major.
+
+    Token-major grid blocks slice the corpus (middle) axis, so each grid
+    step's DMA is Np separate strided (DOC_TILE, D) reads — 16 KB apiece at
+    serving shapes, which caps HBM throughput around half of peak.
+    Tile-major makes each grid step's block one contiguous read (~1 MB),
+    recovering streaming bandwidth. This is the serving-store layout."""
+    np_, c, d = doc_embeddings_tm.shape
+    if c % DOC_TILE != 0:
+        raise ValueError(f"num docs ({c}) must be a multiple of {DOC_TILE}")
+    return (
+        doc_embeddings_tm.transpose(1, 0, 2)
+        .reshape(c // DOC_TILE, DOC_TILE, np_, d)
+        .transpose(0, 2, 1, 3)
+    )
+
+
+def scales_to_tile_major(doc_scales_tm: jnp.ndarray) -> jnp.ndarray:
+    """(Np, C) per-token scales -> (C//DOC_TILE, Np, DOC_TILE) tile-major."""
+    np_, c = doc_scales_tm.shape
+    return doc_scales_tm.transpose(1, 0).reshape(c // DOC_TILE, DOC_TILE, np_).transpose(0, 2, 1)
+
+
 def _pick_tok_chunk(b: int, nq: int, np_: int) -> int:
     """Largest divisor of Np whose fp32 similarity chunk fits the budget."""
     budget = max(1, _SIM_VMEM_BUDGET // (4 * b * nq * DOC_TILE))
@@ -244,20 +268,26 @@ def _maxsim_int8mxu_kernel(q_ref, qs_ref, d_ref, ds_ref, out_ref, *, tok_chunk: 
     d_ref (Np, DOC_TILE, D) int8; ds_ref (Np, DOC_TILE) f32;
     out_ref (B, DOC_TILE) f32.
     """
-    bnq, dim = q_ref.shape
-    np_ = d_ref.shape[0]
+    _int8mxu_body(q_ref[:], qs_ref[:], lambda s: d_ref[s * tok_chunk : (s + 1) * tok_chunk],
+                  lambda r: ds_ref[r : r + 1], d_ref.shape[0], out_ref,
+                  tok_chunk=tok_chunk, nq=nq)
+
+
+def _int8mxu_body(q2, qs, load_docs, load_scale_row, np_, out_ref, *, tok_chunk: int, nq: int):
+    """Shared int8-MXU body. load_docs(s) -> (tok_chunk, DOC_TILE, D) int8;
+    load_scale_row(r) -> (1, DOC_TILE) f32 for absolute token row r."""
+    bnq, dim = q2.shape
     b = bnq // nq
-    q2 = q_ref[:]
     m = jnp.full((bnq, DOC_TILE), -jnp.inf, dtype=jnp.float32)
     for s in range(np_ // tok_chunk):
-        dt = d_ref[s * tok_chunk : (s + 1) * tok_chunk].reshape(tok_chunk * DOC_TILE, dim)
+        dt = load_docs(s).reshape(tok_chunk * DOC_TILE, dim)
         sim = jax.lax.dot_general(
             q2, dt, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
         ).astype(jnp.float32)
         for t in range(tok_chunk):
-            ds = ds_ref[s * tok_chunk + t : s * tok_chunk + t + 1]  # (1, DOC_TILE)
+            ds = load_scale_row(s * tok_chunk + t)  # (1, DOC_TILE)
             m = jnp.maximum(m, sim[:, t * DOC_TILE : (t + 1) * DOC_TILE] * ds)
-    m = m * qs_ref[:]
+    m = m * qs
     rows = [jnp.sum(m[i * nq : (i + 1) * nq], axis=0, keepdims=True) for i in range(b)]
     out_ref[:] = rows[0] if b == 1 else jnp.concatenate(rows, axis=0)
 
@@ -307,3 +337,168 @@ def maxsim_pallas_int8mxu_tm(
         ),
         interpret=interpret,
     )(q_flat, qs_flat, doc_embeddings_int8_tm, doc_scales_tm)
+
+
+# ---------------------------------------------------------------------------
+# Tile-major kernels: identical math, contiguous per-grid-step DMA (see
+# to_tile_major). These are the hot serving paths used by CorpusIndex.
+# ---------------------------------------------------------------------------
+
+
+def _maxsim_tiled_kernel(q_ref, d_ref, out_ref, *, tok_chunk: int):
+    """bf16 tile-major variant: d_ref (1, Np, DOC_TILE, D)."""
+    b, nq, dim = q_ref.shape
+    np_ = d_ref.shape[1]
+    q2 = q_ref[:].reshape(b * nq, dim)
+    out_ref[:] = _maxsim_body(
+        q2,
+        lambda s: d_ref[0, s * tok_chunk : (s + 1) * tok_chunk],
+        np_,
+        tok_chunk,
+        b,
+        nq,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def maxsim_pallas_tiled(
+    query_embeddings: jnp.ndarray,
+    doc_embeddings_tiled: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """MaxSim against a tile-major ``(C//DOC_TILE, Np, DOC_TILE, D)`` corpus
+    (see :func:`to_tile_major`). Same semantics as :func:`maxsim_pallas_tm`
+    with contiguous per-step HBM reads."""
+    b, nq, d = query_embeddings.shape
+    n_tiles, np_, _, d2 = doc_embeddings_tiled.shape
+    if d != d2:
+        raise ValueError(f"dim mismatch: queries {d} vs docs {d2}")
+    tok_chunk = _pick_tok_chunk(b, nq, np_)
+    c = n_tiles * DOC_TILE
+
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, nq, d), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, DOC_TILE, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, DOC_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_maxsim_tiled_kernel, tok_chunk=tok_chunk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, c), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nq * c * np_ * d,
+            bytes_accessed=query_embeddings.size * query_embeddings.dtype.itemsize
+            + doc_embeddings_tiled.size * doc_embeddings_tiled.dtype.itemsize
+            + b * c * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(query_embeddings, doc_embeddings_tiled)
+
+
+def _maxsim_int8_tiled_kernel(q_ref, d_ref, dscale_ref, out_ref, *, tok_chunk: int):
+    """int8-dequant tile-major variant: d_ref (1, Np, DOC_TILE, D) int8,
+    dscale_ref (1, Np, DOC_TILE) f32."""
+    b, nq, dim = q_ref.shape
+    np_ = d_ref.shape[1]
+    q2 = q_ref[:].reshape(b * nq, dim).astype(jnp.bfloat16)
+
+    def load_chunk(s):
+        d_chunk = d_ref[0, s * tok_chunk : (s + 1) * tok_chunk].astype(jnp.bfloat16)
+        scale = dscale_ref[0, s * tok_chunk : (s + 1) * tok_chunk][..., None].astype(jnp.bfloat16)
+        return d_chunk * scale
+
+    out_ref[:] = _maxsim_body(q2, load_chunk, np_, tok_chunk, b, nq)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def maxsim_pallas_int8_tiled(
+    query_embeddings: jnp.ndarray,
+    doc_embeddings_int8_tiled: jnp.ndarray,
+    doc_scales_tiled: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """int8-corpus MaxSim over the tile-major layout (bf16 matmul after
+    in-VMEM dequant; use :func:`scales_to_tile_major` for the scales)."""
+    b, nq, d = query_embeddings.shape
+    n_tiles, np_, _, _ = doc_embeddings_int8_tiled.shape
+    tok_chunk = _pick_tok_chunk(b, nq, np_)
+    c = n_tiles * DOC_TILE
+
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, nq, d), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, DOC_TILE, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, DOC_TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, DOC_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_maxsim_int8_tiled_kernel, tok_chunk=tok_chunk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, c), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nq * c * np_ * d,
+            bytes_accessed=query_embeddings.size * 2
+            + doc_embeddings_int8_tiled.size
+            + doc_scales_tiled.size * 4
+            + b * c * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(query_embeddings, doc_embeddings_int8_tiled, doc_scales_tiled)
+
+
+def _maxsim_int8mxu_tiled_kernel(q_ref, qs_ref, d_ref, ds_ref, out_ref, *, tok_chunk: int, nq: int):
+    """Full-int8 MXU tile-major variant: d_ref (1, Np, DOC_TILE, D) int8,
+    ds_ref (1, Np, DOC_TILE) f32."""
+    _int8mxu_body(q_ref[:], qs_ref[:], lambda s: d_ref[0, s * tok_chunk : (s + 1) * tok_chunk],
+                  lambda r: ds_ref[0, r : r + 1], d_ref.shape[1], out_ref,
+                  tok_chunk=tok_chunk, nq=nq)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def maxsim_pallas_int8mxu_tiled(
+    query_int8: jnp.ndarray,
+    query_scales: jnp.ndarray,
+    doc_embeddings_int8_tiled: jnp.ndarray,
+    doc_scales_tiled: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full-int8 MXU MaxSim over the tile-major layout — the headline serving
+    kernel (int8 MXU throughput + contiguous streaming reads)."""
+    b, nq, d = query_int8.shape
+    n_tiles, np_, _, _ = doc_embeddings_int8_tiled.shape
+    tok_chunk = _pick_tok_chunk(b, nq, np_)
+    c = n_tiles * DOC_TILE
+
+    q_flat = query_int8.reshape(b * nq, d)
+    qs_flat = query_scales.reshape(b * nq, 1).astype(jnp.float32)
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((b * nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b * nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, DOC_TILE, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, DOC_TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, DOC_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_maxsim_int8mxu_tiled_kernel, tok_chunk=tok_chunk, nq=nq),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, c), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nq * c * np_ * d,
+            bytes_accessed=query_int8.size
+            + doc_embeddings_int8_tiled.size
+            + doc_scales_tiled.size * 4
+            + b * c * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_flat, qs_flat, doc_embeddings_int8_tiled, doc_scales_tiled)

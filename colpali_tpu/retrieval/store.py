@@ -25,9 +25,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from colpali_tpu.ops.maxsim import maxsim
 from colpali_tpu.ops.maxsim_pallas import (
     DOC_TILE,
-    maxsim_pallas_int8_tm,
-    maxsim_pallas_int8mxu_tm,
-    maxsim_pallas_tm,
+    maxsim_pallas_int8_tiled,
+    maxsim_pallas_int8mxu_tiled,
+    maxsim_pallas_tiled,
 )
 from colpali_tpu.ops.quant import quantize_per_token
 from colpali_tpu.utils.tensor_utils import pad_sequences, round_up
@@ -95,13 +95,18 @@ class CorpusIndex:
             )
         self.padded_docs = padded_docs
 
-        token_major = padded.transpose(1, 0, 2)  # (Np, C, D)
+        # tile-major (C//DOC_TILE, Np, DOC_TILE, D): each kernel grid step
+        # reads one contiguous block (see ops.maxsim_pallas.to_tile_major)
+        tiled = (
+            padded.reshape(padded_docs // DOC_TILE, DOC_TILE, self.doc_tokens, self.dim)
+            .transpose(0, 2, 1, 3)
+        )
         if dtype == "int8":
-            q, scales = quantize_per_token(jnp.asarray(token_major))
-            self._store = self._device_put(q, P(None, axis, None))
-            self._scales = self._device_put(scales, P(None, axis))
+            q, scales = quantize_per_token(jnp.asarray(tiled))
+            self._store = self._device_put(q, P(axis, None, None, None))
+            self._scales = self._device_put(scales, P(axis, None, None))
         else:
-            self._store = self._device_put(jnp.asarray(token_major, dtype=jnp.bfloat16), P(None, axis, None))
+            self._store = self._device_put(jnp.asarray(tiled, dtype=jnp.bfloat16), P(axis, None, None, None))
             self._scales = None
 
     def _device_put(self, x: jnp.ndarray, spec: P) -> jnp.ndarray:
@@ -129,8 +134,8 @@ class CorpusIndex:
             # (SURVEY.md §5: the corpus axis is this problem's long dimension).
             from jax.experimental.shard_map import shard_map
 
-            store_specs = (P(None, self.axis, None),) if self._scales is None else (
-                P(None, self.axis, None), P(None, self.axis),
+            store_specs = (P(self.axis, None, None, None),) if self._scales is None else (
+                P(self.axis, None, None, None), P(self.axis, None, None),
             )
             sharded = shard_map(
                 kernel,
@@ -145,7 +150,8 @@ class CorpusIndex:
         store = self._store
         if self.dtype == "int8":
             store = store.astype(jnp.float32) * self._scales[..., None]
-        docs = jnp.transpose(store, (1, 0, 2)).astype(jnp.float32)
+        n_tiles, np_, t, d = store.shape
+        docs = jnp.transpose(store, (0, 2, 1, 3)).reshape(n_tiles * t, np_, d).astype(jnp.float32)
         return maxsim(queries.astype(jnp.float32), docs)
 
     def _kernel_fn(self):
@@ -155,11 +161,11 @@ class CorpusIndex:
 
                 def kernel(q, store, scales):
                     q_int8, q_scales = quantize_per_token(q.astype(jnp.float32))
-                    return maxsim_pallas_int8mxu_tm(q_int8, q_scales, store, scales)
+                    return maxsim_pallas_int8mxu_tiled(q_int8, q_scales, store, scales)
 
                 return kernel
-            return lambda q, store, scales: maxsim_pallas_int8_tm(q.astype(jnp.bfloat16), store, scales)
-        return lambda q, store: maxsim_pallas_tm(q.astype(jnp.bfloat16), store)
+            return lambda q, store, scales: maxsim_pallas_int8_tiled(q.astype(jnp.bfloat16), store, scales)
+        return lambda q, store: maxsim_pallas_tiled(q.astype(jnp.bfloat16), store)
 
     def score(self, query_embeddings: Union[Sequence[Array], Array]) -> np.ndarray:
         """Full score matrix ``(n_queries, num_docs)`` (reference
