@@ -37,7 +37,7 @@ QUERY_BATCH = 1  # latency config: one query batch per corpus sweep
 QUERY_TOKENS = 32
 DIM = 128
 DOC_TOKENS = 64
-ITERS = 10
+ITERS = 32  # amortizes the 10-40 ms axon RPC dispatch noise
 
 
 def main():
