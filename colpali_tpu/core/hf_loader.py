@@ -600,6 +600,46 @@ def stack_layer_params(
     return out
 
 
+def group_hybrid_params(params: Dict[str, Any], interval: int) -> Dict[str, Any]:
+    """Convert unrolled ``layers_{i}`` subtrees into the grouped-scan layout
+    ``layers/layer/sub_{i % interval}/...`` with a leading stacked group axis
+    (for ``HybridDecoder(scan_layers=True)`` — the Qwen3.5 hybrid stack scans
+    over one period of its linear/full-attention pattern at a time, since the
+    per-layer param trees differ within a period but repeat across periods).
+    Recurses over the whole tree; idempotent on trees without numbered
+    layers."""
+    if not isinstance(params, dict):
+        return params
+
+    out: Dict[str, Any] = {}
+    numbered: Dict[int, Any] = {}
+    for key, value in params.items():
+        m = re.fullmatch(r"layers_(\d+)", key)
+        if m is not None:
+            numbered[int(m.group(1))] = value
+        else:
+            out[key] = group_hybrid_params(value, interval)
+    if numbered:
+        n = len(numbered)
+        if n % interval:
+            raise ValueError(f"{n} layers not divisible by interval {interval}")
+        groups = [
+            {f"sub_{j}": numbered[g * interval + j] for j in range(interval)}
+            for g in range(n // interval)
+        ]
+        leaves_per_group = [jax.tree_util.tree_leaves_with_path(g) for g in groups]
+        stacked: Dict[str, Any] = {}
+        for leaf_idx, (path_tuple, _first) in enumerate(leaves_per_group[0]):
+            arrs = [lpg[leaf_idx][1] for lpg in leaves_per_group]
+            node = stacked
+            parts = [str(getattr(k, "key", k)) for k in path_tuple]
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            node[parts[-1]] = jnp.stack(arrs, axis=0)
+        out["layers"] = {"layer": stacked}
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Qwen3.5 / Qwen3-Next hybrid family
 # ---------------------------------------------------------------------------
