@@ -494,6 +494,21 @@ def split_fused_qkv(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def split_fused_wqkv(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Split ModernBERT's fused ``attn.Wqkv`` (3E, E) into q/k/v projections."""
+    out: Dict[str, Any] = {}
+    for key, value in state_dict.items():
+        m = re.fullmatch(r"(.*\.attn)\.Wqkv\.(weight|bias)", key)
+        if m is None:
+            out[key] = value
+            continue
+        arr = _np(value)
+        q, k, v = np.split(arr, 3, axis=0)
+        for name, part in (("q", q), ("k", k), ("v", v)):
+            out[f"{m.group(1)}.{name}_proj.{m.group(2)}"] = part
+    return out
+
+
 def load_colqwen2_params(checkpoint_dir: str, strict: bool = True) -> Dict[str, Any]:
     """Load a (Col)Qwen2-VL HF checkpoint directory into flax params."""
     state = load_safetensors_dir(checkpoint_dir)
@@ -638,6 +653,82 @@ def group_hybrid_params(params: Dict[str, Any], interval: int) -> Dict[str, Any]
             node[parts[-1]] = jnp.stack(arrs, axis=0)
         out["layers"] = {"layer": stacked}
     return out
+
+
+# ---------------------------------------------------------------------------
+# ModernVBERT family
+# ---------------------------------------------------------------------------
+
+_MVB_VISION = r"model\.vision_model\."
+MODERNVBERT_RULES: Tuple[_RuleT, ...] = (
+    # --- SigLIP vision tower (reference strips the SiglipModel wrapper:
+    # modeling_modernvbert.py:249-258, so keys start at model.vision_model) ---
+    (_MVB_VISION + r"embeddings\.patch_embedding\.weight",
+     "model/vision_model/patch_embedding/kernel", t_conv2d),
+    (_MVB_VISION + r"embeddings\.patch_embedding\.bias",
+     "model/vision_model/patch_embedding/bias", t_id),
+    (_MVB_VISION + r"embeddings\.position_embedding\.weight",
+     "model/vision_model/position_embedding/embedding", t_id),
+    (_MVB_VISION + r"encoder\.layers\.(\d+)\.layer_norm([12])\.weight",
+     "model/vision_model/layers_{i}/layer_norm{j}/scale", t_id),
+    (_MVB_VISION + r"encoder\.layers\.(\d+)\.layer_norm([12])\.bias",
+     "model/vision_model/layers_{i}/layer_norm{j}/bias", t_id),
+    (_MVB_VISION + r"encoder\.layers\.(\d+)\.self_attn\.(q|k|v)_proj\.weight",
+     "model/vision_model/layers_{i}/self_attn/{j}_proj/kernel", t_linear),
+    (_MVB_VISION + r"encoder\.layers\.(\d+)\.self_attn\.(q|k|v)_proj\.bias",
+     "model/vision_model/layers_{i}/self_attn/{j}_proj/bias", t_id),
+    (_MVB_VISION + r"encoder\.layers\.(\d+)\.self_attn\.out_proj\.weight",
+     "model/vision_model/layers_{i}/self_attn/o_proj/kernel", t_linear),
+    (_MVB_VISION + r"encoder\.layers\.(\d+)\.self_attn\.out_proj\.bias",
+     "model/vision_model/layers_{i}/self_attn/o_proj/bias", t_id),
+    (_MVB_VISION + r"encoder\.layers\.(\d+)\.mlp\.fc([12])\.weight",
+     "model/vision_model/layers_{i}/mlp/fc{j}/kernel", t_linear),
+    (_MVB_VISION + r"encoder\.layers\.(\d+)\.mlp\.fc([12])\.bias",
+     "model/vision_model/layers_{i}/mlp/fc{j}/bias", t_id),
+    (_MVB_VISION + r"post_layernorm\.weight", "model/vision_model/post_layernorm/scale", t_id),
+    (_MVB_VISION + r"post_layernorm\.bias", "model/vision_model/post_layernorm/bias", t_id),
+    (_MVB_VISION + r"head\..*", "", t_id),  # unused SigLIP pooling head
+    # --- connector (pixel shuffle + projection, :183-210) ---
+    (r"model\.connector\.modality_projection\.proj\.weight",
+     "model/modality_projection/kernel", t_linear),
+    # --- decoupled embeddings (:17-104; attached at text_model embeddings) ---
+    (r"model\.text_model\.embeddings\.tok_embeddings\.weight",
+     "model/embeddings/tok_embeddings/embedding", t_id),
+    (r"model\.text_model\.embeddings\.tok_embeddings\.additional_embedding\.weight",
+     "model/embeddings/additional_embedding/embedding", t_id),
+    (r"model\.text_model\.embeddings\.norm\.weight", "model/text_model/emb_norm/scale", t_id),
+    # --- ModernBERT encoder (HF modeling_modernbert.py; Wqkv pre-split) ---
+    (r"model\.text_model\.layers\.(\d+)\.attn\.(q|k|v)_proj\.weight",
+     "model/text_model/layers_{i}/attn/{j}_proj/kernel", t_linear),
+    (r"model\.text_model\.layers\.(\d+)\.attn\.Wo\.weight",
+     "model/text_model/layers_{i}/attn/o_proj/kernel", t_linear),
+    (r"model\.text_model\.layers\.(\d+)\.attn_norm\.weight",
+     "model/text_model/layers_{i}/attn_norm/scale", t_id),
+    (r"model\.text_model\.layers\.(\d+)\.mlp_norm\.weight",
+     "model/text_model/layers_{i}/mlp_norm/scale", t_id),
+    (r"model\.text_model\.layers\.(\d+)\.mlp\.W([io])\.weight",
+     "model/text_model/layers_{i}/W{j}/kernel", t_linear),
+    (r"model\.text_model\.final_norm\.weight", "model/text_model/final_norm/scale", t_id),
+    # --- retrieval head ---
+    (r"(?:model\.)?custom_text_proj\.weight", "head/custom_text_proj/kernel", t_linear),
+    (r"(?:model\.)?custom_text_proj\.bias", "head/custom_text_proj/bias", t_id),
+)
+
+
+def load_colmodernvbert_params(checkpoint_dir: str, strict: bool = True) -> Dict[str, Any]:
+    """Load a (Col)ModernVBert HF checkpoint directory into flax params.
+
+    Synthesizes ``layers_0/attn_norm/scale = ones`` — HF layer 0 uses
+    nn.Identity there; our uniform (scannable) layer keeps the param and
+    selects its output away (models/modernvbert.py::ModernBertLayer)."""
+    state = load_safetensors_dir(checkpoint_dir)
+    state = split_fused_wqkv(normalize_keys(state, PALIGEMMA_KEY_REMAPS))
+    params = convert_state_dict(state, MODERNVBERT_RULES, (), strict=strict)
+    layers = params.get("model", {}).get("text_model", {})
+    if "layers_0" in layers and "attn_norm" not in layers["layers_0"]:
+        hidden = layers["layers_0"]["mlp_norm"]["scale"].shape[0]
+        layers["layers_0"]["attn_norm"] = {"scale": np.ones(hidden, np.float32)}
+    return params
 
 
 # ---------------------------------------------------------------------------

@@ -129,20 +129,35 @@ class DecoupledEmbed(nn.Module):
 
 
 class ModernBertLayer(nn.Module):
+    """One ModernBERT block. ``layer_idx`` selects the global/local bias+rope
+    pair (global every ``global_attn_every_n_layers``) and bypasses
+    ``attn_norm`` for layer 0 (HF uses nn.Identity there) — passed per layer
+    so the stack is uniform and scannable. The attn_norm PARAM exists for
+    every layer (synthesize ``scale=ones`` for layer 0 when converting HF
+    checkpoints; its output is selected away, so the value is irrelevant).
+    On the unrolled path ``layer_idx`` is concrete and XLA folds the
+    selects."""
+
     config: ModernBertTextConfig
-    layer_id: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_bias, rope):
+    def __call__(self, x, layer_idx, bias_global, bias_local, rope_global, rope_local):
         cfg = self.config
+        i = jnp.asarray(layer_idx)
+        is_global = (i % cfg.global_attn_every_n_layers) == 0
+        attn_bias = jnp.where(is_global, bias_global, bias_local)
+        rope = (
+            jnp.where(is_global, rope_global[0], rope_local[0]),
+            jnp.where(is_global, rope_global[1], rope_local[1]),
+        )
         ln = lambda name: nn.LayerNorm(  # noqa: E731
             epsilon=cfg.norm_eps, use_bias=False, dtype=self.dtype,
             param_dtype=self.param_dtype, name=name,
         )
         residual = x
-        h = x if self.layer_id == 0 else ln("attn_norm")(x)  # layer 0: Identity
+        h = jnp.where(i == 0, x, ln("attn_norm")(x))  # layer 0: Identity
         h = Attention(
             num_heads=cfg.num_attention_heads,
             head_dim=cfg.head_dim,
@@ -169,6 +184,8 @@ class ModernBertEncoder(nn.Module):
     config: ModernBertTextConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False  # scan over layers: 1 traced layer, fast compile
+    remat: bool = False  # rematerialize layer activations in the backward pass
 
     @nn.compact
     def __call__(self, inputs_embeds, attention_mask):
@@ -191,13 +208,22 @@ class ModernBertEncoder(nn.Module):
         rope_global = rope_cos_sin(positions, cfg.head_dim, cfg.global_rope_theta)
         rope_local = rope_cos_sin(positions, cfg.head_dim, cfg.local_rope_theta)
 
-        for i in range(cfg.num_hidden_layers):
-            is_global = i % cfg.global_attn_every_n_layers == 0
-            x = ModernBertLayer(cfg, i, dtype=self.dtype, param_dtype=self.param_dtype, name=f"layers_{i}")(
-                x,
-                global_bias if is_global else local_bias,
-                rope_global if is_global else rope_local,
-            )
+        layer_kwargs = dict(config=cfg, dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.scan_layers:
+            from colpali_tpu.models.layers import scanned_stack
+
+            stack = scanned_stack(
+                ModernBertLayer, layer_kwargs, cfg.num_hidden_layers,
+                num_args=5, remat=self.remat, scanned_args=1,
+            )(name="layers")
+            x, _ = stack(x, jnp.arange(cfg.num_hidden_layers), global_bias, local_bias,
+                         rope_global, rope_local)
+        else:
+            lcls = nn.remat(ModernBertLayer) if self.remat else ModernBertLayer
+            for i in range(cfg.num_hidden_layers):
+                x = lcls(**layer_kwargs, name=f"layers_{i}")(
+                    x, i, global_bias, local_bias, rope_global, rope_local
+                )
         return nn.LayerNorm(epsilon=cfg.norm_eps, use_bias=False, dtype=self.dtype,
                             param_dtype=self.param_dtype, name="final_norm")(x)
 
@@ -208,10 +234,13 @@ class ModernVBertModel(nn.Module):
     config: ModernVBertConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
-        self.vision_model = SiglipVisionTower(cfg.vision, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.vision_model = SiglipVisionTower(cfg.vision, dtype=self.dtype, param_dtype=self.param_dtype,
+                                              scan_layers=self.scan_layers, remat=self.remat)
         self.modality_projection = nn.Dense(
             cfg.text.hidden_size, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype
         )
@@ -219,7 +248,8 @@ class ModernVBertModel(nn.Module):
             cfg.text.vocab_size, cfg.additional_vocab_size, cfg.text.hidden_size,
             dtype=self.dtype, param_dtype=self.param_dtype,
         )
-        self.text_model = ModernBertEncoder(cfg.text, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.text_model = ModernBertEncoder(cfg.text, dtype=self.dtype, param_dtype=self.param_dtype,
+                                            scan_layers=self.scan_layers, remat=self.remat)
 
     def __call__(
         self,
@@ -253,9 +283,12 @@ class ColModernVBert(nn.Module):
     mask_non_image_embeddings: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
-        self.model = ModernVBertModel(self.config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = ModernVBertModel(self.config, dtype=self.dtype, param_dtype=self.param_dtype,
+                                      scan_layers=self.scan_layers, remat=self.remat)
         self.head = MultiVectorHead(dim=self.dim, norm_eps=1e-12, dtype=self.dtype,
                                     param_dtype=self.param_dtype)
 
@@ -275,9 +308,12 @@ class BiModernVBert(nn.Module):
     pooling_strategy: str = "mean"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
-        self.model = ModernVBertModel(self.config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = ModernVBertModel(self.config, dtype=self.dtype, param_dtype=self.param_dtype,
+                                      scan_layers=self.scan_layers, remat=self.remat)
         self.head = DenseHead(
             DenseHeadConfig(pooling_strategy=self.pooling_strategy),
             dtype=self.dtype,
@@ -297,10 +333,13 @@ class ModernVBertForMaskedLM(nn.Module):
     config: ModernVBertConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
-        self.model = ModernVBertModel(cfg, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = ModernVBertModel(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+                                      scan_layers=self.scan_layers, remat=self.remat)
         self.head_dense = nn.Dense(cfg.text.hidden_size, use_bias=False, dtype=self.dtype,
                                    param_dtype=self.param_dtype)
         self.head_norm = nn.LayerNorm(epsilon=cfg.text.norm_eps, use_bias=False, dtype=self.dtype,

@@ -68,8 +68,12 @@ def _convert_modernbert(hf) -> dict:
             "Wi": {"kernel": sd[f"layers.{i}.mlp.Wi.weight"].T},
             "Wo": {"kernel": sd[f"layers.{i}.mlp.Wo.weight"].T},
         }
-        if i > 0:
-            layer["attn_norm"] = {"scale": sd[f"layers.{i}.attn_norm.weight"]}
+        # layer 0 has no attn_norm weight in HF (nn.Identity); our uniform
+        # (scannable) layer keeps the param and selects its output away —
+        # synthesize ones (value irrelevant)
+        layer["attn_norm"] = {
+            "scale": sd[f"layers.{i}.attn_norm.weight"] if i > 0 else np.ones(h, np.float32)
+        }
         params[f"layers_{i}"] = layer
     return params, sd["embeddings.tok_embeddings.weight"]
 
@@ -171,3 +175,80 @@ class TestModernVBertComposition:
         v = mlm.init(jax.random.PRNGKey(0), jnp.asarray(input_ids), jnp.asarray(attention_mask))
         logits = np.asarray(mlm.apply(v, jnp.asarray(input_ids), jnp.asarray(attention_mask)))
         assert logits.shape == (2, 6, cfg.text.vocab_size + cfg.additional_vocab_size)
+
+
+class TestModernVBertLoader:
+    def test_rules_convert_reference_layout(self, tiny_vbert_config):
+        """Synthesize a state dict in the reference checkpoint layout
+        (modeling_modernvbert.py module names) and convert: the params must
+        drive ColModernVBert, with layer-0 attn_norm synthesized."""
+        from colpali_tpu.core.hf_loader import (
+            MODERNVBERT_RULES,
+            PALIGEMMA_KEY_REMAPS,
+            convert_state_dict,
+            normalize_keys,
+            split_fused_wqkv,
+        )
+        from colpali_tpu.models.modernvbert import ColModernVBert
+
+        cfg = tiny_vbert_config
+        rng = np.random.default_rng(0)
+        v, t = cfg.vision, cfg.text
+        w = lambda *shape: rng.normal(size=shape).astype(np.float32) * 0.02  # noqa: E731
+        sd = {
+            "model.vision_model.embeddings.patch_embedding.weight": w(v.hidden_size, 3, 4, 4),
+            "model.vision_model.embeddings.patch_embedding.bias": w(v.hidden_size),
+            "model.vision_model.embeddings.position_embedding.weight": w(16, v.hidden_size),
+            "model.vision_model.post_layernorm.weight": w(v.hidden_size),
+            "model.vision_model.post_layernorm.bias": w(v.hidden_size),
+            "model.connector.modality_projection.proj.weight": w(
+                t.hidden_size, v.hidden_size * cfg.pixel_shuffle_factor**2),
+            "model.text_model.embeddings.tok_embeddings.weight": w(t.vocab_size, t.hidden_size),
+            "model.text_model.embeddings.tok_embeddings.additional_embedding.weight": w(
+                cfg.additional_vocab_size, t.hidden_size),
+            "model.text_model.embeddings.norm.weight": w(t.hidden_size),
+            "model.text_model.final_norm.weight": w(t.hidden_size),
+            "custom_text_proj.weight": w(8, t.hidden_size),
+            "custom_text_proj.bias": w(8),
+        }
+        for i in range(v.num_hidden_layers):
+            pre = f"model.vision_model.encoder.layers.{i}"
+            for j in (1, 2):
+                sd[f"{pre}.layer_norm{j}.weight"] = w(v.hidden_size)
+                sd[f"{pre}.layer_norm{j}.bias"] = w(v.hidden_size)
+            for p in ("q", "k", "v"):
+                sd[f"{pre}.self_attn.{p}_proj.weight"] = w(v.hidden_size, v.hidden_size)
+                sd[f"{pre}.self_attn.{p}_proj.bias"] = w(v.hidden_size)
+            sd[f"{pre}.self_attn.out_proj.weight"] = w(v.hidden_size, v.hidden_size)
+            sd[f"{pre}.self_attn.out_proj.bias"] = w(v.hidden_size)
+            sd[f"{pre}.mlp.fc1.weight"] = w(v.intermediate_size, v.hidden_size)
+            sd[f"{pre}.mlp.fc1.bias"] = w(v.intermediate_size)
+            sd[f"{pre}.mlp.fc2.weight"] = w(v.hidden_size, v.intermediate_size)
+            sd[f"{pre}.mlp.fc2.bias"] = w(v.hidden_size)
+        for i in range(t.num_hidden_layers):
+            pre = f"model.text_model.layers.{i}"
+            sd[f"{pre}.attn.Wqkv.weight"] = w(3 * t.hidden_size, t.hidden_size)
+            sd[f"{pre}.attn.Wo.weight"] = w(t.hidden_size, t.hidden_size)
+            sd[f"{pre}.mlp_norm.weight"] = w(t.hidden_size)
+            sd[f"{pre}.mlp.Wi.weight"] = w(2 * t.intermediate_size, t.hidden_size)
+            sd[f"{pre}.mlp.Wo.weight"] = w(t.hidden_size, t.intermediate_size)
+            if i > 0:
+                sd[f"{pre}.attn_norm.weight"] = w(t.hidden_size)
+
+        state = split_fused_wqkv(normalize_keys(sd, PALIGEMMA_KEY_REMAPS))
+        params = convert_state_dict(state, MODERNVBERT_RULES, ())
+        # loader-level synthesis of the layer-0 identity norm
+        layers = params["model"]["text_model"]
+        assert "attn_norm" not in layers["layers_0"]
+        layers["layers_0"]["attn_norm"] = {"scale": np.ones(t.hidden_size, np.float32)}
+
+        model = ColModernVBert(cfg, dim=8)
+        n_img = cfg.image_seq_len
+        ids = rng.integers(1, 50, size=(1, n_img + 3)).astype(np.int32)
+        ids[0, :n_img] = cfg.image_token_id
+        out = model.apply(
+            {"params": params}, jnp.asarray(ids), jnp.ones_like(jnp.asarray(ids)),
+            jnp.asarray(rng.normal(size=(1, 1, 16, 16, 3)).astype(np.float32)),
+        )
+        assert out.shape == (1, n_img + 3, 8)
+        assert np.isfinite(np.asarray(out, np.float32)).all()
