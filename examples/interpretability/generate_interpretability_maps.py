@@ -1,0 +1,138 @@
+"""End-to-end similarity-map demo (reference
+examples/interpretability/*/generate_interpretability_maps.py): embed a page
+and a query with a Col* model, compute per-query-token similarity maps, and
+save heatmap overlays as PNGs.
+
+Runs hermetically by default (tiny random ColPali + synthetic page) so the
+pipeline is demonstrable without checkpoints; pass ``--checkpoint`` for a
+real model.
+
+Usage:
+    python examples/interpretability/generate_interpretability_maps.py out/
+    python examples/interpretability/generate_interpretability_maps.py out/ \
+        --checkpoint ./checkpoints/colpali-v1.2 --image page.png \
+        --query "quarterly revenue"
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import numpy as np
+
+
+def _tiny_demo_inputs():
+    """Hermetic: tiny random ColPali + a structured synthetic page."""
+    import jax.numpy as jnp
+
+    from colpali_tpu.models import ColPali
+    from colpali_tpu.utils.testing import DUMMY_IMAGE_TOKEN_ID, DummyProcessor, tiny_colpali_config
+
+    config = tiny_colpali_config()
+    model = ColPali(config, dim=16)
+    processor = DummyProcessor(image_size=config.vision.image_size)
+
+    rng = np.random.default_rng(0)
+    page = np.full((112, 112, 3), 245, np.uint8)
+    page[20:40, 10:100] = (40, 40, 180)  # a "title bar"
+    page[60:100, 10:55] = (200, 60, 40)  # a "figure"
+
+    batch_doc = processor.process_images([page])
+    batch_query = processor.process_queries(queries=["where is the figure?"])
+
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch_doc["input_ids"]),
+        jnp.asarray(batch_doc["attention_mask"]),
+        jnp.asarray(batch_doc["pixel_values"]),
+    )
+
+    def embed(batch):
+        return np.asarray(
+            model.apply(
+                variables,
+                jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["attention_mask"]),
+                jnp.asarray(batch["pixel_values"]) if "pixel_values" in batch else None,
+            )
+        )
+
+    side = config.vision.image_size // config.vision.patch_size
+    image_mask = np.asarray(batch_doc["input_ids"] == DUMMY_IMAGE_TOKEN_ID)
+    return embed(batch_doc), embed(batch_query), (side, side), image_mask, page
+
+
+def _checkpoint_inputs(checkpoint: str, image_path: str, query: str):
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from colpali_tpu.core.hf_loader import load_colpali_params
+    from colpali_tpu.models import ColPali, PaliGemmaConfig
+    from colpali_tpu.processors import ColPaliProcessor
+
+    processor = ColPaliProcessor.from_pretrained(checkpoint)
+    params = load_colpali_params(checkpoint)
+    model = ColPali(PaliGemmaConfig(), dim=128, dtype=jnp.bfloat16)
+    page = Image.open(image_path).convert("RGB")
+
+    batch_doc = processor.process_images([page])
+    batch_query = processor.process_queries(queries=[query])
+
+    def embed(batch):
+        return np.asarray(
+            model.apply(
+                {"params": params},
+                jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["attention_mask"]),
+                jnp.asarray(batch["pixel_values"]) if "pixel_values" in batch else None,
+            ),
+            dtype=np.float32,
+        )
+
+    n_patches = processor.get_n_patches((page.height, page.width))
+    image_mask = processor.get_image_mask(batch_doc)
+    return embed(batch_doc), embed(batch_query), n_patches, image_mask, np.asarray(page)
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("output_dir")
+    parser.add_argument("--checkpoint", default=None, help="ColPali checkpoint dir (default: tiny random demo)")
+    parser.add_argument("--image", default=None, help="page image (required with --checkpoint)")
+    parser.add_argument("--query", default="where is the figure?")
+    parser.add_argument("--max-tokens", type=int, default=4, help="max query tokens to plot")
+    args = parser.parse_args()
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from colpali_tpu.interpretability import (
+        get_similarity_maps_from_embeddings,
+        plot_similarity_map,
+    )
+
+    if args.checkpoint:
+        doc_emb, q_emb, n_patches, image_mask, page = _checkpoint_inputs(
+            args.checkpoint, args.image, args.query
+        )
+    else:
+        doc_emb, q_emb, n_patches, image_mask, page = _tiny_demo_inputs()
+
+    maps = get_similarity_maps_from_embeddings(doc_emb, q_emb, n_patches, image_mask)[0]
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for tok in range(min(args.max_tokens, maps.shape[0])):
+        fig, _ = plot_similarity_map(page, maps[tok])
+        path = out / f"similarity_map_token{tok}.png"
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+        print(f"wrote {path} (map max={maps[tok].max():.3f})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

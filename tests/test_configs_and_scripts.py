@@ -107,3 +107,53 @@ class TestComputeHardnegsCLI:
         assert result.returncode == 0, result.stderr[-500:]
         rows = [json.loads(line) for line in out.read_text().splitlines()]
         assert len(rows) == 2 and all(r["gold_in_top_100"] for r in rows)
+
+
+class TestInterpretabilityExample:
+    def test_end_to_end(self, tmp_path):
+        import subprocess
+        import sys
+
+        result = subprocess.run(
+            [sys.executable, "examples/interpretability/generate_interpretability_maps.py",
+             str(tmp_path), "--max-tokens", "2"],
+            capture_output=True, text=True, cwd=".",
+        )
+        assert result.returncode == 0, result.stderr[-500:]
+        pngs = sorted(tmp_path.glob("*.png"))
+        assert len(pngs) == 2 and all(p.stat().st_size > 1000 for p in pngs)
+
+
+class TestNewTrainingConfigs:
+    def test_all_yaml_targets_resolve(self):
+        """Every _target_ in the family training configs must resolve to a
+        real attribute (guards against renames breaking the recipes)."""
+        import importlib
+        import pathlib
+
+        import yaml
+
+        def resolve(t):
+            parts = t.split(".")
+            for split in range(len(parts), 0, -1):
+                try:
+                    obj = importlib.import_module(".".join(parts[:split]))
+                    for a in parts[split:]:
+                        obj = getattr(obj, a)
+                    return obj
+                except (ImportError, AttributeError):
+                    continue
+            raise AssertionError(f"cannot resolve {t}")
+
+        def walk(node):
+            if isinstance(node, dict):
+                if "_target_" in node:
+                    resolve(node["_target_"])
+                for v in node.values():
+                    walk(v)
+            elif isinstance(node, list):
+                for v in node:
+                    walk(v)
+
+        for f in pathlib.Path("configs").glob("*.yaml"):
+            walk(yaml.safe_load(f.read_text()))
