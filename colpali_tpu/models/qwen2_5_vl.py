@@ -31,7 +31,6 @@ from colpali_tpu.models.layers import (
     ACTIVATIONS,
     Attention,
     Dtype,
-    GatedMLP,
     RMSNorm,
     make_attention_bias,
 )

@@ -37,10 +37,8 @@ from colpali_tpu.models.layers import (
     Dtype,
     GatedMLP,
     RMSNorm,
-    apply_rope,
     make_attention_bias,
     scanned_stack,
-    upcast_dtype,
 )
 
 

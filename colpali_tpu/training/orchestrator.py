@@ -23,7 +23,6 @@ from colpali_tpu.data.sampler import SingleDatasetBatchSampler
 from colpali_tpu.training.checkpointing import CheckpointManager, save_pretrained
 from colpali_tpu.training.trainer import (
     TrainConfig,
-    TrainState,
     create_train_state,
     make_train_step,
     shard_train_step,

@@ -1,6 +1,5 @@
 """LoRA adapter + checkpointing tests."""
 
-import os
 
 import jax
 import jax.numpy as jnp
