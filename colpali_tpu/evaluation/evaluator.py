@@ -53,18 +53,26 @@ def embed_dataset(
     items: Sequence[Any],
     batch_size: int = 8,
     is_images: bool = True,
+    use_query_prompt: bool = False,
 ) -> List[np.ndarray]:
     """Embed texts/images in batches, returning per-item unpadded embeddings.
 
     The inference path of SURVEY.md §3.3: process -> forward -> strip padding
-    (so downstream scoring sees only real tokens).
+    (so downstream scoring sees only real tokens). ``use_query_prompt`` routes
+    texts through ``process_queries`` (prefix + augmentation suffix) instead
+    of raw ``process_texts``.
     """
     import jax.numpy as jnp
 
     out: List[np.ndarray] = []
     for i in range(0, len(items), batch_size):
         chunk = list(items[i : i + batch_size])
-        batch = processor.process_images(chunk) if is_images else processor.process_texts(chunk)
+        if is_images:
+            batch = processor.process_images(chunk)
+        elif use_query_prompt:
+            batch = processor.process_queries(queries=chunk)
+        else:
+            batch = processor.process_texts(chunk)
         model_inputs = {k: jnp.asarray(v) for k, v in batch.items()}
         emb = np.asarray(model_apply(variables, **model_inputs), np.float32)
         mask = np.asarray(batch["attention_mask"]).astype(bool)

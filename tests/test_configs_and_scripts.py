@@ -111,13 +111,15 @@ class TestComputeHardnegsCLI:
 
 class TestInterpretabilityExample:
     def test_end_to_end(self, tmp_path):
+        import os
         import subprocess
         import sys
 
+        env = {**os.environ, "PYTHONPATH": "", "JAX_PLATFORMS": "cpu"}  # skip axon, fast CPU compile
         result = subprocess.run(
             [sys.executable, "examples/interpretability/generate_interpretability_maps.py",
              str(tmp_path), "--max-tokens", "2"],
-            capture_output=True, text=True, cwd=".",
+            capture_output=True, text=True, cwd=".", env=env,
         )
         assert result.returncode == 0, result.stderr[-500:]
         pngs = sorted(tmp_path.glob("*.png"))
@@ -157,3 +159,22 @@ class TestNewTrainingConfigs:
 
         for f in pathlib.Path("configs").glob("*.yaml"):
             walk(yaml.safe_load(f.read_text()))
+
+
+class TestEvaluateRetrievalCLI:
+    def test_smoke_config(self):
+        import json
+        import os
+        import subprocess
+        import sys
+
+        env = {**os.environ, "PYTHONPATH": "", "JAX_PLATFORMS": "cpu"}
+        result = subprocess.run(
+            [sys.executable, "scripts/evaluate_retrieval.py", "configs/eval_colpali_smoke.yaml",
+             "--k", "1", "5"],
+            capture_output=True, text=True, cwd=".", env=env,
+        )
+        assert result.returncode == 0, result.stderr[-500:]
+        metrics = json.loads(result.stdout.strip().splitlines()[-1])
+        assert set(metrics) == {"ndcg@1", "ndcg@5", "recall@1", "recall@5", "mrr@1", "mrr@5"}
+        assert all(0.0 <= v <= 1.0 for v in metrics.values())
