@@ -128,7 +128,13 @@ class ColGemma3Processor(BaseVisualRetrieverProcessor):
         return self.process_texts(texts)
 
     def get_n_patches(self, image_size: Tuple[int, int], patch_size: Optional[int] = None) -> Tuple[int, int]:
-        """Gemma3 pools the 64x64 SigLIP grid to sqrt(mm_tokens) per side."""
+        """Gemma3 pools the 64x64 SigLIP grid to sqrt(mm_tokens) per side.
+
+        Deliberate deviation: the reference returns the RAW patch grid
+        (processing_colgemma.py:243-267, image_size//patch_size = 64x64),
+        which contradicts its own 256 soft tokens — similarity maps need the
+        grid to match the number of image tokens in the sequence, so we
+        return the pooled grid."""
         side = int(self.image_seq_length**0.5)
         return side, side
 
