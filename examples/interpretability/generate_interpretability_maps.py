@@ -64,6 +64,85 @@ def _tiny_demo_inputs():
     return embed(batch_doc), embed(batch_query), (side, side), image_mask, page
 
 
+def _tiny_splitimage_inputs():
+    """Hermetic split-image demo: tiny random ColModernVBert, tile-aware maps
+    (reference examples/interpretability/colmodernvbert)."""
+    import jax.numpy as jnp
+
+    from colpali_tpu.interpretability.split_image import get_split_image_similarity_maps
+    from colpali_tpu.models.configs import SiglipVisionConfig
+    from colpali_tpu.models.modernvbert import (
+        ColModernVBert,
+        ModernBertTextConfig,
+        ModernVBertConfig,
+    )
+    from colpali_tpu.processors import ColModernVBertProcessor
+
+    class _Tok:
+        def __init__(self):
+            self.vocab = {}
+            self.pad_token = "<pad>"
+
+        def convert_tokens_to_ids(self, token):
+            return self.vocab.setdefault(token, len(self.vocab))
+
+        def __call__(self, texts, padding=None, padding_side="left",
+                     add_special_tokens=False, return_tensors=None):
+            import re
+
+            enc = []
+            for t in texts:
+                ids = []
+                for p in re.split(r"(<[^<>]+>|\n)", t):
+                    for word in [p] if (p.startswith("<") or p == "\n") else p.split():
+                        if word:
+                            ids.append(self.convert_tokens_to_ids(word))
+                enc.append(ids)
+            m = max(len(e) for e in enc)
+            ids = np.zeros((len(enc), m), np.int64)
+            mask = np.zeros((len(enc), m), np.int64)
+            for i, e in enumerate(enc):
+                ids[i, m - len(e):] = e
+                mask[i, m - len(e):] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+
+    proc = ColModernVBertProcessor(_Tok(), tile_size=16, longest_edge=32, image_seq_len=4)
+    config = ModernVBertConfig(
+        vision=SiglipVisionConfig(hidden_size=16, intermediate_size=32, num_hidden_layers=1,
+                                  num_attention_heads=2, image_size=16, patch_size=4),
+        text=ModernBertTextConfig(vocab_size=256, hidden_size=24, intermediate_size=32,
+                                  num_hidden_layers=2, num_attention_heads=2, local_attention=4),
+        pixel_shuffle_factor=2, additional_vocab_size=8,
+        image_token_id=proc.image_token_id,
+    )
+    model = ColModernVBert(config, dim=16)
+
+    page = np.full((28, 24, 3), 245, np.uint8)
+    page[4:10, 2:22] = (40, 40, 180)
+    page[14:24, 2:11] = (200, 60, 40)
+
+    batch_doc = proc.process_images([page])
+    batch_query = proc.process_queries(queries=["where is the figure?"])
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch_doc["input_ids"]),
+        jnp.asarray(batch_doc["attention_mask"]),
+        jnp.asarray(batch_doc["pixel_values"]),
+    )
+    doc_emb = np.asarray(model.apply(
+        variables, jnp.asarray(batch_doc["input_ids"]), jnp.asarray(batch_doc["attention_mask"]),
+        jnp.asarray(batch_doc["pixel_values"])))
+    q_emb = np.asarray(model.apply(
+        variables, jnp.asarray(batch_query["input_ids"]), jnp.asarray(batch_query["attention_mask"])))
+
+    n_patches = proc.get_n_patches((page.shape[0], page.shape[1]))
+    local_mask = proc.get_local_image_mask(batch_doc)
+    maps = get_split_image_similarity_maps(
+        doc_emb, q_emb, n_patches, local_mask, proc.image_seq_len
+    )[0]
+    return maps, page
+
+
 def _checkpoint_inputs(checkpoint: str, image_path: str, query: str):
     import jax.numpy as jnp
     from PIL import Image
@@ -103,6 +182,8 @@ def main() -> int:
     parser.add_argument("--image", default=None, help="page image (required with --checkpoint)")
     parser.add_argument("--query", default="where is the figure?")
     parser.add_argument("--max-tokens", type=int, default=4, help="max query tokens to plot")
+    parser.add_argument("--family", default="colpali", choices=["colpali", "colmodernvbert"],
+                        help="colmodernvbert = tile-split maps (reference colmodernvbert example)")
     args = parser.parse_args()
 
     import matplotlib
@@ -115,14 +196,16 @@ def main() -> int:
         plot_similarity_map,
     )
 
-    if args.checkpoint:
+    if args.family == "colmodernvbert":
+        maps, page = _tiny_splitimage_inputs()
+    elif args.checkpoint:
         doc_emb, q_emb, n_patches, image_mask, page = _checkpoint_inputs(
             args.checkpoint, args.image, args.query
         )
+        maps = get_similarity_maps_from_embeddings(doc_emb, q_emb, n_patches, image_mask)[0]
     else:
         doc_emb, q_emb, n_patches, image_mask, page = _tiny_demo_inputs()
-
-    maps = get_similarity_maps_from_embeddings(doc_emb, q_emb, n_patches, image_mask)[0]
+        maps = get_similarity_maps_from_embeddings(doc_emb, q_emb, n_patches, image_mask)[0]
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
     for tok in range(min(args.max_tokens, maps.shape[0])):
