@@ -101,13 +101,19 @@ class Qwen25VLConfig:
 
 
 class Qwen25VisionBlock(nn.Module):
+    """One Qwen2.5 vision block. ``is_full`` is a scalar bool selecting full
+    attention over the windowed bias (fullatt_block_indexes) — passed per
+    block so the stack is uniform and scannable; concrete (folded) on the
+    unrolled path."""
+
     config: Qwen25VLVisionConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_bias, rope):
+    def __call__(self, x, is_full, bias_full, bias_window, rope):
         cfg = self.config
+        attn_bias = jnp.where(jnp.asarray(is_full), bias_full, bias_window)
         residual = x
         h = RMSNorm(eps=1e-6, add_unit_offset=False, param_dtype=self.param_dtype, name="norm1")(x)
         h = Attention(
@@ -161,6 +167,8 @@ class Qwen25VisionTower(nn.Module):
     config: Qwen25VLVisionConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, patches, hpos, wpos, patch_mask, window_id):
@@ -184,11 +192,19 @@ class Qwen25VisionTower(nn.Module):
         same_window = window_id[:, None, :, None] == window_id[:, None, None, :]  # (B,1,P,P)
         window_bias = jnp.maximum(full_bias + jnp.where(same_window, 0.0, neg), neg).astype(full_bias.dtype)
 
-        for i in range(cfg.depth):
-            bias = full_bias if i in cfg.fullatt_block_indexes else window_bias
-            x = Qwen25VisionBlock(cfg, dtype=self.dtype, param_dtype=self.param_dtype, name=f"blocks_{i}")(
-                x, bias, rope
-            )
+        flags = jnp.asarray([i in cfg.fullatt_block_indexes for i in range(cfg.depth)])
+        block_kwargs = dict(config=cfg, dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.scan_layers:
+            from colpali_tpu.models.layers import scanned_stack
+
+            x, _ = scanned_stack(
+                Qwen25VisionBlock, block_kwargs, cfg.depth, num_args=4,
+                remat=self.remat, scanned_args=1,
+            )(name="blocks")(x, flags, full_bias, window_bias, rope)
+        else:
+            lcls = nn.remat(Qwen25VisionBlock) if self.remat else Qwen25VisionBlock
+            for i in range(cfg.depth):
+                x = lcls(**block_kwargs, name=f"blocks_{i}")(x, flags[i], full_bias, window_bias, rope)
 
         merge = cfg.spatial_merge_size**2
         b, p, _ = x.shape
@@ -207,11 +223,15 @@ class Qwen25VLBackbone(nn.Module):
     config: Qwen25VLConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
-        self.visual = Qwen25VisionTower(cfg.vision, dtype=self.dtype, param_dtype=self.param_dtype)
-        self.language_model = Qwen2Decoder(cfg.text, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.visual = Qwen25VisionTower(cfg.vision, dtype=self.dtype, param_dtype=self.param_dtype,
+                                        scan_layers=self.scan_layers, remat=self.remat)
+        self.language_model = Qwen2Decoder(cfg.text, dtype=self.dtype, param_dtype=self.param_dtype,
+                                           scan_layers=self.scan_layers, remat=self.remat)
 
     def __call__(
         self,
@@ -245,9 +265,12 @@ class ColQwen2_5(nn.Module):  # noqa: N801 — reference naming
     mask_non_image_embeddings: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
-        self.model = Qwen25VLBackbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = Qwen25VLBackbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype,
+                                      scan_layers=self.scan_layers, remat=self.remat)
         self.head = MultiVectorHead(dim=self.dim, dtype=self.dtype, param_dtype=self.param_dtype)
 
     def __call__(self, input_ids, attention_mask, pixel_values=None, **vision_kwargs):
@@ -265,9 +288,12 @@ class BiQwen2_5(nn.Module):  # noqa: N801
     pooling_strategy: str = "last"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
-        self.model = Qwen25VLBackbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = Qwen25VLBackbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype,
+                                      scan_layers=self.scan_layers, remat=self.remat)
         self.head = DenseHead(
             DenseHeadConfig(pooling_strategy=self.pooling_strategy),
             dtype=self.dtype,

@@ -161,6 +161,8 @@ class OmniAudioEncoder(nn.Module):
     config: OmniAudioConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, chunks: jnp.ndarray, frame_mask: jnp.ndarray) -> jnp.ndarray:
@@ -184,9 +186,18 @@ class OmniAudioEncoder(nn.Module):
         after_mask = frame_idx < after_cnn[:, None]
         attn_bias = make_attention_bias(after_mask.astype(jnp.int32), causal=False)
 
-        for i in range(cfg.encoder_layers):
-            x = OmniAudioEncoderLayer(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
-                                      name=f"layers_{i}")(x, attn_bias)
+        layer_kwargs = dict(config=cfg, dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.scan_layers:
+            from colpali_tpu.models.layers import scanned_stack
+
+            x, _ = scanned_stack(
+                OmniAudioEncoderLayer, layer_kwargs, cfg.encoder_layers,
+                num_args=1, remat=self.remat,
+            )(name="layers")(x, attn_bias)
+        else:
+            lcls = nn.remat(OmniAudioEncoderLayer) if self.remat else OmniAudioEncoderLayer
+            for i in range(cfg.encoder_layers):
+                x = lcls(**layer_kwargs, name=f"layers_{i}")(x, attn_bias)
 
         # pair-average pool -> LayerNorm -> projection (:818-824)
         n, s, d = x.shape
@@ -201,12 +212,17 @@ class QwenOmniBackbone(nn.Module):
     config: QwenOmniConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
-        self.audio_tower = OmniAudioEncoder(cfg.audio, dtype=self.dtype, param_dtype=self.param_dtype)
-        self.visual = Qwen25VisionTower(cfg.vision, dtype=self.dtype, param_dtype=self.param_dtype)
-        self.language_model = Qwen2Decoder(cfg.text, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.audio_tower = OmniAudioEncoder(cfg.audio, dtype=self.dtype, param_dtype=self.param_dtype,
+                                            scan_layers=self.scan_layers, remat=self.remat)
+        self.visual = Qwen25VisionTower(cfg.vision, dtype=self.dtype, param_dtype=self.param_dtype,
+                                        scan_layers=self.scan_layers, remat=self.remat)
+        self.language_model = Qwen2Decoder(cfg.text, dtype=self.dtype, param_dtype=self.param_dtype,
+                                           scan_layers=self.scan_layers, remat=self.remat)
 
     def __call__(
         self,
@@ -254,9 +270,12 @@ class ColQwen2_5Omni(nn.Module):  # noqa: N801 — reference naming
     dim: int = 128
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
-        self.model = QwenOmniBackbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = QwenOmniBackbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype,
+                                      scan_layers=self.scan_layers, remat=self.remat)
         self.head = MultiVectorHead(dim=self.dim, dtype=self.dtype, param_dtype=self.param_dtype)
 
     def __call__(self, input_ids, attention_mask, **modal_kwargs):

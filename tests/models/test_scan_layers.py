@@ -222,6 +222,51 @@ class TestScanEquivalence:
             got = np.asarray(scanned.apply({"params": sparams}, embeds, am))
             np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
 
+    def test_qwen25_tower_scan_matches_unrolled(self):
+        """Qwen2.5's full/window alternation (arbitrary fullatt_block_indexes)
+        rides the scan as a per-block flag."""
+        from colpali_tpu.models.qwen2_5_vl import Qwen25VisionTower, Qwen25VLVisionConfig
+
+        cfg = Qwen25VLVisionConfig(depth=4, hidden_size=16, num_heads=2, intermediate_size=32,
+                                   out_hidden_size=16, patch_size=2, window_size=4,
+                                   fullatt_block_indexes=(1, 3))
+        rng = np.random.default_rng(9)
+        patches = jnp.asarray(rng.normal(size=(1, 8, cfg.patch_dim)).astype(np.float32))
+        hpos = jnp.asarray(np.tile(np.arange(8) // 4, (1, 1)))
+        wpos = jnp.asarray(np.tile(np.arange(8) % 4, (1, 1)))
+        mask = jnp.ones((1, 8), bool)
+        window_id = jnp.asarray(np.array([[0, 0, 1, 1, 0, 0, 1, 1]], np.int32))
+        args = (patches, hpos, wpos, mask, window_id)
+
+        unrolled = Qwen25VisionTower(cfg)
+        params = unrolled.init(jax.random.PRNGKey(10), *args)["params"]
+        expected = np.asarray(unrolled.apply({"params": params}, *args))
+
+        sparams = stack_layer_params(params)
+        got = np.asarray(
+            Qwen25VisionTower(cfg, scan_layers=True, remat=True).apply({"params": sparams}, *args)
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+    def test_omni_audio_encoder_scan_matches_unrolled(self):
+        from colpali_tpu.models.qwen_omni import OmniAudioConfig, OmniAudioEncoder
+
+        cfg = OmniAudioConfig(num_mel_bins=16, d_model=32, encoder_layers=3,
+                              encoder_attention_heads=4, encoder_ffn_dim=64, n_window=4,
+                              max_source_positions=64, output_dim=24)
+        rng = np.random.default_rng(11)
+        chunks = jnp.asarray(rng.normal(size=(2, 8, 16)).astype(np.float32))
+        fmask = jnp.ones((2, 8), bool)
+
+        unrolled = OmniAudioEncoder(cfg)
+        params = unrolled.init(jax.random.PRNGKey(12), chunks, fmask)["params"]
+        expected = np.asarray(unrolled.apply({"params": params}, chunks, fmask))
+        sparams = stack_layer_params(params)
+        got = np.asarray(
+            OmniAudioEncoder(cfg, scan_layers=True).apply({"params": sparams}, chunks, fmask)
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
     def test_scan_init_shapes_match_stacked(self):
         """init with scan_layers=True produces the stacked layout directly."""
         cfg = Qwen2TextConfig(vocab_size=32, hidden_size=16, intermediate_size=32, num_hidden_layers=3,
