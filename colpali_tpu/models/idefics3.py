@@ -105,6 +105,8 @@ class Idefics3VisionTower(nn.Module):
     config: Idefics3VisionConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
@@ -136,11 +138,19 @@ class Idefics3VisionTower(nn.Module):
             name="position_embedding",
         )(jnp.asarray(pos_ids)[None, :])
         x = x + pos
-        for i in range(cfg.num_hidden_layers):
-            # Idefics3 encoder layers are structurally SigLIP layers
-            x = SiglipEncoderLayer(
-                _as_siglip(cfg), dtype=self.dtype, param_dtype=self.param_dtype, name=f"layers_{i}"
-            )(x)
+        # Idefics3 encoder layers are structurally SigLIP layers
+        layer_kwargs = dict(config=_as_siglip(cfg), dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.scan_layers:
+            from colpali_tpu.models.layers import scanned_stack
+
+            x, _ = scanned_stack(
+                SiglipEncoderLayer, layer_kwargs, cfg.num_hidden_layers,
+                num_args=0, remat=self.remat,
+            )(name="layers")(x)
+        else:
+            lcls = nn.remat(SiglipEncoderLayer) if self.remat else SiglipEncoderLayer
+            for i in range(cfg.num_hidden_layers):
+                x = lcls(**layer_kwargs, name=f"layers_{i}")(x)
         return nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
             name="post_layernorm",
@@ -165,14 +175,18 @@ class Idefics3Backbone(nn.Module):
     config: Idefics3Config
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
-        self.vision_model = Idefics3VisionTower(cfg.vision, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.vision_model = Idefics3VisionTower(cfg.vision, dtype=self.dtype, param_dtype=self.param_dtype,
+                                                scan_layers=self.scan_layers, remat=self.remat)
         self.modality_projection = nn.Dense(
             cfg.text.hidden_size, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype
         )
-        self.text_model = Qwen2Decoder(cfg.text, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.text_model = Qwen2Decoder(cfg.text, dtype=self.dtype, param_dtype=self.param_dtype,
+                                       scan_layers=self.scan_layers, remat=self.remat)
 
     def __call__(
         self,
@@ -217,9 +231,12 @@ class ColIdefics3(nn.Module):
     dim: int = 128
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
-        self.model = Idefics3Backbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = Idefics3Backbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype,
+                                      scan_layers=self.scan_layers, remat=self.remat)
         self.head = MultiVectorHead(
             dim=self.dim, proj_name="linear", dtype=self.dtype, param_dtype=self.param_dtype
         )
@@ -236,9 +253,12 @@ class BiIdefics3(nn.Module):
     pooling_strategy: str = "last"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
-        self.model = Idefics3Backbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = Idefics3Backbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype,
+                                      scan_layers=self.scan_layers, remat=self.remat)
         self.head = DenseHead(
             DenseHeadConfig(pooling_strategy=self.pooling_strategy),
             dtype=self.dtype,

@@ -267,6 +267,34 @@ class TestScanEquivalence:
         )
         np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
 
+    def test_colidefics3_scan_matches_unrolled(self):
+        from colpali_tpu.models.idefics3 import ColIdefics3, Idefics3Config, Idefics3VisionConfig
+        from colpali_tpu.models.qwen2_vl import Qwen2TextConfig
+
+        cfg = Idefics3Config(
+            vision=Idefics3VisionConfig(hidden_size=16, intermediate_size=32, num_hidden_layers=3,
+                                        num_attention_heads=2, image_size=16, patch_size=4),
+            text=Qwen2TextConfig(vocab_size=64, hidden_size=16, intermediate_size=32,
+                                 num_hidden_layers=3, num_attention_heads=2, num_key_value_heads=1,
+                                 head_dim=8, attention_bias=False, mrope_section=(4,)),
+            scale_factor=2, image_token_id=60)
+        rng = np.random.default_rng(13)
+        n_img = cfg.image_seq_len
+        ids = rng.integers(1, 50, size=(1, n_img + 3)).astype(np.int64)
+        ids[0, :n_img] = 60
+        am = np.ones_like(ids)
+        tiles = rng.normal(size=(1, 1, 16, 16, 3)).astype(np.float32)
+        args = (jnp.asarray(ids), jnp.asarray(am), jnp.asarray(tiles))
+
+        unrolled = ColIdefics3(cfg, dim=8)
+        params = unrolled.init(jax.random.PRNGKey(14), *args)["params"]
+        expected = np.asarray(unrolled.apply({"params": params}, *args))
+        sparams = stack_layer_params(params)
+        got = np.asarray(
+            ColIdefics3(cfg, dim=8, scan_layers=True, remat=True).apply({"params": sparams}, *args)
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
     def test_scan_init_shapes_match_stacked(self):
         """init with scan_layers=True produces the stacked layout directly."""
         cfg = Qwen2TextConfig(vocab_size=32, hidden_size=16, intermediate_size=32, num_hidden_layers=3,
