@@ -78,3 +78,37 @@ class TestGoldenScores:
         )
         assert (np.argmax(scores, axis=1) == np.arange(3)).all(), "not diagonal-dominant"
         np.testing.assert_allclose(scores, GOLDEN_COLPALI_V12, atol=1.0)
+
+    def test_colqwen2_retrieval_diagonal(self):
+        """ColQwen2 checkpoint gate: the reference asserts diagonal-argmax
+        retrieval over the test set (test_modeling_colqwen2.py:103-130) —
+        no hardcoded matrix exists upstream for this family."""
+        import colpali_tpu
+        from colpali_tpu.core.hf_loader import load_colqwen2_params, load_hf_config
+        from colpali_tpu.models import ColQwen2, Qwen2VLConfig
+        from colpali_tpu.processors import ColQwen2Processor
+
+        ckpt = os.path.join(CKPT_ROOT, "colqwen2-v1.0")
+        if not os.path.isdir(ckpt):
+            pytest.skip("colqwen2-v1.0 checkpoint not present")
+        config = Qwen2VLConfig.from_hf_config(load_hf_config(ckpt))
+        model = ColQwen2(config, dtype=jnp.bfloat16)
+        params = load_colqwen2_params(ckpt)
+        processor = ColQwen2Processor.from_pretrained(ckpt, max_num_visual_tokens=768)
+
+        images = _load_test_images()
+        batch_docs = processor.process_images(images)
+        batch_queries = processor.process_queries(QUERIES)
+
+        doc_emb = model.apply(
+            {"params": params},
+            **{k: jnp.asarray(v) for k, v in batch_docs.items()},
+        )
+        q_emb = model.apply(
+            {"params": params},
+            **{k: jnp.asarray(v) for k, v in batch_queries.items()},
+        )
+        scores = colpali_tpu.score_multi_vector(
+            np.asarray(q_emb, np.float32), np.asarray(doc_emb, np.float32)
+        )
+        assert (np.argmax(scores, axis=1) == np.arange(3)).all(), "not diagonal-dominant"
