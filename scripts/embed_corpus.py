@@ -37,6 +37,9 @@ def main() -> None:
     parser.add_argument("image_dir")
     parser.add_argument("output", help="output .npz (keys emb_<i> + files.json alongside)")
     parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--pool-factor", type=int, default=1,
+                        help="hierarchical token pooling factor (3 = the reference's ~3x "
+                             "storage compression; 1 = no pooling)")
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -58,6 +61,16 @@ def main() -> None:
     images = [Image.open(os.path.join(args.image_dir, f)) for f in files]
     embeddings = embed_dataset(model.apply, {"params": params}, processor, images,
                                batch_size=args.batch_size, is_images=True)
+
+    if args.pool_factor > 1:
+        from colpali_tpu.compression.token_pooling import HierarchicalTokenPooler
+
+        before = sum(e.shape[0] for e in embeddings)
+        embeddings = HierarchicalTokenPooler().pool_embeddings(
+            embeddings, pool_factor=args.pool_factor
+        )
+        after = sum(e.shape[0] for e in embeddings)
+        print(f"Pooled {before} -> {after} tokens (factor {args.pool_factor})")
 
     np.savez(args.output, **{f"emb_{i}": e for i, e in enumerate(embeddings)})
     import json
