@@ -122,8 +122,12 @@ class ColModelTraining:
         step = int(self.state.step)
         t_start = time.time()
         samples = 0
+        from colpali_tpu.data.prefetch import prefetch
+
         for epoch in range(cfg.num_epochs):
-            for batch in self.batches(epoch):
+            # collation (tokenize + image preprocessing) runs one batch ahead
+            # on a daemon thread, overlapping the async device step
+            for batch in prefetch(self.batches(epoch), buffer_size=2):
                 self.state, metrics = self.train_step(self.state, self._device_batch(batch))
                 step += 1
                 samples += cfg.global_batch_size

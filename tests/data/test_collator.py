@@ -81,3 +81,43 @@ class TestCollator:
     def test_missing_query_raises(self, collator):
         with pytest.raises(KeyError, match="query"):
             collator([{"pos_target": "p"}])
+
+
+class TestPrefetch:
+    def test_order_and_completion(self):
+        from colpali_tpu.data.prefetch import prefetch
+
+        assert list(prefetch(iter(range(10)), buffer_size=3)) == list(range(10))
+        assert list(prefetch(iter([]), buffer_size=2)) == []
+        assert list(prefetch(iter([1]), buffer_size=0)) == [1]  # passthrough
+
+    def test_producer_exception_propagates(self):
+        import pytest
+
+        from colpali_tpu.data.prefetch import prefetch
+
+        def gen():
+            yield 1
+            raise RuntimeError("boom in producer")
+
+        it = prefetch(gen(), buffer_size=2)
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="boom in producer"):
+            list(it)
+
+    def test_overlaps_slow_producer(self):
+        import time
+
+        from colpali_tpu.data.prefetch import prefetch
+
+        def slow():
+            for i in range(4):
+                time.sleep(0.05)
+                yield i
+
+        t0 = time.time()
+        for _ in prefetch(slow(), buffer_size=2):
+            time.sleep(0.05)  # "device step"
+        overlapped = time.time() - t0
+        # serial would be ~0.4s; overlapped ~0.25s
+        assert overlapped < 0.35, overlapped
