@@ -50,6 +50,10 @@ class CorpusIndex:
             the max length, rounded up to a multiple of 16).
         mesh: optional device mesh; shards the corpus over ``axis``.
         axis: mesh axis name for the doc shard dimension.
+        force_kernel: None (default) picks the Pallas kernel on TPU and the
+            XLA fallback elsewhere; True forces the kernel (interpret mode
+            off-TPU — this is how the shard_map serving path is tested
+            hermetically); False forces the XLA fallback.
     """
 
     def __init__(
@@ -60,6 +64,7 @@ class CorpusIndex:
         mesh: Optional[Mesh] = None,
         axis: str = "data",
         quantize_queries: bool = True,
+        force_kernel: Optional[bool] = None,
     ):
         if dtype not in ("bf16", "int8"):
             raise ValueError(f"Unsupported index dtype: {dtype}")
@@ -69,6 +74,7 @@ class CorpusIndex:
         self.quantize_queries = quantize_queries
         self.mesh = mesh
         self.axis = axis
+        self.force_kernel = force_kernel
 
         if isinstance(doc_embeddings, (list, tuple)):
             docs_list = [np.asarray(d, dtype=np.float32) for d in doc_embeddings]
@@ -123,8 +129,12 @@ class CorpusIndex:
 
     def _score_padded(self, queries: jnp.ndarray) -> jnp.ndarray:
         """(B, Nq, D) -> (B, padded_docs) fp32 scores."""
-        if _on_tpu():
-            kernel = self._kernel_fn()
+        use_kernel = self.force_kernel if self.force_kernel is not None else _on_tpu()
+        if use_kernel:
+            # Off-TPU the Pallas kernel runs in interpreter mode — slow, but
+            # it exercises the REAL production branch (incl. the shard_map
+            # specs below) on the hermetic CPU mesh.
+            kernel = self._kernel_fn(interpret=not _on_tpu())
             args = (queries, self._store) if self._scales is None else (queries, self._store, self._scales)
             if self.mesh is None:
                 return kernel(*args)
@@ -132,17 +142,15 @@ class CorpusIndex:
             # over the corpus axis — each chip scores its local doc shard;
             # the (B, C) output stays sharded over docs for the global top-k
             # (SURVEY.md §5: the corpus axis is this problem's long dimension).
-            from jax.experimental.shard_map import shard_map
-
             store_specs = (P(self.axis, None, None, None),) if self._scales is None else (
                 P(self.axis, None, None, None), P(self.axis, None, None),
             )
-            sharded = shard_map(
+            sharded = jax.shard_map(
                 kernel,
                 mesh=self.mesh,
                 in_specs=(P(), *store_specs),
                 out_specs=P(None, self.axis),
-                check_rep=False,
+                check_vma=False,
             )
             return sharded(*args)
         # CPU/GPU fallback: plain XLA maxsim over the doc-major view (GSPMD
@@ -154,18 +162,24 @@ class CorpusIndex:
         docs = jnp.transpose(store, (0, 2, 1, 3)).reshape(n_tiles * t, np_, d).astype(jnp.float32)
         return maxsim(queries.astype(jnp.float32), docs)
 
-    def _kernel_fn(self):
+    def _kernel_fn(self, interpret: bool = False):
         """Kernel closure: (queries_f32, store[, scales]) -> (B, C) scores."""
         if self.dtype == "int8":
             if self.quantize_queries:
 
                 def kernel(q, store, scales):
                     q_int8, q_scales = quantize_per_token(q.astype(jnp.float32))
-                    return maxsim_pallas_int8mxu_tiled(q_int8, q_scales, store, scales)
+                    return maxsim_pallas_int8mxu_tiled(
+                        q_int8, q_scales, store, scales, interpret=interpret
+                    )
 
                 return kernel
-            return lambda q, store, scales: maxsim_pallas_int8_tiled(q.astype(jnp.bfloat16), store, scales)
-        return lambda q, store: maxsim_pallas_tiled(q.astype(jnp.bfloat16), store)
+            return lambda q, store, scales: maxsim_pallas_int8_tiled(
+                q.astype(jnp.bfloat16), store, scales, interpret=interpret
+            )
+        return lambda q, store: maxsim_pallas_tiled(
+            q.astype(jnp.bfloat16), store, interpret=interpret
+        )
 
     def score(self, query_embeddings: Union[Sequence[Array], Array]) -> np.ndarray:
         """Full score matrix ``(n_queries, num_docs)`` (reference
