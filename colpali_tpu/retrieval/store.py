@@ -46,15 +46,25 @@ class CorpusIndex:
         doc_embeddings: ragged list of ``(len_i, dim)`` arrays (or a padded 3D
             array) of L2-normalized doc token embeddings.
         dtype: storage dtype — "bf16" or "int8" (per-token symmetric quant).
-        doc_tokens: pad/truncate every doc to this many tokens (defaults to
-            the max length, rounded up to a multiple of 16).
+        doc_tokens: pad every doc to this many tokens (defaults to the max
+            length, rounded up to a multiple of 16). Shorter than the longest
+            doc is an error unless ``truncate=True`` (pool upstream instead —
+            see compression.token_pooling).
         mesh: optional device mesh; shards the corpus over ``axis``.
         axis: mesh axis name for the doc shard dimension.
         force_kernel: None (default) picks the Pallas kernel on TPU and the
             XLA fallback elsewhere; True forces the kernel (interpret mode
             off-TPU — this is how the shard_map serving path is tested
             hermetically); False forces the XLA fallback.
+        truncate: opt in to silently dropping tokens beyond ``doc_tokens``.
+
+    The build is chunked: the fp32 corpus is packed (padded, tiled,
+    quantized) ``_BUILD_CHUNK_DOCS`` docs at a time into a preallocated
+    int8/bf16 host buffer, so peak host memory is the packed size plus one
+    chunk — never a full fp32 copy (1M x 64 x 128 fp32 would be 33 GB).
     """
+
+    _BUILD_CHUNK_DOCS = 64 * DOC_TILE  # 8192 docs of fp32 scratch per chunk
 
     def __init__(
         self,
@@ -65,16 +75,9 @@ class CorpusIndex:
         axis: str = "data",
         quantize_queries: bool = True,
         force_kernel: Optional[bool] = None,
+        truncate: bool = False,
     ):
-        if dtype not in ("bf16", "int8"):
-            raise ValueError(f"Unsupported index dtype: {dtype}")
-        self.dtype = dtype
-        # int8 indexes default to the full-int8 MXU kernel (pass False for
-        # the bf16-matmul dequant kernel: slower, no query quant error)
-        self.quantize_queries = quantize_queries
-        self.mesh = mesh
-        self.axis = axis
-        self.force_kernel = force_kernel
+        self._init_common(dtype, mesh, axis, quantize_queries, force_kernel)
 
         if isinstance(doc_embeddings, (list, tuple)):
             docs_list = [np.asarray(d, dtype=np.float32) for d in doc_embeddings]
@@ -89,31 +92,132 @@ class CorpusIndex:
         max_len = max(d.shape[0] for d in docs_list)
         target_tokens = doc_tokens or max_len
         if target_tokens < max_len:
-            docs_list = [d[:target_tokens] for d in docs_list]  # truncate (caller pooled upstream)
+            if not truncate:
+                raise ValueError(
+                    f"doc_tokens={target_tokens} would truncate documents up to "
+                    f"{max_len} tokens long; pool the corpus upstream "
+                    "(compression.token_pooling) or pass truncate=True"
+                )
+            docs_list = [d[:target_tokens] for d in docs_list]
         self.doc_tokens = round_up(target_tokens, 16)
 
         shard_multiple = DOC_TILE * (mesh.shape[axis] if mesh is not None else 1)
-        padded_docs = round_up(self.num_docs, shard_multiple)
-        padded = pad_sequences(docs_list, pad_to=self.doc_tokens)  # (C0, Np, D)
-        if padded_docs > self.num_docs:
-            padded = np.concatenate(
-                [padded, np.zeros((padded_docs - self.num_docs, self.doc_tokens, self.dim), np.float32)]
-            )
-        self.padded_docs = padded_docs
+        self.padded_docs = round_up(self.num_docs, shard_multiple)
+        store_host, scales_host = self._pack_host(docs_list)
+        self._put_store(store_host, scales_host)
 
-        # tile-major (C//DOC_TILE, Np, DOC_TILE, D): each kernel grid step
-        # reads one contiguous block (see ops.maxsim_pallas.to_tile_major)
-        tiled = (
-            padded.reshape(padded_docs // DOC_TILE, DOC_TILE, self.doc_tokens, self.dim)
-            .transpose(0, 2, 1, 3)
-        )
-        if dtype == "int8":
-            q, scales = quantize_per_token(jnp.asarray(tiled))
-            self._store = self._device_put(q, P(axis, None, None, None))
-            self._scales = self._device_put(scales, P(axis, None, None))
+    def _init_common(self, dtype, mesh, axis, quantize_queries, force_kernel) -> None:
+        if dtype not in ("bf16", "int8"):
+            raise ValueError(f"Unsupported index dtype: {dtype}")
+        self.dtype = dtype
+        # int8 indexes default to the full-int8 MXU kernel (pass False for
+        # the bf16-matmul dequant kernel: slower, no query quant error)
+        self.quantize_queries = quantize_queries
+        self.mesh = mesh
+        self.axis = axis
+        self.force_kernel = force_kernel
+
+    def _pack_host(self, docs_list) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Pack ragged fp32 docs into the tile-major serving layout
+        (C//DOC_TILE, Np, DOC_TILE, D) int8/bf16 host arrays, chunk by chunk."""
+        import ml_dtypes
+
+        n_tiles = self.padded_docs // DOC_TILE
+        np_, d = self.doc_tokens, self.dim
+        if self.dtype == "int8":
+            store_host = np.zeros((n_tiles, np_, DOC_TILE, d), np.int8)
+            scales_host = np.ones((n_tiles, np_, DOC_TILE), np.float32)
         else:
-            self._store = self._device_put(jnp.asarray(tiled, dtype=jnp.bfloat16), P(axis, None, None, None))
-            self._scales = None
+            store_host = np.zeros((n_tiles, np_, DOC_TILE, d), ml_dtypes.bfloat16)
+            scales_host = None
+
+        # chunk boundaries must land on tile boundaries for t0 = start//DOC_TILE
+        chunk = max(DOC_TILE, self._BUILD_CHUNK_DOCS - self._BUILD_CHUNK_DOCS % DOC_TILE)
+        for start in range(0, len(docs_list), chunk):
+            block = docs_list[start : start + chunk]
+            padded = pad_sequences(block, pad_to=np_)  # (c, Np, D) fp32 scratch
+            c = padded.shape[0]
+            if c % DOC_TILE != 0:  # last chunk: pad up to the tile boundary
+                padded = np.concatenate(
+                    [padded, np.zeros((round_up(c, DOC_TILE) - c, np_, d), np.float32)]
+                )
+            # doc-major -> tile-major (see ops.maxsim_pallas.to_tile_major)
+            tiled = (
+                padded.reshape(-1, DOC_TILE, np_, d).transpose(0, 2, 1, 3)
+            )
+            t0 = start // DOC_TILE
+            t1 = t0 + tiled.shape[0]
+            if self.dtype == "int8":
+                # host-side mirror of ops.quant.quantize_per_token (same
+                # round-half-even, same absmax>0 guard) — bit-identical
+                absmax = np.max(np.abs(tiled), axis=-1)
+                scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+                store_host[t0:t1] = np.round(tiled / scale[..., None]).astype(np.int8)
+                scales_host[t0:t1] = scale
+            else:
+                store_host[t0:t1] = tiled.astype(ml_dtypes.bfloat16)
+        return store_host, scales_host
+
+    def _put_store(self, store_host: np.ndarray, scales_host: Optional[np.ndarray]) -> None:
+        self._store = self._device_put(jnp.asarray(store_host), P(self.axis, None, None, None))
+        self._scales = (
+            None
+            if scales_host is None
+            else self._device_put(jnp.asarray(scales_host), P(self.axis, None, None))
+        )
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Serialize the packed index (store tiles + scales + metadata) so
+        serving can boot without re-padding/re-quantizing the corpus — the
+        role of the reference's PLAID index directory (processing_utils.py:223-244)."""
+        if not str(path).endswith(".npz"):  # np.savez appends it silently
+            raise ValueError(f"Index path must end with .npz, got {path!r}")
+        store = np.asarray(self._store)
+        payload = {
+            "store": store.view(np.uint16) if self.dtype == "bf16" else store,
+            "num_docs": np.int64(self.num_docs),
+            "doc_tokens": np.int64(self.doc_tokens),
+            "dim": np.int64(self.dim),
+            "dtype": np.bytes_(self.dtype.encode()),
+        }
+        if self._scales is not None:
+            payload["scales"] = np.asarray(self._scales)
+        np.savez(path, **payload)
+
+    @classmethod
+    def load(
+        cls,
+        path: str,
+        mesh: Optional[Mesh] = None,
+        axis: str = "data",
+        quantize_queries: bool = True,
+        force_kernel: Optional[bool] = None,
+    ) -> "CorpusIndex":
+        """Restore an index written by :meth:`save` (re-sharding over a new
+        mesh is allowed as long as the saved tile count divides over it)."""
+        import ml_dtypes
+
+        data = np.load(path)
+        dtype = bytes(data["dtype"]).decode()
+        self = object.__new__(cls)
+        self._init_common(dtype, mesh, axis, quantize_queries, force_kernel)
+        self.num_docs = int(data["num_docs"])
+        self.doc_tokens = int(data["doc_tokens"])
+        self.dim = int(data["dim"])
+        store = data["store"]
+        if dtype == "bf16":
+            store = store.view(ml_dtypes.bfloat16)
+        self.padded_docs = store.shape[0] * DOC_TILE
+        shard_multiple = DOC_TILE * (mesh.shape[axis] if mesh is not None else 1)
+        if self.padded_docs % shard_multiple != 0:
+            raise ValueError(
+                f"Saved index has {store.shape[0]} tiles, not divisible over a "
+                f"{mesh.shape[axis]}-way {axis!r} mesh axis"
+            )
+        self._put_store(store, data["scales"] if "scales" in data else None)
+        return self
 
     def _device_put(self, x: jnp.ndarray, spec: P) -> jnp.ndarray:
         if self.mesh is None:

@@ -74,15 +74,39 @@ def make_handler(index, files):
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("corpus_npz", help="output of scripts/embed_corpus.py")
+    parser.add_argument(
+        "corpus_npz",
+        help="output of scripts/embed_corpus.py, or a packed index written by "
+        "CorpusIndex.save / --save-index (boots without re-quantizing)",
+    )
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--dtype", default="int8", choices=["bf16", "int8"])
+    parser.add_argument(
+        "--save-index",
+        metavar="PATH.npz",
+        help="after building, persist the packed index here and keep serving",
+    )
     args = parser.parse_args()
 
     from colpali_tpu.retrieval import CorpusIndex
 
-    embs, files = load_corpus(args.corpus_npz)
-    index = CorpusIndex(embs, dtype=args.dtype)
+    with np.load(args.corpus_npz) as probe:
+        is_index = "store" in probe.files
+    if is_index:
+        index = CorpusIndex.load(args.corpus_npz)
+        try:
+            with open(args.corpus_npz + ".files.json") as f:
+                files = json.load(f)
+        except FileNotFoundError:
+            files = [str(i) for i in range(index.num_docs)]
+    else:
+        embs, files = load_corpus(args.corpus_npz)
+        index = CorpusIndex(embs, dtype=args.dtype)
+        if args.save_index:
+            index.save(args.save_index)
+            with open(args.save_index + ".files.json", "w") as f:
+                json.dump(files, f)
+            print(f"Packed index saved to {args.save_index}")
     print(f"Serving {index.num_docs} docs ({index.nbytes / 2**20:.1f} MiB on device) on :{args.port}")
     ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(index, files)).serve_forever()
 
