@@ -24,9 +24,11 @@ from colpali_tpu.training.checkpointing import CheckpointManager, save_pretraine
 from colpali_tpu.training.trainer import (
     TrainConfig,
     create_train_state,
+    make_eval_step,
     make_train_step,
     shard_train_step,
 )
+from colpali_tpu.utils.reporting import MetricsLogger
 
 
 @dataclasses.dataclass
@@ -49,6 +51,9 @@ class ColModelTrainingConfig:
     save_steps: int = 500
     save_total_limit: int = 1
     log_steps: int = 10
+    eval_steps: Optional[int] = None  # None -> eval at each epoch end only
+    eval_batch_size: Optional[int] = None  # defaults to global_batch_size
+    report_to: Any = "jsonl"  # "jsonl" | "wandb" | ["jsonl", "wandb"] | "none"
     resume_from_checkpoint: bool = False
     seed: int = 0
     pad_seq_to: Optional[int] = None
@@ -65,10 +70,15 @@ class ColModelTraining:
             config.train_datasets, config.global_batch_size, seed=config.seed
         )
         self._all_data = _ConcatDataset(config.train_datasets)
-        self.metrics_history: list = []
+        self.logger = MetricsLogger(config.output_dir, report_to=config.report_to)
 
         has_negatives = self._probe_negatives()
         self.train_step = make_train_step(config.loss_func, has_negatives=has_negatives)
+        self.eval_step = (
+            jax.jit(make_eval_step(config.loss_func, has_negatives=has_negatives))
+            if config.eval_dataset is not None
+            else None
+        )
         params = config.params if config.params is not None else self._init_params()
         self.state = create_train_state(config.model.apply, params, config.train)
 
@@ -117,12 +127,51 @@ class ColModelTraining:
         for indices in self.sampler:
             yield self.collator([self._all_data[i] for i in indices])
 
+    @property
+    def metrics_history(self) -> list:
+        return self.logger.history
+
+    def evaluate(self) -> Dict[str, float]:
+        """Eval pass over ``config.eval_dataset``: mean loss (the reference's
+        prediction_step semantics, contrastive_trainer.py:210-225) plus
+        retrieval metrics where query i's gold document is doc i (each eval
+        pair scored against the whole eval corpus via evaluation.evaluator)."""
+        from colpali_tpu.evaluation.evaluator import evaluate_retrieval
+
+        cfg = self.config
+        ds = cfg.eval_dataset
+        bs = cfg.eval_batch_size or cfg.global_batch_size
+        losses, q_embs, d_embs = [], [], []
+        for start in range(0, len(ds), bs):
+            items = [ds[i] for i in range(start, min(start + bs, len(ds)))]
+            batch = self.collator(items)
+            loss, q, d = self.eval_step(self.state, self._device_batch(batch))
+            losses.append(float(loss))
+            q, d = np.asarray(q, np.float32), np.asarray(d, np.float32)
+            q_mask = np.asarray(batch["query_attention_mask"]).astype(bool)
+            d_mask = np.asarray(batch["doc_attention_mask"]).astype(bool)
+            q_embs.extend(q[i][q_mask[i]] for i in range(q.shape[0]))
+            d_embs.extend(d[i][d_mask[i]] for i in range(d.shape[0]))
+        ranked = evaluate_retrieval(
+            q_embs, d_embs, relevance=[[i] for i in range(len(q_embs))], k_values=(1, 5)
+        )
+        metrics = {"eval_loss": float(np.mean(losses))}
+        metrics.update({f"eval_{k}": v for k, v in ranked.items()})
+        return metrics
+
     def train(self, on_step: Optional[Callable[[int, Dict], None]] = None) -> Dict[str, Any]:
         cfg = self.config
         step = int(self.state.step)
         t_start = time.time()
         samples = 0
+        eval_metrics: Dict[str, float] = {}
         from colpali_tpu.data.prefetch import prefetch
+
+        def run_eval() -> None:
+            nonlocal eval_metrics
+            eval_metrics = self.evaluate()
+            self.logger.log({"step": step, **eval_metrics})
+            print(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in eval_metrics.items()))
 
         for epoch in range(cfg.num_epochs):
             # collation (tokenize + image preprocessing) runs one batch ahead
@@ -134,14 +183,18 @@ class ColModelTraining:
                 if step % cfg.log_steps == 0:
                     entry = {"step": step, "loss": float(metrics["loss"]),
                              "grad_norm": float(metrics["grad_norm"])}
-                    self.metrics_history.append(entry)
+                    self.logger.log(entry)
                     print(f"step {step}: loss={entry['loss']:.4f} grad_norm={entry['grad_norm']:.3f}")
                 self.ckpt.save(step, self.state)
                 if on_step is not None:
                     on_step(step, metrics)
+                if self.eval_step is not None and cfg.eval_steps and step % cfg.eval_steps == 0:
+                    run_eval()
                 if cfg.max_steps is not None and step >= cfg.max_steps:
                     break
             else:
+                if self.eval_step is not None and not cfg.eval_steps:
+                    run_eval()  # per-epoch eval (reference colmodel_torch_training.py:234-236)
                 continue
             break
         self.ckpt.wait()
@@ -150,6 +203,7 @@ class ColModelTraining:
             "train_runtime": runtime,
             "train_samples_per_second": samples / runtime if runtime > 0 else 0.0,
             "final_step": step,
+            **eval_metrics,
         }
         print(f"train_runtime: {runtime:.1f}s, samples/sec: {summary['train_samples_per_second']:.2f}")
         return summary

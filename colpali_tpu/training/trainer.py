@@ -130,6 +130,26 @@ def make_train_step(
     return train_step
 
 
+def make_eval_step(
+    loss_fn: Callable,
+    has_negatives: bool = False,
+) -> Callable[[TrainState, Batch], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Loss-only forward over an eval batch (the reference's
+    ``prediction_step``, contrastive_trainer.py:210-225), additionally
+    returning the padded query/doc embeddings so the orchestrator can compute
+    retrieval metrics without a second forward."""
+
+    def eval_step(state: TrainState, batch: Batch):
+        q = _forward(state.apply_fn, state.params, batch, "query_")
+        d = _forward(state.apply_fn, state.params, batch, "doc_")
+        if has_negatives and "neg_doc_input_ids" in batch:
+            n = _forward(state.apply_fn, state.params, batch, "neg_doc_")
+            return loss_fn(q, d, n), q, d
+        return loss_fn(q, d), q, d
+
+    return eval_step
+
+
 def shard_train_step(
     train_step: Callable,
     state: TrainState,
