@@ -8,8 +8,12 @@ Reference behavior being reproduced (SURVEY.md §5 "Checkpoint / resume"):
   (colmodel_training.py:109-118)
 
 TPU-native: Orbax async array checkpointing for the sharded TrainState
-(restores with the same shardings), plus a safetensors exporter so
-checkpoints interoperate with the torch reference ecosystem.
+(restores with the same shardings), plus a safetensors exporter. When the
+model family has a registered reverse-export (core/hf_export.EXPORTERS),
+``save_pretrained`` writes ``model.safetensors`` in the HF torch layout —
+loadable by the torch reference ecosystem AND re-importable here through
+core/hf_loader. Families without an exporter fall back to flax-path-keyed
+safetensors (NOT torch-loadable; resume via load_params_safetensors only).
 """
 
 from __future__ import annotations
@@ -92,6 +96,34 @@ def load_params_safetensors(path: str) -> Dict[str, Any]:
     return unflatten_params(load_file(path))
 
 
+def _try_hf_export(params: Dict[str, Any], model: Any) -> Optional[Dict[str, np.ndarray]]:
+    """Run the model family's reverse exporter, passing whatever vision patch
+    geometry its signature wants (from model.config). None when the family
+    has no exporter or the tree has params the rules don't cover."""
+    import inspect
+
+    from colpali_tpu.core.hf_export import EXPORTERS
+
+    export_fn = EXPORTERS.get(type(model).__name__)
+    if export_fn is None:
+        return None
+    kwargs: Dict[str, Any] = {}
+    accepted = set(inspect.signature(export_fn).parameters)
+    vision = getattr(getattr(model, "config", None), "vision", None)
+    for attr, kw in (
+        ("in_channels", "channels"),
+        ("temporal_patch_size", "temporal_patch_size"),
+        ("patch_size", "patch_size"),
+    ):
+        if kw in accepted and vision is not None and getattr(vision, attr, None) is not None:
+            kwargs[kw] = int(getattr(vision, attr))
+    try:
+        return export_fn(params, **kwargs)
+    except ValueError as exc:
+        print(f"HF export failed ({exc}); falling back to flax-keyed safetensors")
+        return None
+
+
 def git_revision(repo_dir: Optional[str] = None) -> str:
     try:
         return (
@@ -110,11 +142,30 @@ def save_pretrained(
     params: Dict[str, Any],
     config: Any = None,
     extra_metadata: Optional[Dict[str, Any]] = None,
+    model: Any = None,
 ) -> None:
     """Final export: params + config + provenance (reference
-    colmodel_training.py:109-118 writes model, processor, and git hash)."""
+    colmodel_training.py:109-118 writes model, processor, and git hash).
+
+    When ``model`` (or its class name) has a registered exporter,
+    ``model.safetensors`` is written in the HF torch layout (keys+shapes a
+    torch ``load_state_dict`` accepts); otherwise flax-path-keyed.
+    """
     os.makedirs(output_dir, exist_ok=True)
-    save_params_safetensors(params, os.path.join(output_dir, "model.safetensors"))
+    hf_state = _try_hf_export(params, model) if model is not None else None
+    if hf_state is not None:
+        from safetensors.numpy import save_file
+
+        save_file(
+            {k: np.ascontiguousarray(v) for k, v in hf_state.items()},
+            os.path.join(output_dir, "model.safetensors"),
+            metadata={"format": "pt"},
+        )
+        layout = "hf"
+    else:
+        save_params_safetensors(params, os.path.join(output_dir, "model.safetensors"))
+        layout = "flax"
+    extra_metadata = {"checkpoint_layout": layout, **(extra_metadata or {})}
     if config is not None:
         import dataclasses
 

@@ -213,7 +213,7 @@ class ColModelTraining:
         out = output_dir or self.config.output_dir
         model = self.config.model
         model_config = getattr(model, "config", None)
-        save_pretrained(out, jax.device_get(self.state.params), config=model_config)
+        save_pretrained(out, jax.device_get(self.state.params), config=model_config, model=model)
 
 
 class _ConcatDataset:

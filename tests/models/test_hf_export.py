@@ -1,0 +1,198 @@
+"""Reverse checkpoint export: flax -> HF torch-layout state dict.
+
+Round-trip property (VERDICT r1 missing #2): HF state dict -> flax (the
+production loader rules) -> HF (hf_export) must reproduce every consumed key
+bit-identically, the torch model must load the export with no unexpected
+keys, and re-importing the export into flax must be bit-identical. Hermetic:
+tiny random HF models, no network (same strategy as the parity suite).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from colpali_tpu.core.hf_export import (  # noqa: E402
+    adapt_keys_to,
+    export_colpali_state_dict,
+    export_colqwen2_state_dict,
+    render_torch_key,
+    unstack_layer_params,
+)
+from colpali_tpu.core.hf_loader import (  # noqa: E402
+    PALIGEMMA_KEY_REMAPS,
+    PALIGEMMA_RULES,
+    QWEN2_VL_KEY_REMAPS,
+    QWEN2_VL_RULES,
+    convert_state_dict,
+    normalize_keys,
+    split_fused_qkv,
+    stack_layer_params,
+)
+
+_DROPPED = ("lm_head.weight",)
+
+
+def _is_dropped(key: str) -> bool:
+    return key in _DROPPED or ".rotary_emb." in key or ".vision_model.head." in key
+
+
+def _assert_trees_identical(a, b):
+    la = jax.tree_util.tree_leaves_with_path(a)
+    lb = jax.tree_util.tree_leaves_with_path(b)
+    assert [p for p, _ in la] == [p for p, _ in lb]
+    for (_, x), (_, y) in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.fixture(scope="module")
+def paligemma_sd():
+    torch.manual_seed(0)
+    cfg = transformers.PaliGemmaConfig(
+        vision_config=dict(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                           num_attention_heads=4, image_size=28, patch_size=14,
+                           projection_dim=32),
+        text_config=dict(vocab_size=99, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, head_dim=8),
+        image_token_index=97,
+        projection_dim=32,
+    )
+    model = transformers.PaliGemmaForConditionalGeneration(cfg).eval().float()
+    sd = dict(model.state_dict())
+    # the retrieval head a trained ColPali checkpoint carries
+    sd["custom_text_proj.weight"] = torch.randn(16, 32)
+    sd["custom_text_proj.bias"] = torch.randn(16)
+    return model, sd
+
+
+@pytest.fixture(scope="module")
+def qwen2_sd():
+    torch.manual_seed(0)
+    cfg = transformers.Qwen2VLConfig(
+        vision_config=dict(depth=2, embed_dim=32, num_heads=4, mlp_ratio=2.0,
+                           hidden_size=48, patch_size=2, temporal_patch_size=2,
+                           spatial_merge_size=2, in_channels=3),
+        vocab_size=64, hidden_size=48, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, rope_theta=1000000.0,
+        rms_norm_eps=1e-6, rope_scaling={"type": "mrope", "mrope_section": [2, 2, 2]},
+        image_token_id=5, video_token_id=10, vision_start_token_id=3,
+        vision_end_token_id=4,
+    )
+    model = transformers.Qwen2VLModel(cfg).eval().float()
+    sd = dict(model.state_dict())
+    sd["custom_text_proj.weight"] = torch.randn(16, 48)
+    sd["custom_text_proj.bias"] = torch.randn(16)
+    return model, sd
+
+
+class TestRenderTorchKey:
+    def test_substitutes_groups_and_drops_optionals(self):
+        pat = r"model\.vision_tower\.vision_model\.encoder\.layers\.(\d+)\.layer_norm([12])\.weight"
+        assert render_torch_key(pat, ("3", "2")) == (
+            "model.vision_tower.vision_model.encoder.layers.3.layer_norm2.weight"
+        )
+        assert render_torch_key(r"(?:model\.)?custom_text_proj\.weight", ()) == (
+            "custom_text_proj.weight"
+        )
+
+    def test_refuses_wildcards(self):
+        assert render_torch_key(r"model\.vision_tower\.head\..*", ()) is None
+
+
+class TestColPaliExport:
+    def test_round_trip(self, paligemma_sd):
+        model, sd = paligemma_sd
+        params = convert_state_dict(sd, PALIGEMMA_RULES, PALIGEMMA_KEY_REMAPS)
+        exported = export_colpali_state_dict(params)
+        adapted = adapt_keys_to(exported, sd.keys(), PALIGEMMA_KEY_REMAPS)
+        # every consumed torch key comes back bit-identical
+        for key, value in sd.items():
+            if _is_dropped(key):
+                assert key not in adapted
+                continue
+            assert key in adapted, f"missing from export: {key}"
+            np.testing.assert_array_equal(adapted[key], value.numpy())
+        assert not set(adapted) - set(sd)  # no invented keys
+        # flax -> HF -> flax is bit-identical
+        _assert_trees_identical(
+            params, convert_state_dict(exported, PALIGEMMA_RULES, PALIGEMMA_KEY_REMAPS)
+        )
+
+    def test_torch_model_loads_export(self, paligemma_sd):
+        model, sd = paligemma_sd
+        params = convert_state_dict(sd, PALIGEMMA_RULES, PALIGEMMA_KEY_REMAPS)
+        adapted = adapt_keys_to(export_colpali_state_dict(params), sd.keys(), PALIGEMMA_KEY_REMAPS)
+        target_keys = set(model.state_dict())
+        loadable = {
+            k: torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in adapted.items()
+            if k in target_keys
+        }
+        result = model.load_state_dict(loadable, strict=False)
+        assert result.unexpected_keys == []
+        assert all(_is_dropped(k) for k in result.missing_keys), result.missing_keys
+
+    def test_scanned_params_export_identically(self, paligemma_sd):
+        """Models built with scan_layers=True save stacked layer trees; the
+        exporter must unstack them transparently."""
+        _, sd = paligemma_sd
+        params = convert_state_dict(sd, PALIGEMMA_RULES, PALIGEMMA_KEY_REMAPS)
+        stacked = stack_layer_params(params)
+        assert "layers_0" not in stacked["model"]["language_model"]
+        np_sd = export_colpali_state_dict(params)
+        np_sd2 = export_colpali_state_dict(stacked)
+        assert set(np_sd) == set(np_sd2)
+        for k in np_sd:
+            np.testing.assert_array_equal(np_sd[k], np_sd2[k])
+
+    def test_unstack_inverts_stack(self, paligemma_sd):
+        _, sd = paligemma_sd
+        params = convert_state_dict(sd, PALIGEMMA_RULES, PALIGEMMA_KEY_REMAPS)
+        _assert_trees_identical(params, unstack_layer_params(stack_layer_params(params)))
+
+
+class TestColQwen2Export:
+    def test_round_trip_with_fused_qkv_and_conv3d(self, qwen2_sd):
+        model, sd = qwen2_sd
+        state = split_fused_qkv(normalize_keys(sd, QWEN2_VL_KEY_REMAPS))
+        params = convert_state_dict(state, QWEN2_VL_RULES, ())
+        vc = model.config.vision_config
+        exported = export_colqwen2_state_dict(
+            params,
+            channels=vc.in_channels,
+            temporal_patch_size=vc.temporal_patch_size,
+            patch_size=vc.patch_size,
+        )
+        adapted = adapt_keys_to(exported, sd.keys(), QWEN2_VL_KEY_REMAPS)
+        for key, value in sd.items():
+            if _is_dropped(key):
+                continue
+            assert key in adapted, f"missing from export: {key}"
+            np.testing.assert_array_equal(adapted[key], value.numpy())
+        assert not set(adapted) - set(sd)
+
+    def test_torch_model_loads_export(self, qwen2_sd):
+        model, sd = qwen2_sd
+        state = split_fused_qkv(normalize_keys(sd, QWEN2_VL_KEY_REMAPS))
+        params = convert_state_dict(state, QWEN2_VL_RULES, ())
+        vc = model.config.vision_config
+        adapted = adapt_keys_to(
+            export_colqwen2_state_dict(
+                params, channels=vc.in_channels,
+                temporal_patch_size=vc.temporal_patch_size, patch_size=vc.patch_size,
+            ),
+            sd.keys(),
+            QWEN2_VL_KEY_REMAPS,
+        )
+        target_keys = set(model.state_dict())
+        loadable = {
+            k: torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in adapted.items()
+            if k in target_keys
+        }
+        result = model.load_state_dict(loadable, strict=False)
+        assert result.unexpected_keys == []
+        assert all(_is_dropped(k) for k in result.missing_keys), result.missing_keys

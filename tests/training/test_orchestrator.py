@@ -87,7 +87,30 @@ class TestOrchestrator:
         assert os.path.exists(os.path.join(outdir, "model.safetensors"))
         assert os.path.exists(os.path.join(outdir, "training_provenance.json"))
         with open(os.path.join(outdir, "training_provenance.json")) as f:
-            assert "git_hash" in json.load(f)
+            provenance = json.load(f)
+        assert "git_hash" in provenance
+        # ColPali has a registered reverse exporter: the checkpoint is in the
+        # HF torch layout, loadable by the reference ecosystem
+        assert provenance["checkpoint_layout"] == "hf"
+        from safetensors import safe_open
+
+        with safe_open(os.path.join(outdir, "model.safetensors"), framework="np") as f:
+            keys = set(f.keys())
+        assert "custom_text_proj.weight" in keys
+        assert any(k.startswith("model.vision_tower.vision_model.") for k in keys)
+        # ...and re-importable through the production loader
+        from colpali_tpu.core.hf_loader import load_colpali_params
+
+        restored = load_colpali_params(outdir)
+        import jax
+
+        trained = jax.device_get(trainer.state.params)
+        for (pa, a), (pb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(trained), key=lambda t: str(t[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(restored), key=lambda t: str(t[0])),
+        ):
+            assert str(pa) == str(pb)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_eval_during_training(self, setup):
         """eval_dataset is live config: eval runs every eval_steps, lands in
