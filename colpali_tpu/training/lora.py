@@ -9,7 +9,7 @@ way), adapters live in a parallel pytree and are merged into the frozen base
 on the fly INSIDE the jitted train step — ``W_eff = W + (alpha/r) A @ B``.
 XLA fuses the rank-r update into the consuming matmul's producer; the base
 tree is donated/frozen so only adapter grads and optimizer state are
-trainable memory.
+trainable memory. LoRA dropout is row-dropout on A (see merge_lora).
 """
 
 from __future__ import annotations
@@ -65,29 +65,56 @@ def merge_lora(
     lora: Dict[str, Any],
     alpha: float = 32.0,
     rank: int = 32,
+    dropout: float = 0.0,
+    dropout_rng: jax.Array | None = None,
 ) -> Dict[str, Any]:
     """W + (alpha/r) A @ B for adapted kernels; identity elsewhere. Pure and
-    jit-friendly (call inside the train step)."""
+    jit-friendly (call inside the train step).
+
+    ``dropout``/``dropout_rng``: LoRA dropout (reference recipe: 0.1,
+    scripts/configs/qwen2/train_colqwen2_model.py:82-90). peft drops input
+    features of the adapter branch per token; in the weight-merge design the
+    equivalent is dropping rows of A — the same expectation, with one mask
+    shared across the step's tokens instead of per-token (the only form
+    expressible as a weight update, which is what lets XLA fuse the rank-r
+    delta into the consuming matmul)."""
+    import zlib
+
     scale = alpha / rank
+    keep = 1.0 - dropout
+    use_dropout = dropout > 0.0 and dropout_rng is not None
 
     def merge(path_tuple, leaf):
         path = "/".join(str(getattr(k, "key", k)) for k in path_tuple)
         adapter = lora.get(path)
         if adapter is None:
             return leaf
-        delta = (adapter["a"] @ adapter["b"]) * scale
+        a = adapter["a"]
+        if use_dropout:
+            # crc32(path) is deterministic across processes (unlike hash())
+            sub = jax.random.fold_in(dropout_rng, zlib.crc32(path.encode()) & 0x7FFFFFFF)
+            mask = jax.random.bernoulli(sub, keep, (a.shape[0], 1))
+            a = a * mask.astype(a.dtype) / keep
+        delta = (a @ adapter["b"]) * scale
         return leaf + delta.astype(leaf.dtype)
 
     return jax.tree_util.tree_map_with_path(merge, params)
 
 
-def make_lora_train_step(loss_forward, base_params, alpha: float = 32.0, rank: int = 32):
+def make_lora_train_step(loss_forward, alpha: float = 32.0, rank: int = 32, dropout: float = 0.0):
     """Wrap a ``loss_forward(params, batch)`` into a LoRA objective
-    ``loss(lora, batch)`` with the base frozen (closure constant under jit).
+    ``loss(lora, base_params, batch[, dropout_rng])``.
+
+    ``base_params`` is an explicit argument — NEVER close the jitted loss
+    over the base tree: jit captures closures as constants, and serializing
+    a multi-GB constant through the axon tunnel hangs compilation for 15+
+    minutes (see docs/PERF.md). As an argument it can also be donated.
     """
 
-    def lora_loss(lora: Dict[str, Any], batch):
-        merged = merge_lora(base_params, lora, alpha=alpha, rank=rank)
+    def lora_loss(lora: Dict[str, Any], base_params, batch, dropout_rng=None):
+        merged = merge_lora(
+            base_params, lora, alpha=alpha, rank=rank, dropout=dropout, dropout_rng=dropout_rng
+        )
         return loss_forward(merged, batch)
 
     return lora_loss

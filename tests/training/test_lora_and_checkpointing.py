@@ -70,14 +70,44 @@ class TestLoRA:
             d = model.apply({"params": p}, b["doc_input_ids"], b["doc_attention_mask"], b["doc_pixel_values"])
             return loss_obj(q, d)
 
-        lora_loss = make_lora_train_step(loss_forward, params, alpha=4, rank=4)
+        # base_params is an ARGUMENT of the jitted step (closing over it
+        # would serialize the base tree as a jit constant — the axon trap)
+        lora_loss = make_lora_train_step(loss_forward, alpha=4, rank=4)
         grad_fn = jax.jit(jax.value_and_grad(lora_loss))
-        l0, grads = grad_fn(lora, batch)
+        l0, grads = grad_fn(lora, params, batch)
         assert np.isfinite(float(l0))
+        # adapter-only updates: grads have exactly the adapter structure
+        assert jax.tree.structure(grads) == jax.tree.structure(lora)
         # one SGD step on the adapters must change the loss
         lora2 = jax.tree.map(lambda p, g: p - 0.5 * g, lora, grads)
-        l1, _ = grad_fn(lora2, batch)
+        l1, _ = grad_fn(lora2, params, batch)
         assert float(l1) != float(l0)
+
+    def test_dropout_masks_adapter_rows(self, tiny):
+        _, params, _ = tiny
+        lora = init_lora_params(params, jax.random.PRNGKey(1), rank=4)
+        # make B nonzero so the delta is visible
+        lora = jax.tree.map(lambda x: jnp.ones_like(x) * 0.1, lora)
+        base = merge_lora(params, lora, alpha=4, rank=4)
+        # no rng -> deterministic merge, identical to dropout=0
+        same = merge_lora(params, lora, alpha=4, rank=4, dropout=0.5)
+        for a, b in zip(jax.tree.leaves(base), jax.tree.leaves(same)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # with rng, the merged weights differ (rows dropped + rescaled)...
+        dropped = merge_lora(
+            params, lora, alpha=4, rank=4, dropout=0.5, dropout_rng=jax.random.PRNGKey(2)
+        )
+        diffs = [
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(base), jax.tree.leaves(dropped))
+        ]
+        assert any(diffs)
+        # ...but are reproducible for the same rng (crc32 path folding)
+        dropped2 = merge_lora(
+            params, lora, alpha=4, rank=4, dropout=0.5, dropout_rng=jax.random.PRNGKey(2)
+        )
+        for a, b in zip(jax.tree.leaves(dropped), jax.tree.leaves(dropped2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 class TestCheckpointing:
