@@ -9,7 +9,14 @@ auto-detect text vs image payloads, key-prefix the three sub-batches
 
 TPU addition: optional fixed padding targets so every batch compiles to the
 same shapes (the reference pads per-batch "longest", which would retrace
-XLA every step).
+XLA every step). Two independent knobs, each an int or a sorted list of
+bucket sizes (smallest bucket >= the batch's natural size wins):
+
+- ``pad_seq_to``: token-sequence axes (input_ids / attention_mask /
+  position_ids).
+- ``pad_patches_to``: the visual patch axis of dynamic-resolution families
+  (Qwen-VL style ``pixel_values (B, P, D)`` + patch_mask/vision_hpos/
+  vision_wpos) — without it every distinct image grid retraces XLA.
 """
 
 from __future__ import annotations
@@ -24,9 +31,35 @@ from colpali_tpu.processors.base import BaseVisualRetrieverProcessor
 
 N_AUGMENTATION_TOKENS = 10
 
+PadSpec = Union[int, Sequence[int]]
+
 
 def prefix_keys(data: Dict[str, Any], prefix: str) -> Dict[str, Any]:
     return {f"{prefix}{k}": v for k, v in data.items()}
+
+
+def pick_bucket(current: int, spec: PadSpec, multiple: int = 1) -> int:
+    """Smallest configured bucket >= current (rounded up to ``multiple``).
+    A bare int is a single bucket. Overflow is an error — silent truncation
+    would corrupt training."""
+    buckets = [spec] if isinstance(spec, int) else sorted(spec)
+    for b in buckets:
+        b = ((b + multiple - 1) // multiple) * multiple
+        if b >= current:
+            return b
+    raise ValueError(
+        f"Batch needs {current} elements but the largest pad bucket is "
+        f"{buckets[-1]}; add a bigger bucket (buckets={buckets})"
+    )
+
+
+def _pad_axis(value: np.ndarray, axis: int, target: int) -> np.ndarray:
+    cur = value.shape[axis]
+    if cur >= target:
+        return value
+    pad = [(0, 0)] * value.ndim
+    pad[axis] = (0, target - cur)
+    return np.pad(value, pad)
 
 
 def _is_image(x: Any) -> bool:
@@ -42,12 +75,14 @@ class VisualRetrieverCollator:
         self,
         processor: BaseVisualRetrieverProcessor,
         max_length: int = 2048,
-        pad_seq_to: Optional[int] = None,
+        pad_seq_to: Optional[PadSpec] = None,
+        pad_patches_to: Optional[PadSpec] = None,
         rng: Optional[random.Random] = None,
     ):
         self.processor = processor
         self.max_length = max_length
         self.pad_seq_to = pad_seq_to
+        self.pad_patches_to = pad_patches_to
         self._rng = rng or random
 
     def __call__(self, examples: List[Dict[str, Any]]) -> Dict[str, Any]:
@@ -83,8 +118,8 @@ class VisualRetrieverCollator:
         }
         if neg_targets:
             batch.update(self.auto_collate(neg_targets, self.neg_doc_prefix))
-        if self.pad_seq_to is not None:
-            batch = {k: self._pad_static(k, v) for k, v in batch.items()}
+        if self.pad_seq_to is not None or self.pad_patches_to is not None:
+            batch = self._apply_static_padding(batch)
         return batch
 
     def auto_collate(self, batch: Sequence[Union[str, Any, list]], key_prefix: str = "") -> Dict[str, Any]:
@@ -113,14 +148,28 @@ class VisualRetrieverCollator:
             raise ValueError(f"Unsupported batch type: {type(first)}.")
         return prefix_keys(proc, key_prefix)
 
-    def _pad_static(self, key: str, value: np.ndarray) -> np.ndarray:
-        """Right-pad the sequence dim to a fixed length for shape stability."""
-        if not isinstance(value, np.ndarray) or "input_ids" not in key and "attention_mask" not in key:
-            return value
-        seq_axis = value.ndim - 1
-        cur = value.shape[seq_axis]
-        if cur >= self.pad_seq_to:
-            return value
-        pad = [(0, 0)] * value.ndim
-        pad[seq_axis] = (0, self.pad_seq_to - cur)
-        return np.pad(value, pad)
+    def _apply_static_padding(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Right-pad every sub-batch's sequence axis (input_ids /
+        attention_mask / position_ids) and visual patch axis (pixel_values /
+        patch_mask / vision_hpos / vision_wpos) to fixed buckets, so batches
+        compile to a bounded set of shapes."""
+        out = dict(batch)
+        # keep merged patch groups aligned under padding
+        group = int(getattr(self.processor, "merge_size", 1)) ** 2
+        for prefix in (self.query_prefix, self.pos_doc_prefix, self.neg_doc_prefix):
+            ids_key = f"{prefix}input_ids"
+            if self.pad_seq_to is not None and ids_key in batch:
+                target = pick_bucket(batch[ids_key].shape[-1], self.pad_seq_to)
+                for name in ("input_ids", "attention_mask", "position_ids"):
+                    key = f"{prefix}{name}"
+                    if key in batch:
+                        out[key] = _pad_axis(batch[key], -1, target)
+            mask_key = f"{prefix}patch_mask"
+            if self.pad_patches_to is not None and mask_key in batch:
+                target = pick_bucket(batch[mask_key].shape[-1], self.pad_patches_to, multiple=group)
+                out[f"{prefix}pixel_values"] = _pad_axis(batch[f"{prefix}pixel_values"], -2, target)
+                for name in ("patch_mask", "vision_hpos", "vision_wpos"):
+                    key = f"{prefix}{name}"
+                    if key in batch:
+                        out[key] = _pad_axis(batch[key], -1, target)
+        return out

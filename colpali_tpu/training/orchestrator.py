@@ -56,7 +56,8 @@ class ColModelTrainingConfig:
     report_to: Any = "jsonl"  # "jsonl" | "wandb" | ["jsonl", "wandb"] | "none"
     resume_from_checkpoint: bool = False
     seed: int = 0
-    pad_seq_to: Optional[int] = None
+    pad_seq_to: Optional[Any] = None  # int or bucket list (see data.collator)
+    pad_patches_to: Optional[Any] = None  # visual patch axis buckets (Qwen-VL)
 
 
 class ColModelTraining:
@@ -65,7 +66,11 @@ class ColModelTraining:
 
     def __init__(self, config: ColModelTrainingConfig):
         self.config = config
-        self.collator = VisualRetrieverCollator(config.processor, pad_seq_to=config.pad_seq_to)
+        self.collator = VisualRetrieverCollator(
+            config.processor,
+            pad_seq_to=config.pad_seq_to,
+            pad_patches_to=config.pad_patches_to,
+        )
         self.sampler = SingleDatasetBatchSampler(
             config.train_datasets, config.global_batch_size, seed=config.seed
         )

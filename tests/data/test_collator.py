@@ -83,6 +83,103 @@ class TestCollator:
             collator([{"pos_target": "p"}])
 
 
+class FakeQwenProcessor(FakeProcessor):
+    """Dynamic-resolution style: per-image patch counts vary, batches carry
+    patch_mask / vision_hpos / vision_wpos / position_ids like the Qwen-VL
+    processors."""
+
+    merge_size = 2
+
+    def process_texts(self, texts):
+        batch = super().process_texts(texts)
+        s = batch["input_ids"].shape[1]
+        batch["position_ids"] = np.zeros((3, len(texts), s), np.int32)
+        return batch
+
+    def process_images(self, images):
+        n = len(images)
+        p = max(int(im.patches) for im in images)  # varies per batch
+        p = ((p + 3) // 4) * 4
+        s = 4 + p // 4
+        return {
+            "input_ids": np.ones((n, s), np.int32),
+            "attention_mask": np.ones((n, s), np.int32),
+            "position_ids": np.zeros((3, n, s), np.int32),
+            "pixel_values": np.zeros((n, p, 12), np.float32),
+            "patch_mask": np.ones((n, p), bool),
+            "vision_hpos": np.zeros((n, p), np.int32),
+            "vision_wpos": np.zeros((n, p), np.int32),
+        }
+
+
+class FakeSizedImage(FakeImage):
+    def __init__(self, patches):
+        self.patches = patches
+
+    def __array__(self, dtype=None):  # _is_image check goes via convert()
+        raise NotImplementedError
+
+
+class TestStaticPatchBuckets:
+    """VERDICT r1 weak #6: mixed-resolution epochs must not retrace XLA."""
+
+    def _epoch(self, collator):
+        batches = []
+        for patches in (6, 17, 40, 9):  # four distinct natural image grids
+            batches.append(collator([
+                {"query": "q one two", "pos_target": FakeSizedImage(patches), "neg_target": None}
+            ]))
+        return batches
+
+    def test_all_batches_share_one_shape_set(self):
+        collator = VisualRetrieverCollator(
+            FakeQwenProcessor(), pad_seq_to=32, pad_patches_to=64
+        )
+        batches = self._epoch(collator)
+        shapes = {tuple(sorted((k, v.shape) for k, v in b.items())) for b in batches}
+        assert len(shapes) == 1
+        b = batches[0]
+        assert b["doc_pixel_values"].shape[1] == 64
+        assert b["doc_patch_mask"].shape[1] == 64
+        assert b["doc_position_ids"].shape[-1] == 32
+        assert b["query_position_ids"].shape[-1] == 32
+
+    def test_single_jit_trace_across_epoch(self):
+        import jax
+        import jax.numpy as jnp
+
+        collator = VisualRetrieverCollator(
+            FakeQwenProcessor(), pad_seq_to=32, pad_patches_to=64
+        )
+
+        @jax.jit
+        def step(batch):
+            return jnp.sum(batch["doc_pixel_values"]) + jnp.sum(batch["doc_input_ids"])
+
+        for batch in self._epoch(collator):
+            step({k: jnp.asarray(v) for k, v in batch.items()})
+        assert step._cache_size() == 1
+
+    def test_buckets_pick_smallest_fit(self):
+        collator = VisualRetrieverCollator(
+            FakeQwenProcessor(), pad_patches_to=[16, 64]
+        )
+        small = collator([{"query": "q", "pos_target": FakeSizedImage(6), "neg_target": None}])
+        big = collator([{"query": "q", "pos_target": FakeSizedImage(40), "neg_target": None}])
+        assert small["doc_pixel_values"].shape[1] == 16
+        assert big["doc_pixel_values"].shape[1] == 64
+
+    def test_bucket_overflow_raises(self):
+        collator = VisualRetrieverCollator(FakeQwenProcessor(), pad_patches_to=16)
+        with pytest.raises(ValueError, match="bucket"):
+            collator([{"query": "q", "pos_target": FakeSizedImage(40), "neg_target": None}])
+
+    def test_padded_patches_are_masked(self):
+        collator = VisualRetrieverCollator(FakeQwenProcessor(), pad_patches_to=64)
+        batch = collator([{"query": "q", "pos_target": FakeSizedImage(6), "neg_target": None}])
+        assert batch["doc_patch_mask"][:, 8:].sum() == 0  # padding is masked off
+
+
 class TestPrefetch:
     def test_order_and_completion(self):
         from colpali_tpu.data.prefetch import prefetch
