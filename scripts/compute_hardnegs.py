@@ -9,6 +9,15 @@ files produced by an embed run (keys: ``embeddings`` or ragged ``emb_<i>``).
 
 from __future__ import annotations
 
+# When run from a source checkout without installation, make the repo root
+# importable (an installed colpali_tpu still wins: this is an append).
+import sys as _sys
+from pathlib import Path as _Path
+
+_repo_root = str(_Path(__file__).resolve().parents[1])
+if _repo_root not in _sys.path:
+    _sys.path.append(_repo_root)
+
 import argparse
 import json
 
