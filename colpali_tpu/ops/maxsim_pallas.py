@@ -502,3 +502,73 @@ def maxsim_pallas_int8mxu_tiled(
         ),
         interpret=interpret,
     )(q_flat, qs_flat, doc_embeddings_int8_tiled, doc_scales_tiled)
+
+
+# ---------------------------------------------------------------------------
+# Candidate gather: scalar-prefetch kernel for the two-tier rerank
+# ---------------------------------------------------------------------------
+
+
+def gather_candidates_pallas(
+    store: jnp.ndarray,
+    scales: jnp.ndarray | None,
+    cand: jnp.ndarray,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+    """Gather candidate docs from the tile-major store by doc id.
+
+    The rerank step of the two-tier (binary-prefilter) search. XLA's own
+    gather/dynamic-slice lowerings relayout-copy the ENTIRE store on TPU for
+    this access pattern (observed +7.6 GB HBM at 1M docs) or pay ~9 us per
+    candidate; here the candidate ids are scalar-prefetched and drive the
+    BlockSpec index maps directly, so each grid step DMAs exactly the
+    (Np, 8-lane, D) sublane group holding its candidate (~64 KB).
+
+    Args:
+        store: ``(nt, Np, DOC_TILE, D)`` int8/bf16 tile-major corpus.
+        scales: ``(nt, Np, DOC_TILE)`` f32 per-token scales, or None (bf16).
+        cand: ``(c,)`` int32 doc ids (``tile*DOC_TILE + lane``).
+        interpret: Pallas interpreter mode (hermetic CPU testing).
+
+    Returns:
+        ``(c, Np, D)`` docs (store dtype) and ``(c, Np)`` f32 scales (or
+        None), in candidate order.
+    """
+    (c,) = cand.shape
+    nt, np_, t_, d = store.shape
+    has_scales = scales is not None
+
+    in_specs = [
+        pl.BlockSpec((1, np_, 8, d), lambda i, cref: (cref[i] // t_, 0, (cref[i] % t_) // 8, 0)),
+    ]
+    out_specs = [pl.BlockSpec((1, np_, 8, d), lambda i, cref: (i, 0, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((c, np_, 8, d), store.dtype)]
+    if has_scales:
+        # f32 blocks need a full-width lane dim: gather the whole scales
+        # tile (~32 KB) and select the lane outside the kernel
+        in_specs.append(pl.BlockSpec((1, np_, t_), lambda i, cref: (cref[i] // t_, 0, 0)))
+        out_specs.append(pl.BlockSpec((1, np_, t_), lambda i, cref: (i, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((c, np_, t_), jnp.float32))
+
+    def kern(cref, *refs):
+        n_in = 2 if has_scales else 1
+        for in_ref, out_ref in zip(refs[:n_in], refs[n_in:]):
+            out_ref[...] = in_ref[...]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(c,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    outs = pl.pallas_call(kern, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret)(
+        cand, *((store, scales) if has_scales else (store,))
+    )
+    docs8 = outs[0]
+    l8 = (cand % 8).astype(jnp.int32)
+    docs = jnp.take_along_axis(docs8, l8[:, None, None, None], axis=2)[:, :, 0, :]
+    if not has_scales:
+        return docs, None
+    lt = (cand % t_).astype(jnp.int32)
+    scl = jnp.take_along_axis(outs[1], lt[:, None, None], axis=2)[:, :, 0]
+    return docs, scl

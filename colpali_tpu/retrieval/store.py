@@ -23,13 +23,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from colpali_tpu.ops.maxsim import maxsim
+from colpali_tpu.ops.maxsim_binary import (
+    binary_maxsim_pallas_tiled,
+    binary_maxsim_xla_tiled,
+)
 from colpali_tpu.ops.maxsim_pallas import (
     DOC_TILE,
+    gather_candidates_pallas,
     maxsim_pallas_int8_tiled,
     maxsim_pallas_int8mxu_tiled,
     maxsim_pallas_tiled,
 )
-from colpali_tpu.ops.quant import quantize_per_token
+from colpali_tpu.ops.quant import binarize_words, quantize_per_token
 from colpali_tpu.utils.tensor_utils import pad_sequences, round_up
 
 Array = Union[np.ndarray, jnp.ndarray]
@@ -37,6 +42,61 @@ Array = Union[np.ndarray, jnp.ndarray]
 
 def _on_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
+
+
+def gather_rerank(
+    queries: jnp.ndarray,
+    store: jnp.ndarray,
+    scales: Optional[jnp.ndarray],
+    cand: jnp.ndarray,
+    use_kernel: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Exact MaxSim over candidate docs gathered from a tile-major store.
+
+    queries ``(B, Nq, D)`` f32; store ``(nt, Np, DOC_TILE, D)`` int8/bf16
+    (+ optional ``(nt, Np, DOC_TILE)`` f32 scales); cand ``(B, c)`` doc ids
+    local to the store. Returns ``(B, c)`` exact f32 scores.
+
+    use_kernel=True routes the gather through the scalar-prefetch Pallas
+    kernel (ops/maxsim_pallas.gather_candidates_pallas) — the TPU path. The
+    fallback is a lax.map of two-level dynamic_slices: a two-axis
+    advanced-indexing gather (and a width-1 lane slice inside a loop) makes
+    XLA:TPU relayout-copy the ENTIRE store (+7.6 GB HBM at 1M docs), so the
+    full tile is sliced first (layout-preserving), then the lane — with an
+    optimization_barrier between them, or XLA hoists the lane slice back
+    onto the big operand and re-materializes the copy.
+    """
+    b, c = cand.shape
+    nt, np_, t_, d = store.shape
+    flat = cand.reshape(-1)
+
+    if use_kernel:
+        docs, scl = gather_candidates_pallas(store, scales, flat, interpret=interpret)
+        docs = docs.astype(jnp.float32)
+        if scl is not None:
+            docs = docs * scl[..., None]
+    else:
+
+        def get_one(i):
+            t, lane = i // DOC_TILE, i % DOC_TILE
+            tile = jax.lax.dynamic_slice(store, (t, 0, 0, 0), (1, np_, t_, d))
+            tile = jax.lax.optimization_barrier(tile)
+            doc = jax.lax.dynamic_slice(tile, (0, 0, lane, 0), (1, np_, 1, d))
+            doc = doc.reshape(np_, d).astype(jnp.float32)
+            if scales is not None:
+                stile = jax.lax.optimization_barrier(
+                    jax.lax.dynamic_slice(scales, (t, 0, 0), (1, np_, t_))
+                )
+                s = jax.lax.dynamic_slice(stile, (0, 0, lane), (1, np_, 1)).reshape(np_)
+                doc = doc * s[:, None]
+            return doc
+
+        docs = jax.lax.map(get_one, flat)
+
+    docs = docs.reshape(b, c, np_, d)
+    sim = jnp.einsum("bqd,bcnd->bqcn", queries, docs)
+    return jnp.sum(jnp.max(sim, axis=-1), axis=1)
 
 
 class CorpusIndex:
@@ -57,6 +117,13 @@ class CorpusIndex:
             off-TPU — this is how the shard_map serving path is tested
             hermetically); False forces the XLA fallback.
         truncate: opt in to silently dropping tokens beyond ``doc_tokens``.
+        prefilter: ``"binary"`` additionally stores packed sign bits
+            (ops/quant.binarize_words — 16x smaller than bf16) and makes
+            :meth:`search` two-tier: an XOR+popcount coarse pass shortlists
+            ``candidates`` docs, then the exact store rescores only those.
+            This is the PLAID-role approximate path for corpora (or latency
+            targets) the exact kernel can't serve
+            (reference processing_utils.py:189-244).
 
     The build is chunked: the fp32 corpus is packed (padded, tiled,
     quantized) ``_BUILD_CHUNK_DOCS`` docs at a time into a preallocated
@@ -76,8 +143,9 @@ class CorpusIndex:
         quantize_queries: bool = True,
         force_kernel: Optional[bool] = None,
         truncate: bool = False,
+        prefilter: Optional[str] = None,
     ):
-        self._init_common(dtype, mesh, axis, quantize_queries, force_kernel)
+        self._init_common(dtype, mesh, axis, quantize_queries, force_kernel, prefilter)
 
         if isinstance(doc_embeddings, (list, tuple)):
             docs_list = [np.asarray(d, dtype=np.float32) for d in doc_embeddings]
@@ -100,15 +168,19 @@ class CorpusIndex:
                 )
             docs_list = [d[:target_tokens] for d in docs_list]
         self.doc_tokens = round_up(target_tokens, 16)
+        if self.prefilter == "binary" and self.dim % 32 != 0:
+            raise ValueError(f"binary prefilter needs dim % 32 == 0, got {self.dim}")
 
         shard_multiple = DOC_TILE * (mesh.shape[axis] if mesh is not None else 1)
         self.padded_docs = round_up(self.num_docs, shard_multiple)
-        store_host, scales_host = self._pack_host(docs_list)
-        self._put_store(store_host, scales_host)
+        store_host, scales_host, bwords_host = self._pack_host(docs_list)
+        self._put_store(store_host, scales_host, bwords_host)
 
-    def _init_common(self, dtype, mesh, axis, quantize_queries, force_kernel) -> None:
+    def _init_common(self, dtype, mesh, axis, quantize_queries, force_kernel, prefilter=None) -> None:
         if dtype not in ("bf16", "int8"):
             raise ValueError(f"Unsupported index dtype: {dtype}")
+        if prefilter not in (None, "binary"):
+            raise ValueError(f"Unsupported prefilter: {prefilter!r} (None or 'binary')")
         self.dtype = dtype
         # int8 indexes default to the full-int8 MXU kernel (pass False for
         # the bf16-matmul dequant kernel: slower, no query quant error)
@@ -116,8 +188,10 @@ class CorpusIndex:
         self.mesh = mesh
         self.axis = axis
         self.force_kernel = force_kernel
+        self.prefilter = prefilter
+        self._bwords = None
 
-    def _pack_host(self, docs_list) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    def _pack_host(self, docs_list) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[np.ndarray]]:
         """Pack ragged fp32 docs into the tile-major serving layout
         (C//DOC_TILE, Np, DOC_TILE, D) int8/bf16 host arrays, chunk by chunk."""
         import ml_dtypes
@@ -130,6 +204,10 @@ class CorpusIndex:
         else:
             store_host = np.zeros((n_tiles, np_, DOC_TILE, d), ml_dtypes.bfloat16)
             scales_host = None
+        bwords_host = None
+        if self.prefilter == "binary":
+            # word-major packed sign bits (see ops/maxsim_binary)
+            bwords_host = np.zeros((n_tiles, d // 32, np_, DOC_TILE), np.int32)
 
         # chunk boundaries must land on tile boundaries for t0 = start//DOC_TILE
         chunk = max(DOC_TILE, self._BUILD_CHUNK_DOCS - self._BUILD_CHUNK_DOCS % DOC_TILE)
@@ -156,15 +234,32 @@ class CorpusIndex:
                 scales_host[t0:t1] = scale
             else:
                 store_host[t0:t1] = tiled.astype(ml_dtypes.bfloat16)
-        return store_host, scales_host
+            if bwords_host is not None:
+                # host-side mirror of ops.quant.binarize_words +
+                # ops.maxsim_binary.fill_doc_padding (padded tokens take
+                # token 0's words: duplicates are score-neutral under max)
+                bits = (tiled > 0).astype(np.uint32).reshape(t1 - t0, np_, DOC_TILE, d // 32, 32)
+                weights = (np.uint32(1) << np.arange(32, dtype=np.uint32))
+                words = np.sum(bits * weights, axis=-1, dtype=np.uint32).astype(np.int32)
+                valid = np.any(tiled != 0, axis=-1)  # (nt, Np, T)
+                words = np.where(valid[..., None], words, words[:, :1])
+                bwords_host[t0:t1] = words.transpose(0, 3, 1, 2)
+        return store_host, scales_host, bwords_host
 
-    def _put_store(self, store_host: np.ndarray, scales_host: Optional[np.ndarray]) -> None:
+    def _put_store(
+        self,
+        store_host: np.ndarray,
+        scales_host: Optional[np.ndarray],
+        bwords_host: Optional[np.ndarray] = None,
+    ) -> None:
         self._store = self._device_put(jnp.asarray(store_host), P(self.axis, None, None, None))
         self._scales = (
             None
             if scales_host is None
             else self._device_put(jnp.asarray(scales_host), P(self.axis, None, None))
         )
+        if bwords_host is not None:
+            self._bwords = self._device_put(jnp.asarray(bwords_host), P(self.axis, None, None, None))
 
     # -- persistence --------------------------------------------------------
 
@@ -184,6 +279,8 @@ class CorpusIndex:
         }
         if self._scales is not None:
             payload["scales"] = np.asarray(self._scales)
+        if self._bwords is not None:
+            payload["bwords"] = np.asarray(self._bwords)
         np.savez(path, **payload)
 
     @classmethod
@@ -202,7 +299,10 @@ class CorpusIndex:
         data = np.load(path)
         dtype = bytes(data["dtype"]).decode()
         self = object.__new__(cls)
-        self._init_common(dtype, mesh, axis, quantize_queries, force_kernel)
+        self._init_common(
+            dtype, mesh, axis, quantize_queries, force_kernel,
+            prefilter="binary" if "bwords" in data else None,
+        )
         self.num_docs = int(data["num_docs"])
         self.doc_tokens = int(data["doc_tokens"])
         self.dim = int(data["dim"])
@@ -216,7 +316,11 @@ class CorpusIndex:
                 f"Saved index has {store.shape[0]} tiles, not divisible over a "
                 f"{mesh.shape[axis]}-way {axis!r} mesh axis"
             )
-        self._put_store(store, data["scales"] if "scales" in data else None)
+        self._put_store(
+            store,
+            data["scales"] if "scales" in data else None,
+            data["bwords"] if "bwords" in data else None,
+        )
         return self
 
     def _device_put(self, x: jnp.ndarray, spec: P) -> jnp.ndarray:
@@ -229,6 +333,8 @@ class CorpusIndex:
         n = self._store.size * self._store.dtype.itemsize
         if self._scales is not None:
             n += self._scales.size * self._scales.dtype.itemsize
+        if self._bwords is not None:
+            n += self._bwords.size * 4
         return n
 
     def _score_padded(self, queries: jnp.ndarray) -> jnp.ndarray:
@@ -296,17 +402,100 @@ class CorpusIndex:
         self,
         query_embeddings: Union[Sequence[Array], Array],
         k: int = 10,
+        candidates: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k ``(scores, doc_indices)`` per query — the PLAID-equivalent
-        serving call (reference ``get_topk_plaid``, processing_utils.py:189)."""
+        serving call (reference ``get_topk_plaid``, processing_utils.py:189).
+
+        With ``prefilter="binary"``, a coarse sign-sketch pass shortlists
+        ``candidates`` docs (default ``max(8*k, 64)``; per shard when a mesh
+        is attached) and only those are rescored exactly. Returned scores are
+        exact; only recall is approximate."""
         queries = self._prep_queries(query_embeddings)
+        k = min(k, self.num_docs)
+        if self.prefilter == "binary":
+            return self._search_prefilter(queries, k, candidates)
+        if candidates is not None:
+            raise ValueError("candidates= requires an index built with prefilter='binary'")
         scores = self._score_padded(queries)
         if self.padded_docs > self.num_docs:
             # mask the zero-padded fake docs
             col = jnp.arange(self.padded_docs)[None, :]
             scores = jnp.where(col < self.num_docs, scores, -jnp.inf)
-        k = min(k, self.num_docs)
         top_scores, top_idx = jax.lax.top_k(scores, k)
+        return np.asarray(top_scores), np.asarray(top_idx)
+
+    # -- two-tier (binary prefilter) search ---------------------------------
+
+    def _binary_fn(self):
+        """Coarse-scorer closure: (q_words, q_valid, bwords) -> (B, C)."""
+        use_kernel = self.force_kernel if self.force_kernel is not None else _on_tpu()
+        if use_kernel:
+            interpret = not _on_tpu()
+            return lambda qw, qv, bw: binary_maxsim_pallas_tiled(
+                qw, qv, bw, self.dim, interpret=interpret
+            )
+        return lambda qw, qv, bw: binary_maxsim_xla_tiled(qw, qv, bw, self.dim)
+
+    def _rerank(self, queries, store, scales, cand):
+        use_kernel = self.force_kernel if self.force_kernel is not None else _on_tpu()
+        return gather_rerank(
+            queries, store, scales, cand, use_kernel=use_kernel, interpret=not _on_tpu()
+        )
+
+    def _search_prefilter(
+        self, queries: jnp.ndarray, k: int, candidates: Optional[int]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        q_words, q_valid = binarize_words(queries)
+        coarse = self._binary_fn()
+        candidates = max(candidates or max(8 * k, 64), k)
+
+        if self.mesh is None:
+            c = min(candidates, self.num_docs)
+            scores_c = coarse(q_words, q_valid, self._bwords)
+            col = jnp.arange(self.padded_docs)[None, :]
+            scores_c = jnp.where(col < self.num_docs, scores_c, -jnp.inf)
+            _, cand = jax.lax.top_k(scores_c, c)
+            exact = self._rerank(queries, self._store, self._scales, cand)
+            top_scores, pos = jax.lax.top_k(exact, k)
+            top_idx = jnp.take_along_axis(cand, pos, axis=1)
+            return np.asarray(top_scores), np.asarray(top_idx)
+
+        # Mesh: every chip shortlists `candidates` docs from ITS shard,
+        # reranks them exactly, and emits its local top-k; the global top-k
+        # over the concatenated per-shard winners equals the exact top-k of
+        # the union of shard candidate sets (a superset of the single-device
+        # candidate set, so recall can only improve).
+        n_shards = self.mesh.shape[self.axis]
+        c_local_docs = self.padded_docs // n_shards
+        c = min(candidates, c_local_docs)
+        k_local = min(k, c)
+        num_docs, axis = self.num_docs, self.axis
+        has_scales = self._scales is not None
+
+        def local_search(qw, qv, q, bw, store, scales):
+            sc = coarse(qw, qv, bw)  # (B, c_local_docs)
+            shard = jax.lax.axis_index(axis).astype(jnp.int32)
+            gids = shard * c_local_docs + jnp.arange(c_local_docs, dtype=jnp.int32)
+            sc = jnp.where(gids[None, :] < num_docs, sc, -jnp.inf)
+            _, cand = jax.lax.top_k(sc, c)
+            exact = self._rerank(q, store, scales if has_scales else None, cand)
+            ts, pos = jax.lax.top_k(exact, k_local)
+            return ts, jnp.take(gids, jnp.take_along_axis(cand, pos, axis=1))
+
+        shard4, shard3 = P(axis, None, None, None), P(axis, None, None)
+        scale_spec = shard3 if self._scales is not None else P()
+        sharded = jax.shard_map(
+            local_search,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(), shard4, shard4, scale_spec),
+            out_specs=(P(None, axis), P(None, axis)),
+            check_vma=False,
+        )
+        scales = self._scales if self._scales is not None else jnp.zeros((), jnp.float32)
+        all_s, all_i = sharded(q_words, q_valid, queries, self._bwords, self._store, scales)
+        top_scores, pos = jax.lax.top_k(all_s, k)
+        top_idx = jnp.take_along_axis(all_i, pos, axis=1)
         return np.asarray(top_scores), np.asarray(top_idx)
 
     def _prep_queries(self, qs: Union[Sequence[Array], Array]) -> jnp.ndarray:
