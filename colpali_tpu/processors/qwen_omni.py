@@ -138,16 +138,29 @@ class ColQwen2_5OmniProcessor(ColQwen2_5Processor):  # noqa: N801
 
     video_token: str = "<|VIDEO|>"
 
-    def process_videos(self, videos: Sequence[Sequence[Any]], fps: float = 1.0) -> Batch:
-        """Videos as frame lists -> qwen2.5 vision pipeline with temporal
-        patching (pairs of frames share one temporal patch, grid_t = T/2)."""
+    def process_videos(self, videos: Sequence[Any], fps: float = 1.0) -> Batch:
+        """Videos -> qwen2.5 vision pipeline with temporal patching (pairs
+        of frames share one temporal patch, grid_t = T/2).
+
+        Each entry is either a frame sequence (arrays / PIL) or a video FILE
+        PATH, decoded + fps-sampled via utils/video.load_video_frames (the
+        reference delegates paths to HF's torchvision/decord backends,
+        processing_colqwen_omni.py:153; here OpenCV/imageio fill that role).
+        """
+        import os
+
         import jax
         import jax.numpy as jnp
 
         from colpali_tpu.processors.image_processing import to_rgb_array
         from colpali_tpu.processors.qwen2_vl import patchify_video, smart_resize, vision_positions
         from colpali_tpu.processors.qwen2_5_vl import window_ids_from_positions
+        from colpali_tpu.utils.video import load_video_frames
 
+        videos = [
+            load_video_frames(os.fspath(v), fps=fps) if isinstance(v, (str, os.PathLike)) else v
+            for v in videos
+        ]
         flats, grids = [], []
         for frames in videos:
             arrs = [to_rgb_array(f).astype(np.float32) for f in frames]

