@@ -303,6 +303,7 @@ OMNI_AUDIO_RULES: Tuple[_RuleT, ...] = (
 )
 
 
+
 # ---------------------------------------------------------------------------
 # Idefics3 / SmolVLM family
 # ---------------------------------------------------------------------------
@@ -477,6 +478,36 @@ def load_colqwen25_params(checkpoint_dir: str, strict: bool = True) -> Dict[str,
     state = load_safetensors_dir(checkpoint_dir)
     state = split_fused_qkv(normalize_keys(state, QWEN2_VL_KEY_REMAPS))
     return convert_state_dict(state, QWEN25_VL_RULES, (), strict=strict)
+
+
+OMNI_KEY_REMAPS: Tuple[Tuple[str, str], ...] = (
+    (r"^base_model\.model\.", ""),  # merged-LoRA exports
+    (r"^thinker\.", ""),  # full Omni checkpoints carry the talker too
+    (r"^model\.audio_tower\.", "audio_tower."),
+    (r"^model\.visual\.", "visual."),
+    (r"^model\.language_model\.", "language_model."),
+    (r"^model\.", "language_model."),  # thinker decoder (layers/embed/norm)
+    # Omni vision attention is unfused q/k/v without the _proj suffix
+    (r"\.attn\.(q|k|v)\.(weight|bias)$", r".attn.\1_proj.\2"),
+    (r"\.lora_[AB]\.", ".__lora__."),
+)
+
+# Thinker = audio tower + Qwen2.5 vision tower + Qwen2 text decoder: compose
+# the audio rules (re-rooted under the backbone scope) with the Qwen2.5-VL
+# rules, which already cover visual/language_model/custom_text_proj.
+OMNI_RULES: Tuple[_RuleT, ...] = tuple(
+    (pattern, f"model/audio_tower/{template}" if template else "", transform)
+    for pattern, template, transform in OMNI_AUDIO_RULES
+) + QWEN25_VL_RULES
+
+
+def load_colqwen_omni_params(checkpoint_dir: str, strict: bool = True) -> Dict[str, Any]:
+    """Load a (Col)Qwen2.5-Omni thinker HF checkpoint into flax params
+    (reference wraps Qwen2_5OmniThinkerForConditionalGeneration,
+    modeling_colqwen_omni.py:10-30; talker/token2wav weights are dropped)."""
+    state = load_safetensors_dir(checkpoint_dir)
+    state = split_fused_qkv(normalize_keys(state, OMNI_KEY_REMAPS))
+    return convert_state_dict(state, OMNI_RULES, (), strict=strict)
 
 
 def split_fused_qkv(state_dict: Mapping[str, Any]) -> Dict[str, Any]:

@@ -135,3 +135,59 @@ class TestColQwenOmni:
         )
         assert out.shape == (1, 8, 16)
         np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, rtol=1e-4)
+
+class TestOmniCheckpointLoader:
+    def test_full_thinker_checkpoint_conversion(self, tmp_path):
+        """A tiny full HF thinker checkpoint converts strictly (every key
+        matched or deliberately dropped) into the ColQwen2_5Omni tree."""
+        from safetensors.torch import save_file
+        from transformers.models.qwen2_5_omni.configuration_qwen2_5_omni import (
+            Qwen2_5OmniThinkerConfig,
+        )
+        from transformers.models.qwen2_5_omni.modeling_qwen2_5_omni import (
+            Qwen2_5OmniThinkerForConditionalGeneration,
+        )
+
+        from colpali_tpu.core.hf_loader import load_colqwen_omni_params
+
+        torch.manual_seed(0)
+        cfg = Qwen2_5OmniThinkerConfig(
+            audio_config=dict(num_mel_bins=16, d_model=32, encoder_layers=1,
+                              encoder_attention_heads=4, encoder_ffn_dim=64, n_window=N_WINDOW,
+                              max_source_positions=64, output_dim=48),
+            vision_config=dict(depth=1, hidden_size=32, num_heads=4, intermediate_size=64,
+                               out_hidden_size=48, patch_size=2, window_size=8,
+                               fullatt_block_indexes=[0]),
+            text_config=dict(vocab_size=64, hidden_size=48, intermediate_size=96,
+                             num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+                             head_dim=12),
+        )
+        # tiny head_dim needs a matching mrope split; HF validates rope_scaling
+        # kwargs at construction, so set it afterwards like the real config does
+        cfg.text_config.rope_scaling = {"mrope_section": [2, 2, 2], "rope_type": "default", "type": "default"}
+        hf = Qwen2_5OmniThinkerForConditionalGeneration(cfg).eval()
+        state = {k: v.contiguous() for k, v in hf.state_dict().items()}
+        save_file(state, str(tmp_path / "model.safetensors"))
+
+        params = load_colqwen_omni_params(str(tmp_path))
+        assert set(params["model"].keys()) == {"audio_tower", "visual", "language_model"}
+        # audio tower converted identically to the tower-only rules
+        audio_direct = convert_state_dict(hf.audio_tower.state_dict(), OMNI_AUDIO_RULES, ())
+        got_leaves = jax.tree.leaves(params["model"]["audio_tower"])
+        want_leaves = jax.tree.leaves(audio_direct)
+        assert len(got_leaves) == len(want_leaves)
+        for g, w in zip(got_leaves, want_leaves):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+        # text decoder shapes line up with the flax module's init tree
+        # (vision conversion shares QWEN25_VL_RULES, covered by the 2.5-VL
+        # parity suite; a text-only init materializes only language_model)
+        jcfg = QwenOmniConfig.from_hf_config(
+            {"thinker_config": {"audio_config": cfg.audio_config.to_dict(),
+                                "vision_config": cfg.vision_config.to_dict(),
+                                "text_config": cfg.text_config.to_dict()}}
+        )
+        model = ColQwen2_5Omni(jcfg, dim=16)
+        init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32))
+        init_shapes = jax.tree.map(lambda x: x.shape, init["params"]["model"]["language_model"])
+        got_shapes = jax.tree.map(lambda x: x.shape, params["model"]["language_model"])
+        assert init_shapes == got_shapes
