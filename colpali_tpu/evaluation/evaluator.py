@@ -61,19 +61,42 @@ def embed_dataset(
     (so downstream scoring sees only real tokens). ``use_query_prompt`` routes
     texts through ``process_queries`` (prefix + augmentation suffix) instead
     of raw ``process_texts``.
+
+    Preprocessing runs on a prefetch thread overlapping the device forward,
+    and processors with a ``device_pixels`` path (the qwen2 family) keep
+    pixel batches on device (no normalized-image host round trip — downloads
+    over remote-attached accelerators run at MB/s).
     """
+    import inspect
+
     import jax.numpy as jnp
 
+    from colpali_tpu.data.prefetch import prefetch
+
+    device_pixels = (
+        is_images and "device_pixels" in inspect.signature(processor.process_images).parameters
+    )
+
+    def produce():
+        for i in range(0, len(items), batch_size):
+            chunk = list(items[i : i + batch_size])
+            if is_images:
+                batch = (
+                    processor.process_images(chunk, device_pixels=True)
+                    if device_pixels
+                    else processor.process_images(chunk)
+                )
+            elif use_query_prompt:
+                batch = processor.process_queries(queries=chunk)
+            else:
+                batch = processor.process_texts(chunk)
+            yield batch, {
+                k: v if (device_pixels and k == "pixel_values") else jnp.asarray(v)
+                for k, v in batch.items()
+            }
+
     out: List[np.ndarray] = []
-    for i in range(0, len(items), batch_size):
-        chunk = list(items[i : i + batch_size])
-        if is_images:
-            batch = processor.process_images(chunk)
-        elif use_query_prompt:
-            batch = processor.process_queries(queries=chunk)
-        else:
-            batch = processor.process_texts(chunk)
-        model_inputs = {k: jnp.asarray(v) for k, v in batch.items()}
+    for batch, model_inputs in prefetch(produce(), buffer_size=2):
         emb = np.asarray(model_apply(variables, **model_inputs), np.float32)
         mask = np.asarray(batch["attention_mask"]).astype(bool)
         for row in range(emb.shape[0]):

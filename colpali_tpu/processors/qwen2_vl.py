@@ -17,6 +17,7 @@ Behavioral spec:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, List, Optional, Sequence, Tuple
 
@@ -108,6 +109,48 @@ def patchify_video(
     patches = patches.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
     flat = patches.reshape(grid_t * grid_h * grid_w, channel * temporal_patch_size * patch_size**2)
     return flat, (grid_t, grid_h, grid_w)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h1", "w1", "patch_size", "temporal_patch_size", "merge_size", "out_dtype"),
+)
+def _resize_patchify_device(
+    images_u8: jnp.ndarray,
+    mean: jnp.ndarray,
+    std: jnp.ndarray,
+    h1: int,
+    w1: int,
+    patch_size: int,
+    temporal_patch_size: int,
+    merge_size: int,
+    out_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Fused on-device image pipeline: (B, H0, W0, 3) uint8 -> resize ->
+    normalize -> merge-ordered patch rows (B, grid_h*grid_w, C*T*ps*ps).
+
+    Same math as :func:`patchify` over :func:`_resize_normalize`, kept
+    entirely on the accelerator: raw uint8 uploads once and patches feed the
+    vision tower directly. The host round trip this replaces is catastrophic
+    on remote-attached devices (axon downloads measured at 1-18 MB/s, turning
+    a 33 ms resize into seconds per batch).
+    """
+    from colpali_tpu.processors.image_processing import _resize_normalize
+
+    x = _resize_normalize(images_u8, mean, std, h1, w1)  # (B, h1, w1, 3) f32
+    b = x.shape[0]
+    x = x.transpose(0, 3, 1, 2)  # (B, C, H, W)
+    # single frames: temporal duplication to fill the temporal patch
+    patches = jnp.broadcast_to(x[:, None], (b, temporal_patch_size, 3, h1, w1))
+    grid_h, grid_w = h1 // patch_size, w1 // patch_size
+    patches = patches.reshape(
+        b, 1, temporal_patch_size, 3,
+        grid_h // merge_size, merge_size, patch_size,
+        grid_w // merge_size, merge_size, patch_size,
+    )
+    patches = patches.transpose(0, 1, 4, 7, 5, 8, 3, 2, 6, 9)
+    flat = patches.reshape(b, grid_h * grid_w, 3 * temporal_patch_size * patch_size * patch_size)
+    return flat.astype(out_dtype)
 
 
 def vision_positions(grid_thw: Tuple[int, int, int], merge_size: int = 2) -> Tuple[np.ndarray, np.ndarray]:
@@ -240,18 +283,87 @@ class ColQwen2Processor(BaseVisualRetrieverProcessor):
 
     def _preprocess_one(self, image) -> Tuple[np.ndarray, Tuple[int, int, int]]:
         """resize (device bicubic) -> normalize -> patchify (host reshape)."""
-        arr = to_rgb_array(image)
-        h0, w0 = arr.shape[:2]
-        h1, w1 = smart_resize(
-            h0, w0, self.patch_size * self.merge_size, self.min_pixels, self.max_pixels
-        )
-        resized = np.asarray(
-            jax.image.resize(jnp.asarray(arr, jnp.float32), (h1, w1, 3), method="bicubic", antialias=True)
-        )
-        norm = (resized / 255.0 - self.image_mean) / self.image_std
-        return patchify(
-            norm.transpose(2, 0, 1), self.patch_size, self.temporal_patch_size, self.merge_size
-        )
+        flats, grids = self._preprocess_many([image])
+        return flats[0], grids[0]
+
+    def _group_by_shape(self, images: Sequence[Any]):
+        """Group images by (source shape, smart_resize target): pages from
+        one corpus typically share a shape, so a whole batch costs one
+        device dispatch instead of one per image (the per-image RPC is the
+        embed-pipeline hot spot on remote-attached accelerators)."""
+        arrays = [to_rgb_array(im) for im in images]
+        targets = [
+            smart_resize(
+                a.shape[0], a.shape[1], self.patch_size * self.merge_size, self.min_pixels, self.max_pixels
+            )
+            for a in arrays
+        ]
+        groups: dict = {}
+        for i, (a, t) in enumerate(zip(arrays, targets)):
+            groups.setdefault((a.shape[:2], t), []).append(i)
+        return arrays, groups
+
+    def _preprocess_many(self, images: Sequence[Any]) -> Tuple[List[np.ndarray], List[Tuple[int, int, int]]]:
+        """Batched host preprocessing (one device resize per shape group,
+        normalized images fetched back for host patchify)."""
+        from colpali_tpu.processors.image_processing import _resize_normalize
+
+        arrays, groups = self._group_by_shape(images)
+        mean_j = jnp.asarray(self.image_mean)
+        std_j = jnp.asarray(self.image_std)
+        normed: List[Optional[np.ndarray]] = [None] * len(arrays)
+        for ((_, (h1, w1)), idxs) in groups.items():
+            batch = jnp.asarray(np.stack([arrays[i] for i in idxs]))
+            out = np.asarray(_resize_normalize(batch, mean_j, std_j, h1, w1))
+            for j, i in enumerate(idxs):
+                normed[i] = out[j]
+
+        flats, grids = [], []
+        for norm in normed:
+            flat, grid = patchify(
+                norm.transpose(2, 0, 1), self.patch_size, self.temporal_patch_size, self.merge_size
+            )
+            flats.append(flat)
+            grids.append(grid)
+        return flats, grids
+
+    def _preprocess_many_device(
+        self, images: Sequence[Any]
+    ) -> Tuple[jnp.ndarray, List[Tuple[int, int, int]]]:
+        """Fully on-device preprocessing: raw uint8 uploads once per shape
+        group, resize+normalize+patchify run fused on the accelerator
+        (:func:`_resize_patchify_device`), and the padded ``(B, p_max,
+        patch_dim)`` pixel batch STAYS on device — no host round trip.
+        Returns (device pixel_values, per-image grids)."""
+        arrays, groups = self._group_by_shape(images)
+        mean_j = jnp.asarray(self.image_mean)
+        std_j = jnp.asarray(self.image_std)
+
+        grids: List[Optional[Tuple[int, int, int]]] = [None] * len(arrays)
+        flat_groups, idx_groups = [], []
+        for ((_, (h1, w1)), idxs) in groups.items():
+            batch = jnp.asarray(np.stack([arrays[i] for i in idxs]))
+            flat = _resize_patchify_device(
+                batch, mean_j, std_j, h1, w1,
+                self.patch_size, self.temporal_patch_size, self.merge_size,
+            )
+            grid = (1, h1 // self.patch_size, w1 // self.patch_size)
+            for i in idxs:
+                grids[i] = grid
+            flat_groups.append(flat)
+            idx_groups.append(idxs)
+
+        group = self.merge_size**2
+        p_max = max(f.shape[1] for f in flat_groups)
+        p_max = ((p_max + group - 1) // group) * group
+        padded = [
+            jnp.pad(f, ((0, 0), (0, p_max - f.shape[1]), (0, 0))) for f in flat_groups
+        ]
+        stacked = padded[0] if len(padded) == 1 else jnp.concatenate(padded, axis=0)
+        order = np.argsort(np.concatenate([np.asarray(g) for g in idx_groups]))
+        if not np.array_equal(order, np.arange(len(arrays))):
+            stacked = jnp.take(stacked, jnp.asarray(order), axis=0)
+        return stacked, grids
 
     def _tokenize(self, texts: Sequence[str]) -> Batch:
         enc = self.tokenizer(
@@ -263,9 +375,22 @@ class ColQwen2Processor(BaseVisualRetrieverProcessor):
         )
         return {"input_ids": np.asarray(enc["input_ids"]), "attention_mask": np.asarray(enc["attention_mask"])}
 
-    def process_images(self, images: Sequence[Any], context_prompts: Optional[Sequence[str]] = None) -> Batch:
+    def process_images(
+        self,
+        images: Sequence[Any],
+        context_prompts: Optional[Sequence[str]] = None,
+        device_pixels: bool = False,
+    ) -> Batch:
+        """device_pixels=True keeps ``pixel_values`` as a DEVICE array from
+        the fused resize+normalize+patchify kernel — the serving/embedding
+        path (no normalized-image download, which runs at MB/s on
+        remote-attached accelerators). Host numpy otherwise."""
         prompts = list(context_prompts) if context_prompts else [self.visual_prompt_prefix] * len(images)
-        flats, grids = zip(*(self._preprocess_one(im) for im in images))
+        if device_pixels:
+            device_pixel_values, grids = self._preprocess_many_device(images)
+            flats = None
+        else:
+            flats, grids = self._preprocess_many(images)
 
         # expand <|image_pad|> to the merged token count per image
         texts = []
@@ -276,24 +401,30 @@ class ColQwen2Processor(BaseVisualRetrieverProcessor):
 
         # pad per-image patch sequences to a common length (multiple of
         # merge^2 so merged groups stay aligned)
-        p_max = max(f.shape[0] for f in flats)
         group = self.merge_size**2
-        p_max = ((p_max + group - 1) // group) * group
-        b = len(flats)
-        patch_dim = flats[0].shape[1]
-        pixel_values = np.zeros((b, p_max, patch_dim), np.float32)
+        b = len(grids)
+        if device_pixels:
+            p_max = device_pixel_values.shape[1]
+        else:
+            p_max = max(f.shape[0] for f in flats)
+            p_max = ((p_max + group - 1) // group) * group
         patch_mask = np.zeros((b, p_max), bool)
         hpos = np.zeros((b, p_max), np.int32)
         wpos = np.zeros((b, p_max), np.int32)
-        for i, (flat, grid) in enumerate(zip(flats, grids)):
-            n = flat.shape[0]
-            pixel_values[i, :n] = flat
+        if not device_pixels:
+            patch_dim = flats[0].shape[1]
+            pixel_values = np.zeros((b, p_max, patch_dim), np.float32)
+        for i, grid in enumerate(grids):
+            t, h, w = grid
+            n = t * h * w
+            if not device_pixels:
+                pixel_values[i, :n] = flats[i]
             patch_mask[i, :n] = True
             hp, wp = vision_positions(grid, self.merge_size)
             hpos[i, :n] = hp
             wpos[i, :n] = wp
 
-        batch["pixel_values"] = pixel_values
+        batch["pixel_values"] = device_pixel_values if device_pixels else pixel_values
         batch["patch_mask"] = patch_mask
         batch["vision_hpos"] = hpos
         batch["vision_wpos"] = wpos

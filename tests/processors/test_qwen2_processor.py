@@ -127,3 +127,24 @@ class TestColQwen2Processor:
         # reference passes image_size[0] as width: 64 -> x patches
         h_new, w_new = smart_resize(32, 64, 4, 16, 1024)
         assert (npx, npy) == (w_new // 2 // 2, h_new // 2 // 2)
+
+
+class TestDevicePixelPath:
+    """device_pixels=True: fused on-device resize+patchify must match the
+    host pipeline bit-for-bit in values and metadata."""
+
+    def test_matches_host_path_mixed_shapes(self, processor):
+        rng = np.random.default_rng(9)
+        imgs = [
+            rng.integers(0, 255, (16, 12, 3), np.uint8),
+            rng.integers(0, 255, (8, 8, 3), np.uint8),
+            rng.integers(0, 255, (16, 12, 3), np.uint8),  # groups interleave
+        ]
+        host = processor.process_images(imgs)
+        dev = processor.process_images(imgs, device_pixels=True)
+        assert isinstance(host["pixel_values"], np.ndarray)
+        np.testing.assert_allclose(
+            np.asarray(dev["pixel_values"]), host["pixel_values"], atol=1e-5
+        )
+        for key in ("input_ids", "patch_mask", "vision_hpos", "vision_wpos", "position_ids"):
+            np.testing.assert_array_equal(np.asarray(dev[key]), host[key])
