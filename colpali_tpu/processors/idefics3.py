@@ -20,6 +20,7 @@ vision shapes are static. Resampling differences are sub-pixel.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -35,6 +36,33 @@ def _resize(arr: np.ndarray, h: int, w: int) -> np.ndarray:
     return np.asarray(
         jax.image.resize(jnp.asarray(arr, jnp.float32), (h, w, 3), method="bicubic", antialias=True)
     )
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _resize_batch_jit(arrs: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
+    b = arrs.shape[0]
+    return jax.image.resize(arrs, (b, *shape, 3), method="bicubic", antialias=True)
+
+
+def _resize_grouped(items: List[Tuple[np.ndarray, Tuple[int, int]]]) -> List[np.ndarray]:
+    """Resize many (array, (h, w)) requests, grouping identical
+    (source shape, target) pairs into one batched device call. The split-image
+    pipeline issues up to rows*cols+2 resizes per page; per-call RPC latency
+    on remote-attached accelerators makes per-crop dispatch the hot spot."""
+    groups: Dict[Tuple[Tuple[int, ...], Tuple[int, int]], List[int]] = {}
+    for i, (arr, target) in enumerate(items):
+        groups.setdefault((arr.shape, target), []).append(i)
+    out: List[Optional[np.ndarray]] = [None] * len(items)
+    for ((src, target), idxs) in groups.items():
+        if src[:2] == target:  # no-op resize
+            for i in idxs:
+                out[i] = items[i][0]
+            continue
+        batch = jnp.asarray(np.stack([items[i][0] for i in idxs]), jnp.float32)
+        res = np.asarray(_resize_batch_jit(batch, target))
+        for j, i in enumerate(idxs):
+            out[i] = res[j]
+    return out
 
 
 def resized_dimensions(height: int, width: int, longest_edge: Optional[int]) -> Tuple[int, int]:
@@ -108,26 +136,47 @@ class ColIdefics3Processor(BaseVisualRetrieverProcessor):
 
     def _split_one(self, image) -> Tuple[np.ndarray, int, int]:
         """-> (tiles (T, S, S, 3) normalized with global tile last, rows, cols)."""
-        arr = to_rgb_array(image).astype(np.float32)
-        h0, w0 = arr.shape[:2]
-        s = self.tile_size
-        h1, w1 = resized_dimensions(h0, w0, self.longest_edge if max(h0, w0) > self.longest_edge else None)
-        resized = _resize(arr, h1, w1) if (h1, w1) != (h0, w0) else arr
+        return self._split_many([image])[0]
 
-        tiles: List[np.ndarray] = []
-        if h1 > s or w1 > s:
-            rows, cols = math.ceil(h1 / s), math.ceil(w1 / s)
-            opt_h, opt_w = math.ceil(h1 / rows), math.ceil(w1 / cols)
-            for r in range(rows):
-                for c in range(cols):
-                    crop = resized[r * opt_h : min((r + 1) * opt_h, h1), c * opt_w : min((c + 1) * opt_w, w1)]
-                    tiles.append(_resize(crop, s, s))
-        else:
-            rows = cols = 0
-        tiles.append(_resize(resized, s, s))  # global view
-        stacked = np.stack(tiles)
-        stacked = (stacked / 255.0 - self.image_mean) / self.image_std
-        return stacked.astype(np.float32), rows, cols
+    def _split_many(self, images: Sequence[Any]) -> List[Tuple[np.ndarray, int, int]]:
+        """Split-image pipeline over a batch: the longest-edge resizes, then
+        ALL tile crops across all images, are issued as shape-grouped batched
+        device calls (same-size pages share every group, so a batch costs a
+        handful of dispatches instead of rows*cols+2 per page)."""
+        s = self.tile_size
+        arrs = [to_rgb_array(im).astype(np.float32) for im in images]
+        stage1 = []
+        for arr in arrs:
+            h0, w0 = arr.shape[:2]
+            h1, w1 = resized_dimensions(h0, w0, self.longest_edge if max(h0, w0) > self.longest_edge else None)
+            stage1.append((arr, (h1, w1)))
+        resized = _resize_grouped(stage1)
+
+        crops: List[Tuple[np.ndarray, Tuple[int, int]]] = []
+        layout: List[Tuple[int, int, int]] = []  # (n_tiles incl. global, rows, cols)
+        for res in resized:
+            h1, w1 = res.shape[:2]
+            if h1 > s or w1 > s:
+                rows, cols = math.ceil(h1 / s), math.ceil(w1 / s)
+                opt_h, opt_w = math.ceil(h1 / rows), math.ceil(w1 / cols)
+                for r in range(rows):
+                    for c in range(cols):
+                        crop = res[r * opt_h : min((r + 1) * opt_h, h1), c * opt_w : min((c + 1) * opt_w, w1)]
+                        crops.append((crop, (s, s)))
+            else:
+                rows = cols = 0
+            crops.append((res, (s, s)))  # global view
+            layout.append((rows * cols + 1, rows, cols))
+
+        tiles_flat = _resize_grouped(crops)
+        out: List[Tuple[np.ndarray, int, int]] = []
+        pos = 0
+        for n_tiles, rows, cols in layout:
+            stacked = np.stack(tiles_flat[pos : pos + n_tiles])
+            pos += n_tiles
+            stacked = (stacked / 255.0 - self.image_mean) / self.image_std
+            out.append((stacked.astype(np.float32), rows, cols))
+        return out
 
     def _image_prompt(self, rows: int, cols: int) -> str:
         """HF get_image_prompt_string (processing_idefics3.py:46-87)."""
@@ -153,7 +202,7 @@ class ColIdefics3Processor(BaseVisualRetrieverProcessor):
         return {"input_ids": np.asarray(enc["input_ids"]), "attention_mask": np.asarray(enc["attention_mask"])}
 
     def process_images(self, images: Sequence[Any], context_prompts: Optional[Sequence[str]] = None) -> Batch:
-        split = [self._split_one(im) for im in images]
+        split = self._split_many(images)
         prompts = []
         user_prompts = list(context_prompts) if context_prompts else ["Describe the image."] * len(images)
         for (tiles, rows, cols), user in zip(split, user_prompts):

@@ -166,14 +166,17 @@ class ColQwen2_5OmniProcessor(ColQwen2_5Processor):  # noqa: N801
             arrs = [to_rgb_array(f).astype(np.float32) for f in frames]
             h0, w0 = arrs[0].shape[:2]
             h1, w1 = smart_resize(h0, w0, self.patch_size * self.merge_size, self.min_pixels, self.max_pixels)
-            norm_frames = []
-            for arr in arrs:
-                resized = np.asarray(
-                    jax.image.resize(jnp.asarray(arr), (h1, w1, 3), method="bicubic", antialias=True)
+            # all frames of one video share a shape: resize them in ONE
+            # batched device call (per-frame dispatch is the hot spot on
+            # remote-attached accelerators)
+            resized = np.asarray(
+                jax.image.resize(
+                    jnp.asarray(np.stack(arrs)), (len(arrs), h1, w1, 3), method="bicubic", antialias=True
                 )
-                norm_frames.append(((resized / 255.0 - self.image_mean) / self.image_std).transpose(2, 0, 1))
+            )
+            norm = ((resized / 255.0 - self.image_mean) / self.image_std).transpose(0, 3, 1, 2)
             flat, grid = patchify_video(
-                np.stack(norm_frames), self.patch_size, self.temporal_patch_size, self.merge_size
+                norm, self.patch_size, self.temporal_patch_size, self.merge_size
             )
             flats.append(flat)
             grids.append(grid)
