@@ -109,6 +109,10 @@ def make_attention_bias(attention_mask: jnp.ndarray, causal: bool, dtype: Dtype 
     return jnp.maximum(bias, neg).astype(dtype)
 
 
+# fp32 attention-logits budget for auto query chunking (see Attention.q_chunk)
+_ATTN_LOGITS_BUDGET = 512 * 1024 * 1024
+
+
 class Attention(nn.Module):
     """Multi-head attention with optional GQA/MQA and rotary embeddings.
 
@@ -127,6 +131,13 @@ class Attention(nn.Module):
     qk_norm_offset: bool = True  # Gemma convention (1+w); False for Qwen3
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    # query-chunked attention: scan over q blocks, bounding logits memory at
+    # O(B*H*chunk*S) instead of O(B*H*S^2) — q rows are independent, so
+    # results are identical to the dense path. None (default) sizes the
+    # chunk from _ATTN_LOGITS_BUDGET (a 32x16-head 2976-token vision batch
+    # would otherwise materialize 18.7 GB of fp32 logits — past one chip's
+    # HBM); an explicit int forces that chunk (pass >= S for dense).
+    q_chunk: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -161,13 +172,46 @@ class Attention(nn.Module):
 
         groups = self.num_heads // kv_heads
         qg = q.reshape(b, s, kv_heads, groups, self.head_dim)
-        # (B, kv, groups, Sq, Sk) logits, fp32 accumulation on the MXU.
         up = upcast_dtype(self.dtype)
-        logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=up) * scale
-        if attn_bias is not None:
-            logits = logits + attn_bias[:, :, None, :, :].astype(up)
-        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+
+        def attend(qg_blk, bias_blk):
+            # (B, kv, groups, Sq_blk, Sk) logits, fp32 accumulation on MXU.
+            logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg_blk, k, preferred_element_type=up) * scale
+            if bias_blk is not None:
+                logits = logits + bias_blk[:, :, None, :, :].astype(up)
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            return jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+
+        if self.q_chunk is not None:
+            chunk = self.q_chunk
+        else:
+            per_q_row = b * kv_heads * groups * s * 4  # fp32 logits bytes
+            chunk = max(128, _ATTN_LOGITS_BUDGET // per_q_row // 128 * 128)
+        if s <= chunk:
+            out = attend(qg, attn_bias)
+        else:
+            # scan over query blocks; q rows are independent so this is
+            # value-identical to the dense path at O(chunk*S) logits memory
+            pad = (-s) % chunk
+            qg_p = jnp.pad(qg, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+            n_blocks = (s + pad) // chunk
+            qg_blocks = qg_p.reshape(b, n_blocks, chunk, kv_heads, groups, self.head_dim)
+            if attn_bias is not None and attn_bias.shape[2] > 1:
+                bias_p = jnp.pad(attn_bias, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                bias_blocks = bias_p.reshape(*attn_bias.shape[:2], n_blocks, chunk, -1)
+
+                def step(_, i):
+                    return None, attend(qg_blocks[:, i], bias_blocks[:, :, i])
+            else:
+                # None or a query-broadcast (B, H, 1, Sk) bias: same for
+                # every block
+                def step(_, i):
+                    return None, attend(qg_blocks[:, i], attn_bias)
+
+            _, blocks = jax.lax.scan(step, None, jnp.arange(n_blocks))
+            # (n_blocks, B, chunk, h, g, d) -> (B, S, h, g, d)
+            out = jnp.moveaxis(blocks, 0, 1).reshape(b, s + pad, kv_heads, groups, self.head_dim)[:, :s]
+
         out = out.reshape(b, s, self.num_heads * self.head_dim)
         o_bias = self.use_bias if self.out_bias is None else self.out_bias
         return dense(self.out_dim or model_dim, "o_proj", o_bias)(out)

@@ -66,7 +66,11 @@ def make_handler(index, files):
                 payload = json.loads(self.rfile.read(length))
                 qs = [np.asarray(e, np.float32) for e in payload["embeddings"]]
                 k = int(payload.get("k", 10))
-                scores, ids = index.search(qs, k=k)
+                if index.prefilter is not None:
+                    cand = payload.get("candidates")
+                    scores, ids = index.search(qs, k=k, candidates=int(cand) if cand else None)
+                else:
+                    scores, ids = index.search(qs, k=k)
                 self._json(200, {
                     "doc_ids": ids.tolist(),
                     "scores": scores.tolist(),
@@ -91,6 +95,11 @@ def main() -> None:
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--dtype", default="int8", choices=["bf16", "int8"])
     parser.add_argument(
+        "--prefilter", action="store_true",
+        help="build a two-tier index (binary sign-sketch coarse pass + exact "
+        "rerank); clients can pass 'candidates' in the /search payload",
+    )
+    parser.add_argument(
         "--save-index",
         metavar="PATH.npz",
         help="after building, persist the packed index here and keep serving",
@@ -110,7 +119,7 @@ def main() -> None:
             files = [str(i) for i in range(index.num_docs)]
     else:
         embs, files = load_corpus(args.corpus_npz)
-        index = CorpusIndex(embs, dtype=args.dtype)
+        index = CorpusIndex(embs, dtype=args.dtype, prefilter="binary" if args.prefilter else None)
         if args.save_index:
             index.save(args.save_index)
             with open(args.save_index + ".files.json", "w") as f:
