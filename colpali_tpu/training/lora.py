@@ -43,16 +43,17 @@ def init_lora_params(
 ) -> Dict[str, Any]:
     """Create the adapter pytree: for each matching ``(in, out)`` kernel, an
     ``a (in, r)`` gaussian and ``b (r, out)`` zeros (so training starts at
-    the base model exactly)."""
+    the base model exactly). scan_layers-stacked kernels ``(L, in, out)``
+    get per-layer adapters ``(L, in, r)`` / ``(L, r, out)``."""
     lora: Dict[str, Any] = {}
     matched = 0
     for path, _ptuple, leaf in _iter_kernels(params):
-        if re.fullmatch(target_pattern, path) and leaf.ndim == 2:
+        if re.fullmatch(target_pattern, path) and leaf.ndim in (2, 3):
             rng, sub = jax.random.split(rng)
-            fan_in, fan_out = leaf.shape
+            *stack, fan_in, fan_out = leaf.shape
             lora[path] = {
-                "a": jax.random.normal(sub, (fan_in, rank), jnp.float32) * stddev,
-                "b": jnp.zeros((rank, fan_out), jnp.float32),
+                "a": jax.random.normal(sub, (*stack, fan_in, rank), jnp.float32) * stddev,
+                "b": jnp.zeros((*stack, rank, fan_out), jnp.float32),
             }
             matched += 1
     if matched == 0:
@@ -93,9 +94,11 @@ def merge_lora(
         if use_dropout:
             # crc32(path) is deterministic across processes (unlike hash())
             sub = jax.random.fold_in(dropout_rng, zlib.crc32(path.encode()) & 0x7FFFFFFF)
-            mask = jax.random.bernoulli(sub, keep, (a.shape[0], 1))
+            mask = jax.random.bernoulli(sub, keep, (*a.shape[:-1], 1))
             a = a * mask.astype(a.dtype) / keep
-        delta = (a @ adapter["b"]) * scale
+        # (in, r) @ (r, out), batched over a leading stacked-layer dim if
+        # present (scan_layers kernels are (L, in, out))
+        delta = jnp.matmul(a, adapter["b"]) * scale
         return leaf + delta.astype(leaf.dtype)
 
     return jax.tree_util.tree_map_with_path(merge, params)

@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Training-step throughput: LoRA contrastive fine-tuning of ColQwen2-2B on
+one chip (the reference flagship recipe: frozen bf16 base + rank-32 adapters
++ Adam on adapters only). The weight-merge LoRA design keeps a merged copy
+of the adapted kernels live, so HBM holds ~2x the base LM: 2B fits one v5e
+chip; 3B (ColPali) needs the sharded step (training/trainer.shard_train_step)
+over >= 2 chips.
+
+Timing uses the in-jit chained-iteration trick (see bench.py); the base
+params are a jit ARGUMENT (never a closure — see training/lora.py).
+
+Usage: python perf/train_bench.py [--batch 8] [--iters 4]
+"""
+
+from __future__ import annotations
+
+# When run from a source checkout without installation, make the repo root
+# importable (an installed colpali_tpu still wins: this is an append).
+import sys as _sys
+from pathlib import Path as _Path
+
+_repo_root = str(_Path(__file__).resolve().parents[1])
+if _repo_root not in _sys.path:
+    _sys.path.append(_repo_root)
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--iters", type=int, default=4)
+    parser.add_argument("--rank", type=int, default=32)
+    args = parser.parse_args()
+
+    from colpali_tpu.losses import ColbertLoss
+    from colpali_tpu.models.qwen2_vl import ColQwen2, Qwen2VLConfig
+    from colpali_tpu.training.lora import count_params, init_lora_params, make_lora_train_step
+
+    t0 = time.time()
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        config = Qwen2VLConfig()  # real Qwen2-VL-2B
+        patches = 768  # the reference recipe's 768-visual-token cap
+    else:  # CPU smoke: tiny towers, same code path
+        from colpali_tpu.models.qwen2_vl import Qwen2TextConfig, Qwen2VLVisionConfig
+
+        config = Qwen2VLConfig(
+            vision=Qwen2VLVisionConfig(depth=2, embed_dim=32, num_heads=4, hidden_size=48,
+                                       mlp_ratio=2.0, patch_size=2, temporal_patch_size=2,
+                                       spatial_merge_size=2, in_channels=3),
+            text=Qwen2TextConfig(vocab_size=256, hidden_size=48, intermediate_size=96,
+                                 num_hidden_layers=2, num_attention_heads=4,
+                                 num_key_value_heads=2, head_dim=12, mrope_section=(2, 2, 2)),
+        )
+        patches = 16
+    model = ColQwen2(config, dim=128, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                     scan_layers=True, remat=True)
+
+    b = args.batch
+    patch_dim = 3 * config.vision.temporal_patch_size * config.vision.patch_size**2
+    n_merged = patches // config.vision.spatial_merge_size**2
+    s_doc = n_merged + 20
+    s_q = 32
+    rng = np.random.default_rng(0)
+    doc_ids = np.full((b, s_doc), 11, np.int32)
+    doc_ids[:, 1 : 1 + n_merged] = config.image_token_id
+    grid_h = int(np.sqrt(patches))
+    batch = {
+        "query_input_ids": jnp.asarray(rng.integers(3, 200, (b, s_q)).astype(np.int32)),
+        "query_attention_mask": jnp.ones((b, s_q), jnp.int32),
+        "query_position_ids": jnp.asarray(np.tile(np.arange(s_q), (3, b, 1)).astype(np.int64)),
+        "doc_input_ids": jnp.asarray(doc_ids),
+        "doc_attention_mask": jnp.ones((b, s_doc), jnp.int32),
+        "doc_pixel_values": jnp.asarray(
+            rng.normal(size=(b, patches, patch_dim)).astype(np.float32), jnp.bfloat16
+        ),
+        "doc_vision_hpos": jnp.asarray(np.tile(np.arange(patches) // grid_h, (b, 1)).astype(np.int32)),
+        "doc_vision_wpos": jnp.asarray(np.tile(np.arange(patches) % grid_h, (b, 1)).astype(np.int32)),
+        "doc_patch_mask": jnp.ones((b, patches), bool),
+        "doc_position_ids": jnp.asarray(np.tile(np.arange(s_doc), (3, b, 1)).astype(np.int64)),
+    }
+
+    def doc_forward(p, bt):
+        return model.apply(
+            {"params": p}, bt["doc_input_ids"], bt["doc_attention_mask"],
+            pixel_values=bt["doc_pixel_values"], vision_hpos=bt["doc_vision_hpos"],
+            vision_wpos=bt["doc_vision_wpos"], patch_mask=bt["doc_patch_mask"],
+            position_ids=bt["doc_position_ids"],
+        )
+
+    print(f"[{time.time()-t0:6.1f}s] init base params...", flush=True)
+    params = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), batch["doc_input_ids"], batch["doc_attention_mask"],
+        pixel_values=batch["doc_pixel_values"], vision_hpos=batch["doc_vision_hpos"],
+        vision_wpos=batch["doc_vision_wpos"], patch_mask=batch["doc_patch_mask"],
+        position_ids=batch["doc_position_ids"])["params"])()
+    n_params = count_params(params)
+
+    loss_obj = ColbertLoss(temperature=0.02)
+
+    def loss_forward(p, bt):
+        q = model.apply({"params": p}, bt["query_input_ids"], bt["query_attention_mask"],
+                        position_ids=bt["query_position_ids"])
+        d = doc_forward(p, bt)
+        return loss_obj(q, d)
+
+    lora_loss = make_lora_train_step(loss_forward, alpha=32.0, rank=args.rank, dropout=0.0)
+    lora = init_lora_params(params, jax.random.PRNGKey(1), rank=args.rank)
+    n_lora = count_params(lora)
+    print(f"[{time.time()-t0:6.1f}s] base {n_params/1e9:.2f}B, adapters {n_lora/1e6:.1f}M", flush=True)
+
+    tx = optax.adamw(2e-4)
+    opt_state = tx.init(lora)
+    iters = args.iters
+
+    @jax.jit
+    def chained(lora, opt_state, base, bt):
+        def body(i, carry):
+            lora, opt_state, acc = carry
+            loss, grads = jax.value_and_grad(lora_loss)(lora, base, bt)
+            updates, opt_state = tx.update(grads, opt_state, lora)
+            lora = optax.apply_updates(lora, updates)
+            return (lora, opt_state, acc + loss)
+
+        lora, opt_state, acc = jax.lax.fori_loop(0, iters, body, (lora, opt_state, jnp.float32(0)))
+        return lora, opt_state, acc
+
+    print(f"[{time.time()-t0:6.1f}s] compiling train step...", flush=True)
+    out = chained(lora, opt_state, params, batch)
+    np.asarray(out[2])
+    print(f"[{time.time()-t0:6.1f}s] compiled; timing...", flush=True)
+    times = []
+    for _ in range(3):
+        t1 = time.perf_counter()
+        np.asarray(chained(lora, opt_state, params, batch)[2])
+        times.append((time.perf_counter() - t1) / iters)
+    step_s = min(times)
+    print(
+        json.dumps(
+            {
+                "model": "colqwen2-2b-lora",
+                "batch": b,
+                "step_ms": round(step_s * 1000, 1),
+                "examples_per_s": round(b / step_s, 2),
+                "base_params_b": round(n_params / 1e9, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

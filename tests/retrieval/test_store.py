@@ -252,3 +252,12 @@ class TestBinaryPrefilter:
         # words are dim/8 bytes + 4-byte mask per token: a small fraction of
         # the 1-byte-per-component int8 store
         assert tiered.nbytes - plain.nbytes < plain.nbytes // 3
+
+    def test_bf16_two_tier_kernel_path(self, corpus):
+        """bf16 store (no scales) through the Pallas coarse + gather kernels."""
+        docs, queries = corpus
+        exact = CorpusIndex(docs, dtype="bf16", force_kernel=False)
+        tiered = CorpusIndex(docs, dtype="bf16", prefilter="binary", force_kernel=True)
+        _, e_idx = exact.search(queries, k=3)
+        _, t_idx = tiered.search(queries, k=3, candidates=32)
+        np.testing.assert_array_equal(t_idx, e_idx)

@@ -143,3 +143,33 @@ class TestCheckpointing:
         restored, metrics = step(restored, batch)
         assert np.isfinite(float(metrics["loss"]))
         mgr.close()
+
+
+class TestStackedLoRA:
+    def test_scan_stacked_kernels_get_adapters(self):
+        """scan_layers stacks LM kernels to (L, in, out); LoRA must adapt
+        them per layer rather than silently skipping the whole LM."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        params = {
+            "model": {"language_model": {"layers": {"layer": {"self_attn": {"q_proj": {
+                "kernel": jnp.zeros((3, 8, 8))  # 3 stacked layers
+            }}}}}},
+            "head": {"custom_text_proj": {"kernel": jnp.zeros((8, 4))}},
+        }
+        lora = init_lora_params(params, jax.random.PRNGKey(0), rank=2)
+        stacked = lora["model/language_model/layers/layer/self_attn/q_proj/kernel"]
+        assert stacked["a"].shape == (3, 8, 2) and stacked["b"].shape == (3, 2, 8)
+        # b starts at zero -> merge is identity
+        merged = merge_lora(params, lora, alpha=2, rank=2)
+        np.testing.assert_array_equal(
+            np.asarray(merged["model"]["language_model"]["layers"]["layer"]["self_attn"]["q_proj"]["kernel"]),
+            0.0,
+        )
+        # nonzero b produces a per-layer delta
+        stacked["b"] = jnp.ones((3, 2, 8))
+        merged = merge_lora(params, lora, alpha=2, rank=2)
+        delta = np.asarray(merged["model"]["language_model"]["layers"]["layer"]["self_attn"]["q_proj"]["kernel"])
+        assert np.abs(delta).sum() > 0 and not np.allclose(delta[0], delta[1])
