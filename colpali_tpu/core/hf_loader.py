@@ -494,8 +494,14 @@ OMNI_KEY_REMAPS: Tuple[Tuple[str, str], ...] = (
 
 # Thinker = audio tower + Qwen2.5 vision tower + Qwen2 text decoder: compose
 # the audio rules (re-rooted under the backbone scope) with the Qwen2.5-VL
-# rules, which already cover visual/language_model/custom_text_proj.
-OMNI_RULES: Tuple[_RuleT, ...] = tuple(
+# rules, which already cover visual/language_model/custom_text_proj. Full
+# Omni checkpoints also ship the speech-generation stack — dropped (the
+# retriever uses the thinker only, modeling_colqwen_omni.py:10).
+OMNI_RULES: Tuple[_RuleT, ...] = (
+    (r"talker\..*", "", t_id),
+    (r"token2wav\..*", "", t_id),
+    (r"speaker_dict.*", "", t_id),
+) + tuple(
     (pattern, f"model/audio_tower/{template}" if template else "", transform)
     for pattern, template, transform in OMNI_AUDIO_RULES
 ) + QWEN25_VL_RULES

@@ -480,6 +480,11 @@ class CorpusIndex:
             sc = jnp.where(gids[None, :] < num_docs, sc, -jnp.inf)
             _, cand = jax.lax.top_k(sc, c)
             exact = self._rerank(q, store, scales if has_scales else None, cand)
+            # shards holding only zero-padded fake docs (gid >= num_docs)
+            # still shortlist them out of the -inf coarse row; their exact
+            # rerank score is 0, which would beat real negative scores in
+            # the global merge — mask them out of the local winners too
+            exact = jnp.where(jnp.take(gids, cand) < num_docs, exact, -jnp.inf)
             ts, pos = jax.lax.top_k(exact, k_local)
             return ts, jnp.take(gids, jnp.take_along_axis(cand, pos, axis=1))
 

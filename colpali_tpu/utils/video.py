@@ -40,7 +40,8 @@ def _decode_imageio(path: str) -> Tuple[np.ndarray, float]:
     meta = iio.immeta(path)
     if frames.ndim == 3:
         frames = frames[None]
-    return np.asarray(frames), float(meta.get("fps", 0.0))
+    # containers without a frame-rate field report fps=None
+    return np.asarray(frames), float(meta.get("fps") or 0.0)
 
 
 _BACKENDS = {"cv2": _decode_cv2, "imageio": _decode_imageio}
@@ -77,12 +78,16 @@ def load_video_frames(
             frames, native_fps = _BACKENDS[name](path)
             break
         except ImportError as e:
+            errors.append(f"{name}: not installed ({e})")
+        except Exception as e:  # noqa: BLE001 — codec/container failures fall through
             errors.append(f"{name}: {e}")
     if frames is None:
-        raise ImportError(
-            "No video decoding backend available (install opencv-python or "
-            f"imageio, or pass frame arrays directly): {errors}"
-        )
+        if all("not installed" in e for e in errors):
+            raise ImportError(
+                "No video decoding backend available (install opencv-python "
+                f"or imageio, or pass frame arrays directly): {errors}"
+            )
+        raise ValueError(f"Could not decode {path!r} with any backend: {errors}")
 
     n = frames.shape[0]
     if native_fps and fps and native_fps > fps:

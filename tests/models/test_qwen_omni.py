@@ -167,6 +167,11 @@ class TestOmniCheckpointLoader:
         cfg.text_config.rope_scaling = {"mrope_section": [2, 2, 2], "rope_type": "default", "type": "default"}
         hf = Qwen2_5OmniThinkerForConditionalGeneration(cfg).eval()
         state = {k: v.contiguous() for k, v in hf.state_dict().items()}
+        # full Omni checkpoints nest everything under thinker.* and also
+        # carry the speech-generation stack — both must convert cleanly
+        state = {f"thinker.{k}": v for k, v in state.items()}
+        state["talker.model.layers.0.self_attn.q_proj.weight"] = torch.zeros(4, 4)
+        state["token2wav.code2wav_bigvgan_model.conv_pre.weight"] = torch.zeros(4, 4)
         save_file(state, str(tmp_path / "model.safetensors"))
 
         params = load_colqwen_omni_params(str(tmp_path))

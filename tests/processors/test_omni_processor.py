@@ -150,3 +150,11 @@ class TestVideoFileDecoding:
 
         with pytest.raises(ValueError, match="backend"):
             load_video_frames(video_path, backend="ffmpeg")
+
+    def test_undecodable_file_reports_all_backends(self, tmp_path):
+        from colpali_tpu.utils.video import load_video_frames
+
+        bogus = tmp_path / "not_a_video.mp4"
+        bogus.write_bytes(b"this is not a video container")
+        with pytest.raises(ValueError, match="any backend"):
+            load_video_frames(str(bogus))

@@ -148,3 +148,15 @@ class TestDevicePixelPath:
         )
         for key in ("input_ids", "patch_mask", "vision_hpos", "vision_wpos", "position_ids"):
             np.testing.assert_array_equal(np.asarray(dev[key]), host[key])
+
+    def test_qwen2_5_processor_forwards_device_pixels(self):
+        from colpali_tpu.processors.qwen2_5_vl import ColQwen2_5Processor
+
+        proc = ColQwen2_5Processor(StubTokenizer(), patch_size=2, merge_size=2,
+                                   min_pixels=16, max_pixels=1024, window_size=8)
+        rng = np.random.default_rng(3)
+        imgs = [rng.integers(0, 255, (16, 12, 3), np.uint8) for _ in range(2)]
+        host = proc.process_images(imgs)
+        dev = proc.process_images(imgs, device_pixels=True)
+        np.testing.assert_allclose(np.asarray(dev["pixel_values"]), host["pixel_values"], atol=1e-5)
+        np.testing.assert_array_equal(dev["window_id"], host["window_id"])

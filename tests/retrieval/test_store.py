@@ -261,3 +261,27 @@ class TestBinaryPrefilter:
         _, e_idx = exact.search(queries, k=3)
         _, t_idx = tiered.search(queries, k=3, candidates=32)
         np.testing.assert_array_equal(t_idx, e_idx)
+
+    def test_sharded_fake_doc_shards_never_win(self):
+        """Shards holding only padding (num_docs << padded_docs) must not
+        emit fake doc ids even when every real score is negative."""
+        rng = np.random.default_rng(11)
+        d = 32
+        u = rng.normal(size=d).astype(np.float32)
+        u /= np.linalg.norm(u)
+        # query tokens cluster around +u, every doc token around -u, and
+        # docs fill all 16 token slots (zero padding would floor the exact
+        # max at 0) -> every real exact score is strongly negative
+        q = u + 0.1 * rng.normal(size=(16, d)).astype(np.float32)
+        queries = [q / np.linalg.norm(q, axis=-1, keepdims=True)]
+        docs = []
+        for _ in range(200):
+            x = -u + 0.1 * rng.normal(size=(16, d)).astype(np.float32)
+            docs.append(x / np.linalg.norm(x, axis=-1, keepdims=True))
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+        tiered = CorpusIndex(docs, dtype="int8", mesh=mesh, prefilter="binary", force_kernel=True)
+        t_scores, t_idx = tiered.search(queries, k=5, candidates=16)
+        # the invariants under test: no fake ids, no fake 0.0 scores (all
+        # docs here are near-ties, so exact-id agreement is not expected)
+        assert (t_idx < len(docs)).all(), t_idx
+        assert (t_scores < 0).all(), t_scores
