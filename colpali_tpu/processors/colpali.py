@@ -92,7 +92,14 @@ class ColPaliProcessor(BaseVisualRetrieverProcessor):
         )
         return {"input_ids": np.asarray(enc["input_ids"]), "attention_mask": np.asarray(enc["attention_mask"])}
 
-    def process_images(self, images: Sequence[Any], context_prompts: Optional[Sequence[str]] = None) -> Batch:
+    def process_images(
+        self,
+        images: Sequence[Any],
+        context_prompts: Optional[Sequence[str]] = None,
+        device_pixels: bool = False,
+    ) -> Batch:
+        """device_pixels=True keeps ``pixel_values`` on device (the
+        serving/embedding path — see processors/image_processing.py)."""
         prompts = list(context_prompts) if context_prompts else [self.visual_prompt_prefix] * len(images)
         if len(prompts) != len(images):
             raise ValueError(f"Got {len(images)} images but {len(prompts)} prompts")
@@ -102,6 +109,7 @@ class ColPaliProcessor(BaseVisualRetrieverProcessor):
             size=(self.image_size, self.image_size),
             mean=self.image_mean,
             std=self.image_std,
+            device=device_pixels,
         )
         return batch
 

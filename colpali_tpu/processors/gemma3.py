@@ -100,7 +100,12 @@ class ColGemma3Processor(BaseVisualRetrieverProcessor):
         )
         return {"input_ids": np.asarray(enc["input_ids"]), "attention_mask": np.asarray(enc["attention_mask"])}
 
-    def process_images(self, images: Sequence[Any], context_prompts: Optional[Sequence[str]] = None) -> Batch:
+    def process_images(
+        self,
+        images: Sequence[Any],
+        context_prompts: Optional[Sequence[str]] = None,
+        device_pixels: bool = False,
+    ) -> Batch:
         prompts = list(context_prompts) if context_prompts else [self.doc_prompt] * len(images)
         if len(prompts) != len(images):
             raise ValueError(f"Got {len(images)} images but {len(prompts)} prompts")
@@ -111,6 +116,7 @@ class ColGemma3Processor(BaseVisualRetrieverProcessor):
             size=(self.image_size, self.image_size),
             mean=self.image_mean,
             std=self.image_std,
+            device=device_pixels,
         )
         return batch
 

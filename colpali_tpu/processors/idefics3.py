@@ -178,6 +178,56 @@ class ColIdefics3Processor(BaseVisualRetrieverProcessor):
             out.append((stacked.astype(np.float32), rows, cols))
         return out
 
+    def _split_many_device(self, images: Sequence[Any]):
+        """Device-resident split pipeline: resizes, crops, tile resizes and
+        normalization all run on the accelerator and the padded
+        ``(B, T_max, S, S, 3)`` tile batch never visits the host (a page's
+        normalized tiles are ~50 MB of fp32 — downloads at MB/s dominate on
+        remote-attached devices). Returns (device tiles, tile counts,
+        [(rows, cols)] per image)."""
+        s = self.tile_size
+        arrs = [to_rgb_array(im).astype(np.float32) for im in images]
+        groups: Dict[Tuple[Tuple[int, int], Tuple[int, int]], List[int]] = {}
+        for i, arr in enumerate(arrs):
+            h0, w0 = arr.shape[:2]
+            h1, w1 = resized_dimensions(h0, w0, self.longest_edge if max(h0, w0) > self.longest_edge else None)
+            groups.setdefault(((h0, w0), (h1, w1)), []).append(i)
+
+        mean_j = jnp.asarray(self.image_mean)
+        std_j = jnp.asarray(self.image_std)
+        group_tiles, idx_groups, layouts = [], [], {}
+        for ((_, (h1, w1)), idxs) in groups.items():
+            batch = jnp.asarray(np.stack([arrs[i] for i in idxs]))
+            resized = batch if batch.shape[1:3] == (h1, w1) else _resize_batch_jit(batch, (h1, w1))
+            tiles = []
+            if h1 > s or w1 > s:
+                rows, cols = math.ceil(h1 / s), math.ceil(w1 / s)
+                opt_h, opt_w = math.ceil(h1 / rows), math.ceil(w1 / cols)
+                for r in range(rows):
+                    for c in range(cols):
+                        crop = resized[:, r * opt_h : min((r + 1) * opt_h, h1), c * opt_w : min((c + 1) * opt_w, w1)]
+                        tiles.append(_resize_batch_jit(crop, (s, s)))
+            else:
+                rows = cols = 0
+            tiles.append(resized if resized.shape[1:3] == (s, s) else _resize_batch_jit(resized, (s, s)))
+            stacked = jnp.stack(tiles, axis=1)  # (n, T, S, S, 3), 0-255
+            group_tiles.append((stacked / 255.0 - mean_j) / std_j)
+            idx_groups.append(idxs)
+            for i in idxs:
+                layouts[i] = (rows, cols)
+
+        t_max = max(g.shape[1] for g in group_tiles)
+        padded = [
+            jnp.pad(g, ((0, 0), (0, t_max - g.shape[1]), (0, 0), (0, 0), (0, 0)))
+            for g in group_tiles
+        ]
+        stacked = padded[0] if len(padded) == 1 else jnp.concatenate(padded, axis=0)
+        order = np.argsort(np.concatenate([np.asarray(g) for g in idx_groups]))
+        if not np.array_equal(order, np.arange(len(arrs))):
+            stacked = jnp.take(stacked, jnp.asarray(order), axis=0)
+        counts = [layouts[i][0] * layouts[i][1] + 1 for i in range(len(arrs))]
+        return stacked, counts, [layouts[i] for i in range(len(arrs))]
+
     def _image_prompt(self, rows: int, cols: int) -> str:
         """HF get_image_prompt_string (processing_idefics3.py:46-87)."""
         img = self.image_token * self.image_seq_len
@@ -201,24 +251,40 @@ class ColIdefics3Processor(BaseVisualRetrieverProcessor):
         )
         return {"input_ids": np.asarray(enc["input_ids"]), "attention_mask": np.asarray(enc["attention_mask"])}
 
-    def process_images(self, images: Sequence[Any], context_prompts: Optional[Sequence[str]] = None) -> Batch:
-        split = self._split_many(images)
+    def process_images(
+        self,
+        images: Sequence[Any],
+        context_prompts: Optional[Sequence[str]] = None,
+        device_pixels: bool = False,
+    ) -> Batch:
+        """device_pixels=True keeps the padded tile batch on device (see
+        _split_many_device); host numpy otherwise."""
+        if device_pixels:
+            device_tiles, counts, rc = self._split_many_device(images)
+            layouts = [(counts[i], *rc[i]) for i in range(len(images))]
+        else:
+            split = self._split_many(images)
+            layouts = [(tiles.shape[0], rows, cols) for tiles, rows, cols in split]
         prompts = []
         user_prompts = list(context_prompts) if context_prompts else ["Describe the image."] * len(images)
-        for (tiles, rows, cols), user in zip(split, user_prompts):
+        for (_, rows, cols), user in zip(layouts, user_prompts):
             prompts.append(
                 f"{self.prompt_prefix}{self._image_prompt(rows, cols)}{user}{self.prompt_suffix}"
             )
         batch = self._tokenize(prompts)
 
-        t_max = max(t.shape[0] for t, _, _ in split)
+        t_max = device_tiles.shape[1] if device_pixels else max(n for n, _, _ in layouts)
         s = self.tile_size
-        pixel_values = np.zeros((len(images), t_max, s, s, 3), np.float32)
         tile_mask = np.zeros((len(images), t_max), bool)
-        for i, (tiles, _, _) in enumerate(split):
-            pixel_values[i, : tiles.shape[0]] = tiles
-            tile_mask[i, : tiles.shape[0]] = True
-        batch["pixel_values"] = pixel_values
+        for i, (n_tiles, _, _) in enumerate(layouts):
+            tile_mask[i, :n_tiles] = True
+        if device_pixels:
+            batch["pixel_values"] = device_tiles
+        else:
+            pixel_values = np.zeros((len(images), t_max, s, s, 3), np.float32)
+            for i, (tiles, _, _) in enumerate(split):
+                pixel_values[i, : tiles.shape[0]] = tiles
+            batch["pixel_values"] = pixel_values
         batch["tile_mask"] = tile_mask
         return batch
 

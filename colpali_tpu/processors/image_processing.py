@@ -64,13 +64,16 @@ def preprocess_images_fixed(
     mean: Sequence[float] = (0.5, 0.5, 0.5),
     std: Sequence[float] = (0.5, 0.5, 0.5),
     method: str = "bicubic",
-) -> np.ndarray:
+    device: bool = False,
+) -> Union[np.ndarray, jnp.ndarray]:
     """Preprocess a batch of images to a fixed resolution (SigLIP/PaliGemma).
 
     Images are grouped by source shape so each distinct shape compiles once
     and same-shape images are resized as one batched device op.
 
-    Returns ``(B, height, width, 3)`` float32 (NHWC).
+    Returns ``(B, height, width, 3)`` float32 (NHWC) — a DEVICE array with
+    ``device=True`` (the serving path: normalized-image downloads run at
+    MB/s on remote-attached accelerators), host numpy otherwise.
     """
     arrays: List[np.ndarray] = [to_rgb_array(im) for im in images]
     mean_j = jnp.asarray(mean, dtype=jnp.float32)
@@ -80,6 +83,18 @@ def preprocess_images_fixed(
     by_shape: dict[Tuple[int, int], List[int]] = {}
     for i, a in enumerate(arrays):
         by_shape.setdefault(a.shape[:2], []).append(i)
+
+    if device:
+        parts, orders = [], []
+        for _, indices in by_shape.items():
+            batch = jnp.asarray(np.stack([arrays[i] for i in indices]))
+            parts.append(_resize_normalize(batch, mean_j, std_j, h, w, method=method))
+            orders.extend(indices)
+        stacked = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        inv = np.argsort(np.asarray(orders))
+        if not np.array_equal(inv, np.arange(len(arrays))):
+            stacked = jnp.take(stacked, jnp.asarray(inv), axis=0)
+        return stacked
 
     out = np.empty((len(arrays), h, w, 3), dtype=np.float32)
     for _, indices in by_shape.items():

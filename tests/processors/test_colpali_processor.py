@@ -123,3 +123,12 @@ class TestImagePreprocessing:
         diff = np.abs(got_nchw - expected)
         assert diff.mean() < 0.03, f"mean abs diff {diff.mean()}"
         assert np.corrcoef(got_nchw.ravel(), expected.ravel())[0, 1] > 0.998
+
+
+def test_device_pixels_matches_host(processor):
+    rng = np.random.default_rng(8)
+    imgs = [rng.integers(0, 255, (40, 30, 3), np.uint8), rng.integers(0, 255, (28, 28, 3), np.uint8)]
+    host = processor.process_images(imgs)
+    dev = processor.process_images(imgs, device_pixels=True)
+    assert isinstance(host["pixel_values"], np.ndarray)
+    np.testing.assert_allclose(np.asarray(dev["pixel_values"]), host["pixel_values"], atol=1e-5)

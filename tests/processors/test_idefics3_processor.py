@@ -124,3 +124,21 @@ class TestSplitImageInterpretability:
         assert maps[0].shape == (3, 4, 2)
         with pytest.raises(ValueError, match="get_local_image_mask"):
             get_split_image_similarity_maps(emb, q, (2, 2), mask, image_seq_len=4)
+
+
+class TestDeviceTilePath:
+    def test_device_pixels_matches_host(self, processor):
+        rng = np.random.default_rng(8)
+        imgs = [
+            rng.integers(0, 255, (96, 64, 3), np.uint8),  # tiled (split) image
+            rng.integers(0, 255, (24, 24, 3), np.uint8),  # global-only image
+            rng.integers(0, 255, (96, 64, 3), np.uint8),  # interleaved group
+        ]
+        host = processor.process_images(imgs)
+        dev = processor.process_images(imgs, device_pixels=True)
+        assert isinstance(host["pixel_values"], np.ndarray)
+        np.testing.assert_allclose(
+            np.asarray(dev["pixel_values"]), host["pixel_values"], atol=1e-4
+        )
+        for key in ("input_ids", "tile_mask"):
+            np.testing.assert_array_equal(np.asarray(dev[key]), host[key])
