@@ -1,1 +1,1 @@
-from colpali_tpu.retrieval.store import CorpusIndex  # noqa: F401
+from colpali_tpu.retrieval.store import CorpusIndex, DeviceIndexBuilder  # noqa: F401

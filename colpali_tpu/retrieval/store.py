@@ -15,6 +15,7 @@ attention occupies elsewhere".
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple, Union
 
 import jax
@@ -512,3 +513,119 @@ class CorpusIndex:
                 arr = arr[None]
             padded = arr
         return jnp.asarray(padded)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "prefilter"))
+def _pack_tiles_device(chunk: jnp.ndarray, dtype: str, prefilter: Optional[str]):
+    """Pack (n*DOC_TILE, Np, D) fp32 docs into tile-major serving arrays ON
+    DEVICE: (store, scales|None, bwords|None). Same math as
+    CorpusIndex._pack_host (quantize_per_token / binarize_words +
+    fill_doc_padding), jitted so streamed ingestion never leaves the chip."""
+    c, np_, d = chunk.shape
+    tiled = chunk.reshape(c // DOC_TILE, DOC_TILE, np_, d).transpose(0, 2, 1, 3)
+    if dtype == "int8":
+        q, scale = quantize_per_token(tiled)
+        store, scales = q, scale
+    else:
+        store, scales = tiled.astype(jnp.bfloat16), None
+    bwords = None
+    if prefilter == "binary":
+        words, valid = binarize_words(chunk)  # (c, Np, W), (c, Np)
+        words = jnp.where(valid[..., None] > 0, words, words[:, :1, :])
+        bwords = words.reshape(c // DOC_TILE, DOC_TILE, np_, d // 32).transpose(0, 3, 2, 1)
+    return store, scales, bwords
+
+
+class DeviceIndexBuilder:
+    """Streaming, device-resident index construction.
+
+    The ingestion half of the serving story: model forwards hand padded
+    ``(B, S, D)`` embeddings + validity masks straight to :meth:`add`;
+    quantization, sign-packing and the tile-major layout all run on the
+    accelerator, and only the finished packed index ever needs the host
+    (for :meth:`CorpusIndex.save` — int8, 4x smaller than fp32 npz). No
+    reference counterpart: colpali-engine round-trips embeddings through
+    host RAM into the external PLAID crate.
+
+    Args:
+        doc_tokens: fixed token budget per doc (inputs are padded or must
+            already fit; pool upstream — compression.token_pooling).
+        dim: embedding dimension.
+        dtype / prefilter: as in :class:`CorpusIndex`.
+    """
+
+    def __init__(self, doc_tokens: int, dim: int, dtype: str = "int8",
+                 prefilter: Optional[str] = None):
+        self.doc_tokens = round_up(doc_tokens, 16)
+        self.dim = dim
+        self.dtype = dtype
+        self.prefilter = prefilter
+        self.num_docs = 0
+        self._tiles: list = []  # [(store, scales, bwords)] per packed chunk
+        self._pending: list = []  # device (B, Np, D) fp32 batches < one tile
+
+    def add(self, embeddings, mask=None) -> None:
+        """Ingest a batch of documents.
+
+        embeddings: ``(B, S, D)`` device array (padded model output).
+        mask: optional ``(B, S)`` validity; invalid tokens are zeroed (the
+        score-neutral padding convention). ``S`` must not exceed
+        ``doc_tokens``; shorter batches are zero-padded up.
+        """
+        b, s, d = embeddings.shape
+        if d != self.dim:
+            raise ValueError(f"dim mismatch: builder {self.dim}, batch {d}")
+        if s > self.doc_tokens:
+            raise ValueError(
+                f"batch has {s} tokens > doc_tokens={self.doc_tokens}; pool "
+                "upstream (compression.token_pooling) or raise doc_tokens"
+            )
+        x = embeddings.astype(jnp.float32)
+        if mask is not None:
+            x = x * mask.astype(jnp.float32)[..., None]
+        if s < self.doc_tokens:
+            x = jnp.pad(x, ((0, 0), (0, self.doc_tokens - s), (0, 0)))
+        self.num_docs += b
+        self._pending.append(x)
+        self._flush(final=False)
+
+    def _flush(self, final: bool) -> None:
+        buffered = sum(int(p.shape[0]) for p in self._pending)
+        full = (buffered // DOC_TILE) * DOC_TILE
+        target = round_up(buffered, DOC_TILE) if final else full
+        if target == 0 or (not final and full == 0):
+            return
+        chunk = self._pending[0] if len(self._pending) == 1 else jnp.concatenate(self._pending)
+        if final and buffered < target:
+            chunk = jnp.pad(chunk, ((0, target - buffered), (0, 0), (0, 0)))
+        take, rest = chunk[:target], chunk[target:]
+        self._pending = [] if (final or rest.shape[0] == 0) else [rest]
+        self._tiles.append(_pack_tiles_device(take, self.dtype, self.prefilter))
+
+    def build(self, mesh: Optional[Mesh] = None, axis: str = "data") -> CorpusIndex:
+        """Finalize into a :class:`CorpusIndex` (re-sharding onto ``mesh``)."""
+        if self.num_docs == 0:
+            raise ValueError("No documents added")
+        self._flush(final=True)
+        store = jnp.concatenate([t[0] for t in self._tiles])
+        scales = None if self.dtype != "int8" else jnp.concatenate([t[1] for t in self._tiles])
+        bwords = None if self.prefilter is None else jnp.concatenate([t[2] for t in self._tiles])
+        self._tiles = []
+
+        shard_multiple = DOC_TILE * (mesh.shape[axis] if mesh is not None else 1)
+        pad_tiles = (round_up(self.num_docs, shard_multiple) - store.shape[0] * DOC_TILE) // DOC_TILE
+        if pad_tiles > 0:
+            store = jnp.concatenate([store, jnp.zeros((pad_tiles, *store.shape[1:]), store.dtype)])
+            if scales is not None:
+                scales = jnp.concatenate([scales, jnp.ones((pad_tiles, *scales.shape[1:]), scales.dtype)])
+            if bwords is not None:
+                bwords = jnp.concatenate([bwords, jnp.zeros((pad_tiles, *bwords.shape[1:]), bwords.dtype)])
+
+        index = object.__new__(CorpusIndex)
+        index._init_common(self.dtype, mesh, axis, True, None, self.prefilter)
+        index.num_docs = self.num_docs
+        index.doc_tokens = self.doc_tokens
+        index.dim = self.dim
+        index.padded_docs = store.shape[0] * DOC_TILE
+        index._put_store(store, scales, bwords)
+        return index

@@ -49,6 +49,15 @@ def main() -> None:
     parser.add_argument("--pool-factor", type=int, default=1,
                         help="hierarchical token pooling factor (3 = the reference's ~3x "
                              "storage compression; 1 = no pooling)")
+    parser.add_argument("--save-index", metavar="PATH.npz",
+                        help="additionally build a packed CorpusIndex on device "
+                             "(DeviceIndexBuilder) and persist it — serve.py boots "
+                             "from it directly")
+    parser.add_argument("--index-doc-tokens", type=int, default=None,
+                        help="token budget per doc for --save-index (default: max "
+                             "pooled length rounded up)")
+    parser.add_argument("--index-prefilter", action="store_true",
+                        help="include the binary sign-sketch prefilter in --save-index")
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -87,6 +96,24 @@ def main() -> None:
     with open(args.output + ".files.json", "w") as f:
         json.dump(files, f)
     print(f"Embedded {len(files)} pages -> {args.output}")
+
+    if args.save_index:
+        from colpali_tpu.retrieval import DeviceIndexBuilder
+        from colpali_tpu.utils.tensor_utils import pad_sequences
+
+        doc_tokens = args.index_doc_tokens or max(e.shape[0] for e in embeddings)
+        builder = DeviceIndexBuilder(
+            doc_tokens=doc_tokens, dim=embeddings[0].shape[-1], dtype="int8",
+            prefilter="binary" if args.index_prefilter else None,
+        )
+        for i in range(0, len(embeddings), 256):
+            chunk = embeddings[i : i + 256]
+            builder.add(jnp.asarray(pad_sequences(chunk, pad_to=doc_tokens)))
+        index = builder.build()
+        index.save(args.save_index)
+        with open(args.save_index + ".files.json", "w") as f:
+            json.dump(files, f)
+        print(f"Packed index ({index.nbytes/2**20:.1f} MiB) saved to {args.save_index}")
 
 
 if __name__ == "__main__":

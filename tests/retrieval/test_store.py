@@ -285,3 +285,70 @@ class TestBinaryPrefilter:
         # docs here are near-ties, so exact-id agreement is not expected)
         assert (t_idx < len(docs)).all(), t_idx
         assert (t_scores < 0).all(), t_scores
+
+
+class TestDeviceIndexBuilder:
+    """Streaming on-device ingestion == host-built CorpusIndex."""
+
+    def _ragged_corpus(self, seed=13, n=300, d=32):
+        rng = np.random.default_rng(seed)
+        docs = [rng.normal(size=(int(rng.integers(3, 15)), d)).astype(np.float32) for _ in range(n)]
+        return [x / np.linalg.norm(x, axis=-1, keepdims=True) for x in docs]
+
+    @pytest.mark.parametrize("dtype,prefilter", [("int8", None), ("bf16", None), ("int8", "binary")])
+    def test_matches_host_built_index(self, dtype, prefilter):
+        import jax.numpy as jnp
+
+        from colpali_tpu.retrieval import DeviceIndexBuilder
+
+        docs = self._ragged_corpus()
+        ref = CorpusIndex(docs, dtype=dtype, doc_tokens=16, prefilter=prefilter)
+
+        builder = DeviceIndexBuilder(doc_tokens=16, dim=32, dtype=dtype, prefilter=prefilter)
+        for i in range(0, len(docs), 7):  # ragged batches straddle tile edges
+            chunk = docs[i : i + 7]
+            s = max(x.shape[0] for x in chunk)
+            padded = np.zeros((len(chunk), s, 32), np.float32)
+            mask = np.zeros((len(chunk), s), bool)
+            for j, x in enumerate(chunk):
+                padded[j, : x.shape[0]] = x
+                mask[j, : x.shape[0]] = True
+            builder.add(jnp.asarray(padded), jnp.asarray(mask))
+        index = builder.build()
+
+        assert index.num_docs == ref.num_docs and index.padded_docs == ref.padded_docs
+        np.testing.assert_array_equal(np.asarray(index._store), np.asarray(ref._store))
+        if dtype == "int8":
+            np.testing.assert_allclose(np.asarray(index._scales), np.asarray(ref._scales), rtol=1e-6)
+        if prefilter:
+            np.testing.assert_array_equal(np.asarray(index._bwords), np.asarray(ref._bwords))
+
+    def test_build_onto_mesh_and_search(self):
+        import jax.numpy as jnp
+
+        from colpali_tpu.retrieval import DeviceIndexBuilder
+
+        docs = self._ragged_corpus(seed=21, n=40)
+        ref = CorpusIndex(docs, dtype="int8", doc_tokens=16)
+        builder = DeviceIndexBuilder(doc_tokens=16, dim=32, dtype="int8")
+        padded = np.zeros((len(docs), 16, 32), np.float32)
+        for j, x in enumerate(docs):
+            padded[j, : x.shape[0]] = x
+        builder.add(jnp.asarray(padded))
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+        index = builder.build(mesh=mesh)
+        queries = [d[:4] for d in docs[:2]]
+        _, idx = index.search(queries, k=3)
+        _, ref_idx = ref.search(queries, k=3)
+        np.testing.assert_array_equal(idx, ref_idx)
+
+    def test_rejects_oversized_batches(self):
+        import jax.numpy as jnp
+
+        from colpali_tpu.retrieval import DeviceIndexBuilder
+
+        builder = DeviceIndexBuilder(doc_tokens=16, dim=32)
+        with pytest.raises(ValueError, match="doc_tokens"):
+            builder.add(jnp.zeros((2, 20, 32)))
+        with pytest.raises(ValueError, match="No documents"):
+            builder.build()
