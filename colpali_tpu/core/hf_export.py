@@ -211,6 +211,35 @@ def unstack_layer_params(
     return out
 
 
+def ungroup_hybrid_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse of hf_loader.group_hybrid_params: a grouped-scan
+    ``layers/layer/sub_{j}`` subtree (leading stacked group axis) unrolls
+    back to ``layers_{g*interval+j}``. Idempotent on other layouts."""
+    if not isinstance(params, dict):
+        return params
+    out: Dict[str, Any] = {}
+    for key, value in params.items():
+        if (
+            key == "layers"
+            and isinstance(value, dict)
+            and set(value.keys()) == {"layer"}
+            and isinstance(value["layer"], dict)
+            and value["layer"]
+            and all(re.fullmatch(r"sub_\d+", k) for k in value["layer"])
+        ):
+            subs = value["layer"]
+            interval = len(subs)
+            n_groups = jax.tree.leaves(subs)[0].shape[0]
+            for g in range(n_groups):
+                for j in range(interval):
+                    out[f"layers_{g * interval + j}"] = jax.tree.map(
+                        lambda x, g=g: x[g], subs[f"sub_{j}"]
+                    )
+        else:
+            out[key] = ungroup_hybrid_params(value)
+    return out
+
+
 def unstack_expert_weights(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Inverse of hf_loader.stack_expert_weights, applied on the exported
     torch-layout dict: a stacked ``...mlp.experts.{gate,up,down}_proj``
@@ -230,22 +259,35 @@ def unstack_expert_weights(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray
     return out
 
 
+def dress_keys_modern(
+    state: Dict[str, np.ndarray], scopes: Tuple[str, ...]
+) -> Dict[str, np.ndarray]:
+    """Prefix loader-canonical keys with ``model.`` for the named scopes —
+    the nesting modern transformers composite models report (e.g. Qwen2-VL's
+    ``model.visual.* / model.language_model.*``). Without this a torch
+    ``load_state_dict`` marks every weight missing; the loader's remaps strip
+    the prefix right back on re-import."""
+    pat = re.compile(rf"^({'|'.join(map(re.escape, scopes))})\.")
+    return {pat.sub(r"model.\1.", k): v for k, v in state.items()}
+
+
 def adapt_keys_to(
     state: Dict[str, np.ndarray],
     target_keys: Iterable[str],
     remaps: Tuple[Tuple[str, str], ...],
 ) -> Dict[str, np.ndarray]:
-    """Re-dress canonical exported keys into a target layout (e.g. an older
-    transformers nesting): each target key is normalized with the SAME remaps
-    the loader uses; when the normalized form matches an exported key, the
-    export adopts the target's spelling."""
-    canon_to_target = {}
-    for tk in target_keys:
-        ck = tk
+    """Re-dress exported keys into a target layout (e.g. an older
+    transformers nesting): BOTH sides are normalized with the SAME remaps
+    the loader uses; when the normalized forms match, the export adopts the
+    target's spelling."""
+
+    def norm(key: str) -> str:
         for pattern, repl in remaps:
-            ck = re.sub(pattern, repl, ck)
-        canon_to_target[ck] = tk
-    return {canon_to_target.get(k, k): v for k, v in state.items()}
+            key = re.sub(pattern, repl, key)
+        return key
+
+    canon_to_target = {norm(tk): tk for tk in target_keys}
+    return {canon_to_target.get(norm(k), k): v for k, v in state.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -277,7 +319,7 @@ def export_colqwen2_state_dict(
         ctx=_conv3d_ctx(channels, temporal_patch_size, patch_size),
         strict=strict,
     )
-    return fuse_qkv(state)
+    return dress_keys_modern(fuse_qkv(state), ("visual", "language_model"))
 
 
 def export_colqwen25_state_dict(
@@ -294,7 +336,7 @@ def export_colqwen25_state_dict(
         ctx=_conv3d_ctx(channels, temporal_patch_size, patch_size),
         strict=strict,
     )
-    return fuse_qkv(state)
+    return dress_keys_modern(fuse_qkv(state), ("visual", "language_model"))
 
 
 def export_colqwen3_state_dict(
@@ -306,12 +348,13 @@ def export_colqwen3_state_dict(
 ) -> Dict[str, np.ndarray]:
     """Flax (Col)Qwen3-VL params -> HF torch-layout state dict (HF Qwen3-VL
     vision attention uses separate q/k/v: no re-fusing)."""
-    return export_state_dict(
+    state = export_state_dict(
         unstack_layer_params(params),
         QWEN3_VL_RULES,
         ctx=_conv3d_ctx(channels, temporal_patch_size, patch_size),
         strict=strict,
     )
+    return dress_keys_modern(state, ("visual", "language_model"))
 
 
 def export_colqwen35_state_dict(
@@ -321,29 +364,32 @@ def export_colqwen35_state_dict(
     patch_size: int = 16,
     strict: bool = True,
 ) -> Dict[str, np.ndarray]:
-    """Flax (Col)Qwen3.5 params -> HF torch-layout state dict (stacked MoE
-    experts unstacked into per-expert entries)."""
+    """Flax (Col)Qwen3.5 params -> HF torch-layout state dict (grouped
+    hybrid-scan trees unrolled, stacked MoE experts unstacked into
+    per-expert entries)."""
     state = export_state_dict(
-        unstack_layer_params(params),
+        unstack_layer_params(ungroup_hybrid_params(params)),
         QWEN35_RULES,
         ctx=_conv3d_ctx(channels, temporal_patch_size, patch_size),
         strict=strict,
     )
-    return unstack_expert_weights(state)
+    return dress_keys_modern(unstack_expert_weights(state), ("visual", "language_model"))
 
 
 def export_colidefics3_state_dict(
     params: Dict[str, Any], strict: bool = True
 ) -> Dict[str, np.ndarray]:
     """Flax (Col)Idefics3/SmolVLM params -> HF torch-layout state dict."""
-    return export_state_dict(unstack_layer_params(params), IDEFICS3_RULES, strict=strict)
+    state = export_state_dict(unstack_layer_params(params), IDEFICS3_RULES, strict=strict)
+    return dress_keys_modern(state, ("vision_model", "text_model", "connector"))
 
 
 def export_colgemma3_state_dict(
     params: Dict[str, Any], strict: bool = True
 ) -> Dict[str, np.ndarray]:
     """Flax (Col)Gemma3 params -> HF torch-layout state dict."""
-    return export_state_dict(unstack_layer_params(params), GEMMA3_RULES, strict=strict)
+    state = export_state_dict(unstack_layer_params(params), GEMMA3_RULES, strict=strict)
+    return dress_keys_modern(state, ("vision_tower", "multi_modal_projector", "language_model"))
 
 
 def export_colmodernvbert_state_dict(
@@ -351,13 +397,17 @@ def export_colmodernvbert_state_dict(
 ) -> Dict[str, np.ndarray]:
     """Flax (Col)ModernVBert params -> HF torch-layout state dict (text Wqkv
     re-fused; the synthesized layer-0 attn_norm — identity in HF — dropped)."""
-    import copy
-
     params = unstack_layer_params(params)
     layers = params.get("model", {}).get("text_model", {})
     if "layers_0" in layers and "attn_norm" in layers["layers_0"]:
-        params = copy.deepcopy(params)  # don't mutate the caller's tree
-        del params["model"]["text_model"]["layers_0"]["attn_norm"]
+        # shallow rebuild along the one path (leaf arrays shared — a
+        # deepcopy would transiently double the whole model in host RAM)
+        params = dict(params)
+        params["model"] = dict(params["model"])
+        params["model"]["text_model"] = dict(params["model"]["text_model"])
+        params["model"]["text_model"]["layers_0"] = {
+            k: v for k, v in params["model"]["text_model"]["layers_0"].items() if k != "attn_norm"
+        }
     state = export_state_dict(params, MODERNVBERT_RULES, strict=strict)
     return fuse_qkv(state, scope=r"model\.text_model\.layers\.\d+\.attn", fused_name="Wqkv")
 

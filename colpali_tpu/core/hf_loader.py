@@ -809,6 +809,11 @@ QWEN35_RULES: Tuple[_RuleT, ...] = (
      "model/language_model/layers_{i}/mlp/shared_expert_gate/kernel", t_linear),
     (r"language_model\.layers\.(\d+)\.mlp\.shared_expert\.(gate|up|down)_proj\.weight",
      "model/language_model/layers_{i}/mlp/shared_expert/{j}_proj/kernel", t_linear),
+    # stacked (E, d_in, d_out) expert arrays: populated by stack_expert_weights
+    # at load (never matched by raw checkpoint keys); the EXPORT direction
+    # renders them so hf_export.unstack_expert_weights can split per expert
+    (r"language_model\.layers\.(\d+)\.mlp\.experts\.(gate|up|down)_proj",
+     "model/language_model/layers_{i}/mlp/experts/{j}_proj", t_id),
     (r"language_model\.norm\.weight", "model/language_model/norm/weight", t_id),
     # retrieval head
     (r"custom_text_proj\.weight", "head/custom_text_proj/kernel", t_linear),

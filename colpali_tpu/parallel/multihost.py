@@ -57,7 +57,10 @@ def initialize_multihost(
                 process_id=process_id,
             )
         except RuntimeError as exc:  # already initialized (idempotent re-entry)
-            if "already initialized" not in str(exc).lower():
+            # jax's re-init message is "distributed.initialize should only be
+            # called once"; older versions said "already initialized"
+            msg = str(exc).lower()
+            if "only be called once" not in msg and "already initialized" not in msg:
                 raise
     return {
         "process_index": jax.process_index(),
@@ -116,6 +119,7 @@ def process_local_batch(
     global_batch: Dict[str, np.ndarray],
     mesh: Mesh,
     axis: str = "data",
+    batch_dims: Optional[Dict[str, int]] = None,
 ) -> Dict[str, jax.Array]:
     """Assemble a globally-sharded batch from per-process host data.
 
@@ -124,17 +128,35 @@ def process_local_batch(
     devices and stitches the global jax.Array — the multi-host replacement
     for ``jax.device_put(batch, batch_sharding)``. Single-process it
     degenerates to exactly that.
+
+    The batch dimension is axis 0 for every key except ``position_ids``,
+    whose M-RoPE layout is ``(3, B, S)`` (processors/qwen2_vl.py) — sharding
+    the wrong dim would let make_array_from_process_local_data scale IT by
+    the process count and silently corrupt the global shape. Override or
+    extend with ``batch_dims={key: dim}``.
     """
-    return {
-        k: jax.make_array_from_process_local_data(NamedSharding(mesh, P(axis)), np.asarray(v))
-        for k, v in global_batch.items()
-    }
+    dims = {"position_ids": 1, **(batch_dims or {})}
+
+    def put(k, v):
+        d = dims.get(k, 0)
+        spec = P(*([None] * d), axis)
+        return jax.make_array_from_process_local_data(NamedSharding(mesh, spec), np.asarray(v))
+
+    return {k: put(k, v) for k, v in global_batch.items()}
 
 
 def shard_dataset_indices(n: int, seed: int = 0) -> np.ndarray:
     """Deterministic per-process partition of dataset indices — the
     DistributedSampler role (each process feeds a disjoint shard; pair with
-    process_local_batch). Same seed on every host yields aligned epochs."""
+    process_local_batch). Same seed on every host yields aligned epochs.
+
+    Every process gets EXACTLY the same number of indices (wrap-around
+    padding, torch DistributedSampler semantics): the train step is a
+    multi-process collective, so a host with one extra batch would enter a
+    step its peers never join and deadlock the epoch tail."""
     rng = np.random.default_rng(seed)
     perm = rng.permutation(n)
-    return perm[jax.process_index() :: jax.process_count()]
+    count = jax.process_count()
+    per_proc = -(-n // count)  # ceil
+    padded = np.concatenate([perm, perm[: per_proc * count - n]])
+    return padded[jax.process_index() :: count]

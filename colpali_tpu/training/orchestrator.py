@@ -146,10 +146,15 @@ class ColModelTraining:
         cfg = self.config
         ds = cfg.eval_dataset
         bs = cfg.eval_batch_size or cfg.global_batch_size
+        if not hasattr(self, "_eval_batches"):
+            # eval data is deterministic (no sampling): collate (tokenize +
+            # image preprocessing) once and reuse on every eval tick
+            self._eval_batches = [
+                self.collator([ds[i] for i in range(start, min(start + bs, len(ds)))])
+                for start in range(0, len(ds), bs)
+            ]
         losses, q_embs, d_embs = [], [], []
-        for start in range(0, len(ds), bs):
-            items = [ds[i] for i in range(start, min(start + bs, len(ds)))]
-            batch = self.collator(items)
+        for batch in self._eval_batches:
             loss, q, d = self.eval_step(self.state, self._device_batch(batch))
             losses.append(float(loss))
             q, d = np.asarray(q, np.float32), np.asarray(d, np.float32)
@@ -211,6 +216,7 @@ class ColModelTraining:
             **eval_metrics,
         }
         print(f"train_runtime: {runtime:.1f}s, samples/sec: {summary['train_samples_per_second']:.2f}")
+        self.logger.close()  # flush jsonl handle; finish() a wandb run
         return summary
 
     def save(self, output_dir: Optional[str] = None) -> None:

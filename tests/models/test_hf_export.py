@@ -196,3 +196,81 @@ class TestColQwen2Export:
         result = model.load_state_dict(loadable, strict=False)
         assert result.unexpected_keys == []
         assert all(_is_dropped(k) for k in result.missing_keys), result.missing_keys
+
+
+class TestColQwen35Export:
+    """Qwen3.5 trees carry structures no other family has: stacked MoE
+    experts and grouped hybrid-scan layers (review findings r2)."""
+
+    def _text_tree(self):
+        rng = np.random.default_rng(0)
+        f = lambda *s: rng.normal(size=s).astype(np.float32)  # noqa: E731
+        layer = {
+            "input_layernorm": {"weight": f(8)},
+            "post_attention_layernorm": {"weight": f(8)},
+            "self_attn": {
+                "q_proj": {"kernel": f(8, 8)}, "k_proj": {"kernel": f(8, 8)},
+                "v_proj": {"kernel": f(8, 8)}, "o_proj": {"kernel": f(8, 8)},
+                "q_norm": {"weight": f(4)}, "k_norm": {"weight": f(4)},
+            },
+            "mlp": {
+                "gate": {"kernel": f(8, 4)},
+                "shared_expert_gate": {"kernel": f(8, 1)},
+                "shared_expert": {
+                    "gate_proj": {"kernel": f(8, 16)}, "up_proj": {"kernel": f(8, 16)},
+                    "down_proj": {"kernel": f(16, 8)},
+                },
+                "experts": {
+                    "gate_proj": f(4, 8, 16), "up_proj": f(4, 8, 16), "down_proj": f(4, 16, 8),
+                },
+            },
+        }
+        return {
+            "model": {"language_model": {
+                "embed_tokens": {"embedding": f(16, 8)},
+                "norm": {"weight": f(8)},
+                "layers_0": layer,
+            }},
+            "head": {"custom_text_proj": {"kernel": f(8, 4), "bias": f(4)}},
+        }
+
+    def test_moe_experts_export_per_expert(self):
+        from colpali_tpu.core.hf_export import export_colqwen35_state_dict
+
+        tree = self._text_tree()
+        state = export_colqwen35_state_dict(tree, strict=True)  # must not raise
+        key = "model.language_model.layers.0.mlp.experts.2.gate_proj.weight"
+        assert key in state, sorted(state)[:5]
+        np.testing.assert_array_equal(
+            state[key], tree["model"]["language_model"]["layers_0"]["mlp"]["experts"]["gate_proj"][2].T
+        )
+        assert "custom_text_proj.weight" in state
+
+    def test_ungroup_inverts_group_hybrid(self):
+        from colpali_tpu.core.hf_export import ungroup_hybrid_params
+        from colpali_tpu.core.hf_loader import group_hybrid_params
+
+        rng = np.random.default_rng(1)
+        tree = {"layers_" + str(i): {"w": {"kernel": rng.normal(size=(3, 3)).astype(np.float32)}}
+                for i in range(4)}
+        grouped = group_hybrid_params({"lm": tree}, interval=2)
+        restored = ungroup_hybrid_params(grouped)
+        assert set(restored["lm"].keys()) == set(tree.keys())
+        for k in tree:
+            np.testing.assert_array_equal(restored["lm"][k]["w"]["kernel"], tree[k]["w"]["kernel"])
+
+    def test_grouped_tree_exports(self):
+        from colpali_tpu.core.hf_export import export_colqwen35_state_dict
+        from colpali_tpu.core.hf_loader import group_hybrid_params
+
+        tree = self._text_tree()
+        # duplicate the layer so grouping (interval 2) applies
+        tree["model"]["language_model"]["layers_1"] = jax.tree.map(
+            lambda x: x + 1.0, tree["model"]["language_model"]["layers_0"]
+        )
+        flat = export_colqwen35_state_dict(tree, strict=True)
+        grouped = group_hybrid_params(tree, interval=2)
+        regrouped = export_colqwen35_state_dict(grouped, strict=True)
+        assert set(flat) == set(regrouped)
+        for k in flat:
+            np.testing.assert_array_equal(flat[k], regrouped[k])

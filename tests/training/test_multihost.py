@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax.sharding import PartitionSpec as P
 
 from colpali_tpu.parallel.multihost import (
     initialize_multihost,
@@ -60,3 +61,35 @@ class TestMultihost:
         assert sorted(idx.tolist()) == list(range(103))
         # deterministic across "hosts"
         np.testing.assert_array_equal(idx, shard_dataset_indices(103, seed=1))
+
+    def test_position_ids_shard_batch_dim_not_axis0(self):
+        """(3, B, S) position_ids must shard dim 1 — sharding dim 0 would
+        make make_array_from_process_local_data scale the M-RoPE channel
+        count by the process count on a pod (review finding r2)."""
+        from colpali_tpu.parallel.multihost import make_pod_mesh, process_local_batch
+
+        mesh = make_pod_mesh(model=1, data=8)
+        batch = {
+            "input_ids": np.zeros((8, 5), np.int32),
+            "position_ids": np.zeros((3, 8, 5), np.int64),
+        }
+        out = process_local_batch(batch, mesh)
+        assert out["input_ids"].sharding.spec == P("data")
+        assert out["position_ids"].sharding.spec == P(None, "data")
+        assert out["position_ids"].shape == (3, 8, 5)
+
+    def test_shard_indices_equal_length_across_processes(self, monkeypatch):
+        """Unequal shards desynchronize collective train steps; every
+        process must see the same number of indices (wrap-around pad)."""
+        import colpali_tpu.parallel.multihost as mh
+
+        monkeypatch.setattr(mh.jax, "process_count", lambda: 8)
+        lengths = []
+        seen = set()
+        for pid in range(8):
+            monkeypatch.setattr(mh.jax, "process_index", lambda pid=pid: pid)
+            idx = mh.shard_dataset_indices(103, seed=0)
+            lengths.append(len(idx))
+            seen.update(idx.tolist())
+        assert len(set(lengths)) == 1, lengths  # all equal
+        assert seen == set(range(103))  # every example still covered
