@@ -192,12 +192,14 @@ class CorpusIndex:
         self.prefilter = prefilter
         self._bwords = None
 
-    def _pack_host(self, docs_list) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[np.ndarray]]:
+    def _pack_host(
+        self, docs_list, n_tiles: Optional[int] = None
+    ) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[np.ndarray]]:
         """Pack ragged fp32 docs into the tile-major serving layout
         (C//DOC_TILE, Np, DOC_TILE, D) int8/bf16 host arrays, chunk by chunk."""
         import ml_dtypes
 
-        n_tiles = self.padded_docs // DOC_TILE
+        n_tiles = n_tiles if n_tiles is not None else self.padded_docs // DOC_TILE
         np_, d = self.doc_tokens, self.dim
         if self.dtype == "int8":
             store_host = np.zeros((n_tiles, np_, DOC_TILE, d), np.int8)
@@ -261,6 +263,69 @@ class CorpusIndex:
         )
         if bwords_host is not None:
             self._bwords = self._device_put(jnp.asarray(bwords_host), P(self.axis, None, None, None))
+
+    # -- incremental ingestion ----------------------------------------------
+
+    def extend(self, doc_embeddings: Union[Sequence[Array], Array]) -> None:
+        """Append documents in place — doc ids continue from ``num_docs``.
+
+        Only the partially-filled tail tile is fetched from the device
+        (~1 MB); its real docs are dequantized, repacked together with the
+        new docs, and the packed tiles are concatenated onto the store.
+        int8 dequant -> requant round-trips losslessly (absmax, and hence
+        the scale, is unchanged), so extending N times equals one build for
+        the store and scales. (Prefilter sign bits of the repacked tail may
+        differ from a from-scratch build for components whose int8 value is
+        0 — the sketch sees the quantized sign; rerank scores are exact
+        either way.) Neither the reference's CPU scoring nor its PLAID index
+        supports incremental adds (a rebuild each time).
+        """
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "extend() on a mesh-sharded index is not supported; rebuild "
+                "with the full corpus (resharding requires repartitioning "
+                "every chip's tiles)"
+            )
+        if isinstance(doc_embeddings, (list, tuple)):
+            new_docs = [np.asarray(d, dtype=np.float32) for d in doc_embeddings]
+        else:
+            new_docs = list(np.asarray(doc_embeddings, dtype=np.float32))
+        if not new_docs:
+            return
+        n_added = len(new_docs)
+        if any(d.shape[-1] != self.dim for d in new_docs):
+            raise ValueError(f"dim mismatch: index dim {self.dim}")
+        too_long = max(d.shape[0] for d in new_docs)
+        if too_long > self.doc_tokens:
+            raise ValueError(
+                f"new docs up to {too_long} tokens > doc_tokens={self.doc_tokens}; "
+                "pool upstream (compression.token_pooling)"
+            )
+
+        keep_tiles = self.num_docs // DOC_TILE
+        tail = self.num_docs % DOC_TILE
+        if tail:
+            # (Np, DOC_TILE, D) -> per-doc fp32 rows of the tail tile
+            tile = np.asarray(self._store[keep_tiles], np.float32)
+            if self._scales is not None:
+                tile = tile * np.asarray(self._scales[keep_tiles], np.float32)[..., None]
+            tail_docs = [tile[:, lane, :] for lane in range(tail)]
+            new_docs = tail_docs + new_docs
+
+        n_new_tiles = round_up(len(new_docs), DOC_TILE) // DOC_TILE
+        store_h, scales_h, bwords_h = self._pack_host(new_docs, n_tiles=n_new_tiles)
+
+        def cat(old, new_host, spec):
+            new_dev = self._device_put(jnp.asarray(new_host), spec)
+            return jnp.concatenate([old[:keep_tiles], new_dev]) if keep_tiles else new_dev
+
+        self._store = cat(self._store, store_h, P(self.axis, None, None, None))
+        if self._scales is not None:
+            self._scales = cat(self._scales, scales_h, P(self.axis, None, None))
+        if self._bwords is not None:
+            self._bwords = cat(self._bwords, bwords_h, P(self.axis, None, None, None))
+        self.num_docs += n_added
+        self.padded_docs = (keep_tiles + n_new_tiles) * DOC_TILE
 
     # -- persistence --------------------------------------------------------
 

@@ -352,3 +352,53 @@ class TestDeviceIndexBuilder:
             builder.add(jnp.zeros((2, 20, 32)))
         with pytest.raises(ValueError, match="No documents"):
             builder.build()
+
+
+class TestIncrementalExtend:
+    """CorpusIndex.extend: append docs in place; N extends == one build."""
+
+    def _docs(self, seed, n, d=32):
+        rng = np.random.default_rng(seed)
+        docs = [rng.normal(size=(int(rng.integers(3, 15)), d)).astype(np.float32) for _ in range(n)]
+        return [x / np.linalg.norm(x, axis=-1, keepdims=True) for x in docs]
+
+    @pytest.mark.parametrize("dtype", ["int8", "bf16"])
+    def test_extend_matches_scratch_build(self, dtype):
+        all_docs = self._docs(31, 300)
+        # splits straddle tile boundaries (128) and leave partial tails
+        a, b, c = all_docs[:100], all_docs[100:250], all_docs[250:]
+        index = CorpusIndex(a, dtype=dtype, doc_tokens=16)
+        index.extend(b)
+        index.extend(c)
+        ref = CorpusIndex(all_docs, dtype=dtype, doc_tokens=16)
+        assert index.num_docs == ref.num_docs and index.padded_docs == ref.padded_docs
+        np.testing.assert_array_equal(np.asarray(index._store), np.asarray(ref._store))
+        if dtype == "int8":
+            np.testing.assert_array_equal(np.asarray(index._scales), np.asarray(ref._scales))
+
+    def test_extend_with_prefilter_search(self):
+        all_docs = self._docs(32, 200)
+        index = CorpusIndex(all_docs[:130], dtype="int8", doc_tokens=16, prefilter="binary")
+        index.extend(all_docs[130:])
+        ref = CorpusIndex(all_docs, dtype="int8", doc_tokens=16, prefilter="binary")
+        queries = [d[:4] for d in all_docs[150:152]]  # docs only in the extension
+        s0, i0 = index.search(queries, k=3, candidates=32)
+        s1, i1 = ref.search(queries, k=3, candidates=32)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(s0, s1, rtol=1e-5)
+
+    def test_extend_validation(self):
+        index = CorpusIndex(self._docs(33, 10), doc_tokens=16)
+        with pytest.raises(ValueError, match="doc_tokens"):
+            index.extend([np.zeros((30, 32), np.float32)])
+        with pytest.raises(ValueError, match="dim"):
+            index.extend([np.zeros((4, 16), np.float32)])
+        n = index.num_docs
+        index.extend([])
+        assert index.num_docs == n
+
+    def test_extend_sharded_raises(self):
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+        index = CorpusIndex(self._docs(34, 10), mesh=mesh)
+        with pytest.raises(NotImplementedError, match="mesh"):
+            index.extend(self._docs(35, 5))
