@@ -42,6 +42,10 @@ def load_corpus(path: str):
 
 
 def make_handler(index, files):
+    import threading
+
+    lock = threading.Lock()  # extend() mutates the index; searches race it
+
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code, payload):
             body = json.dumps(payload).encode()
@@ -58,24 +62,38 @@ def make_handler(index, files):
                 self._json(404, {"error": "unknown path"})
 
         def do_POST(self):  # noqa: N802
-            if self.path != "/search":
-                self._json(404, {"error": "unknown path"})
-                return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length))
-                qs = [np.asarray(e, np.float32) for e in payload["embeddings"]]
-                k = int(payload.get("k", 10))
-                if index.prefilter is not None:
-                    cand = payload.get("candidates")
-                    scores, ids = index.search(qs, k=k, candidates=int(cand) if cand else None)
+                if self.path == "/search":
+                    qs = [np.asarray(e, np.float32) for e in payload["embeddings"]]
+                    k = int(payload.get("k", 10))
+                    with lock:
+                        if index.prefilter is not None:
+                            cand = payload.get("candidates")
+                            scores, ids = index.search(qs, k=k, candidates=int(cand) if cand else None)
+                        else:
+                            scores, ids = index.search(qs, k=k)
+                    self._json(200, {
+                        "doc_ids": ids.tolist(),
+                        "scores": scores.tolist(),
+                        "files": [[files[i] for i in row] for row in ids],
+                    })
+                elif self.path == "/add":
+                    # incremental ingestion (CorpusIndex.extend): embeddings
+                    # (list of per-doc token matrices) + optional file names
+                    new = [np.asarray(e, np.float32) for e in payload["embeddings"]]
+                    names = payload.get("files") or [
+                        str(index.num_docs + i) for i in range(len(new))
+                    ]
+                    if len(names) != len(new):
+                        raise ValueError(f"{len(new)} embeddings but {len(names)} files")
+                    with lock:
+                        index.extend(new)
+                        files.extend(names)
+                    self._json(200, {"num_docs": index.num_docs})
                 else:
-                    scores, ids = index.search(qs, k=k)
-                self._json(200, {
-                    "doc_ids": ids.tolist(),
-                    "scores": scores.tolist(),
-                    "files": [[files[i] for i in row] for row in ids],
-                })
+                    self._json(404, {"error": "unknown path"})
             except Exception as exc:  # noqa: BLE001 — surface the error to the client
                 self._json(400, {"error": str(exc)})
 
