@@ -303,7 +303,6 @@ OMNI_AUDIO_RULES: Tuple[_RuleT, ...] = (
 )
 
 
-
 # ---------------------------------------------------------------------------
 # Idefics3 / SmolVLM family
 # ---------------------------------------------------------------------------

@@ -32,12 +32,6 @@ from colpali_tpu.processors.base import BaseVisualRetrieverProcessor, Batch
 from colpali_tpu.processors.image_processing import to_rgb_array
 
 
-def _resize(arr: np.ndarray, h: int, w: int) -> np.ndarray:
-    return np.asarray(
-        jax.image.resize(jnp.asarray(arr, jnp.float32), (h, w, 3), method="bicubic", antialias=True)
-    )
-
-
 @functools.partial(jax.jit, static_argnums=1)
 def _resize_batch_jit(arrs: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
     b = arrs.shape[0]
@@ -216,15 +210,14 @@ class ColIdefics3Processor(BaseVisualRetrieverProcessor):
             for i in idxs:
                 layouts[i] = (rows, cols)
 
+        from colpali_tpu.processors.image_processing import restore_group_order
+
         t_max = max(g.shape[1] for g in group_tiles)
         padded = [
             jnp.pad(g, ((0, 0), (0, t_max - g.shape[1]), (0, 0), (0, 0), (0, 0)))
             for g in group_tiles
         ]
-        stacked = padded[0] if len(padded) == 1 else jnp.concatenate(padded, axis=0)
-        order = np.argsort(np.concatenate([np.asarray(g) for g in idx_groups]))
-        if not np.array_equal(order, np.arange(len(arrs))):
-            stacked = jnp.take(stacked, jnp.asarray(order), axis=0)
+        stacked = restore_group_order(padded, idx_groups)
         counts = [layouts[i][0] * layouts[i][1] + 1 for i in range(len(arrs))]
         return stacked, counts, [layouts[i] for i in range(len(arrs))]
 

@@ -24,6 +24,17 @@ import numpy as np
 ImageLike = Union[np.ndarray, "PIL.Image.Image"]  # noqa: F821
 
 
+def restore_group_order(parts: List[jnp.ndarray], idx_groups: List[List[int]]) -> jnp.ndarray:
+    """Concatenate per-group device results and restore the original item
+    order (grouped-by-shape processing scrambles it). Skips the permutation
+    gather when the groups already cover indices in order."""
+    stacked = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    order = np.argsort(np.concatenate([np.asarray(g) for g in idx_groups]))
+    if not np.array_equal(order, np.arange(order.size)):
+        stacked = jnp.take(stacked, jnp.asarray(order), axis=0)
+    return stacked
+
+
 def to_rgb_array(image: ImageLike) -> np.ndarray:
     """PIL image or array -> (H, W, 3) uint8 numpy array."""
     if hasattr(image, "convert"):  # PIL
@@ -85,16 +96,12 @@ def preprocess_images_fixed(
         by_shape.setdefault(a.shape[:2], []).append(i)
 
     if device:
-        parts, orders = [], []
+        parts, idx_groups = [], []
         for _, indices in by_shape.items():
             batch = jnp.asarray(np.stack([arrays[i] for i in indices]))
             parts.append(_resize_normalize(batch, mean_j, std_j, h, w, method=method))
-            orders.extend(indices)
-        stacked = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-        inv = np.argsort(np.asarray(orders))
-        if not np.array_equal(inv, np.arange(len(arrays))):
-            stacked = jnp.take(stacked, jnp.asarray(inv), axis=0)
-        return stacked
+            idx_groups.append(indices)
+        return restore_group_order(parts, idx_groups)
 
     out = np.empty((len(arrays), h, w, 3), dtype=np.float32)
     for _, indices in by_shape.items():

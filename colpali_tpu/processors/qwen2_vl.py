@@ -356,14 +356,12 @@ class ColQwen2Processor(BaseVisualRetrieverProcessor):
         group = self.merge_size**2
         p_max = max(f.shape[1] for f in flat_groups)
         p_max = ((p_max + group - 1) // group) * group
+        from colpali_tpu.processors.image_processing import restore_group_order
+
         padded = [
             jnp.pad(f, ((0, 0), (0, p_max - f.shape[1]), (0, 0))) for f in flat_groups
         ]
-        stacked = padded[0] if len(padded) == 1 else jnp.concatenate(padded, axis=0)
-        order = np.argsort(np.concatenate([np.asarray(g) for g in idx_groups]))
-        if not np.array_equal(order, np.arange(len(arrays))):
-            stacked = jnp.take(stacked, jnp.asarray(order), axis=0)
-        return stacked, grids
+        return restore_group_order(padded, idx_groups), grids
 
     def _tokenize(self, texts: Sequence[str]) -> Batch:
         enc = self.tokenizer(
