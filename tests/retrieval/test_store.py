@@ -402,3 +402,20 @@ class TestIncrementalExtend:
         index = CorpusIndex(self._docs(34, 10), mesh=mesh)
         with pytest.raises(NotImplementedError, match="mesh"):
             index.extend(self._docs(35, 5))
+
+    def test_sharded_two_tier_xla_fallback(self):
+        """mesh + prefilter with the XLA (non-kernel) branch — the CPU/GPU
+        serving fallback under shard_map."""
+        rng = np.random.default_rng(6)
+        d = 32
+        queries = rng.normal(size=(1, 6, d)).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=-1, keepdims=True)
+        docs = [queries[0] + 0.1 * rng.normal(size=(6, d)).astype(np.float32) for _ in range(3)]
+        docs += [rng.normal(size=(8, d)).astype(np.float32) for _ in range(200)]
+        docs = [x / np.linalg.norm(x, axis=-1, keepdims=True) for x in docs]
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+        exact = CorpusIndex(docs, dtype="int8", force_kernel=False)
+        tiered = CorpusIndex(docs, dtype="int8", mesh=mesh, prefilter="binary", force_kernel=False)
+        _, e_idx = exact.search(list(queries), k=3)
+        _, t_idx = tiered.search(list(queries), k=3, candidates=16)
+        np.testing.assert_array_equal(t_idx, e_idx)
