@@ -419,3 +419,24 @@ class TestIncrementalExtend:
         _, e_idx = exact.search(list(queries), k=3)
         _, t_idx = tiered.search(list(queries), k=3, candidates=16)
         np.testing.assert_array_equal(t_idx, e_idx)
+
+
+def test_builder_bf16_prefilter_combination():
+    """DeviceIndexBuilder with bf16 store + binary prefilter (the one dtype x
+    prefilter cell the parametrized builder test leaves out)."""
+    import jax.numpy as jnp
+
+    from colpali_tpu.retrieval import DeviceIndexBuilder
+
+    rng = np.random.default_rng(41)
+    docs = [rng.normal(size=(8, 32)).astype(np.float32) for _ in range(150)]
+    docs = [x / np.linalg.norm(x, axis=-1, keepdims=True) for x in docs]
+    ref = CorpusIndex(docs, dtype="bf16", doc_tokens=16, prefilter="binary")
+    builder = DeviceIndexBuilder(doc_tokens=16, dim=32, dtype="bf16", prefilter="binary")
+    padded = np.zeros((len(docs), 16, 32), np.float32)
+    for j, x in enumerate(docs):
+        padded[j, : x.shape[0]] = x
+    builder.add(jnp.asarray(padded))
+    index = builder.build()
+    np.testing.assert_array_equal(np.asarray(index._store), np.asarray(ref._store))
+    np.testing.assert_array_equal(np.asarray(index._bwords), np.asarray(ref._bwords))
