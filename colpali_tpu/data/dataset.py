@@ -111,4 +111,5 @@ class ColPaliEngineDataset:
             self.query_column_name,
             self.pos_target_column_name,
             self.neg_target_column_name,
+            num_negatives=self.num_negatives,
         )

@@ -34,6 +34,18 @@ def evaluate_retrieval(
         {"ndcg@5": ..., "recall@10": ..., ...} averaged over queries.
     """
     index = CorpusIndex(doc_embeddings, dtype=index_dtype, mesh=mesh)
+    return evaluate_retrieval_from_index(index, query_embeddings, relevance, k_values)
+
+
+def evaluate_retrieval_from_index(
+    index: CorpusIndex,
+    query_embeddings: Sequence[np.ndarray],
+    relevance: Sequence[Any],
+    k_values: Sequence[int] = (1, 5, 10, 100),
+) -> Dict[str, float]:
+    """Ranked metrics against an already-built index — callers that hold
+    device-resident embeddings (the training eval loop, serving) build via
+    retrieval.DeviceIndexBuilder and skip the host pack/upload round trip."""
     max_k = min(max(k_values), index.num_docs)
     _, ranked = index.search(query_embeddings, k=max_k)
 

@@ -15,13 +15,16 @@ retrieval/store.py. This is also the credible path for corpora whose int8
 form exceeds one chip's HBM: the binary store is 8x smaller.
 
 Padding convention (no mask array): zero-padded DOC tokens must be replaced
-by a copy of the doc's first real token before packing — duplicates never
+by a copy of one of the doc's real tokens before packing — duplicates never
 change a max, so scores equal MaxSim over the real tokens exactly, and the
 kernel needs no validity plane (saving 4 mask bytes/token of HBM and a VPU
-multiply per token pair). :func:`fill_doc_padding` does this; fully-empty
-(fake) docs keep all-zero words and must be masked downstream by doc count,
-as the exact kernels already do. Zero-padded QUERY tokens are weighted out
-by the ``query_valid`` vector from ops/quant.binarize_words.
+multiply per token pair). :func:`fill_doc_padding` does this using the FIRST
+VALID token (not token 0: left-padding processors — qwen2/gemma3/modernvbert
+— mask token 0 for short docs, and an all-zero word would score
+``dim - 2*popcount(q)`` per query word instead of being neutral).
+Fully-empty (fake) docs keep all-zero words and must be masked downstream by
+doc count, as the exact kernels already do. Zero-padded QUERY tokens are
+weighted out by the ``query_valid`` vector from ops/quant.binarize_words.
 
 Layouts mirror the exact kernels' tile-major scheme (128-doc tiles, one
 contiguous HBM read per grid step):
@@ -50,18 +53,23 @@ from colpali_tpu.ops.maxsim_pallas import DOC_TILE
 
 
 def fill_doc_padding(words: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Replace padded doc-token words with the doc's first token's words.
+    """Replace padded doc-token words with the doc's FIRST VALID token's words.
 
     Args:
         words: ``(C, Np, W)`` packed sign words (ops/quant.binarize_words).
         valid: ``(C, Np)`` fp32 token validity from the same call.
 
     Returns:
-        ``(C, Np, W)`` with every invalid row replaced by row 0 (duplicating
-        a real token is score-neutral under the max). Docs whose token 0 is
-        itself invalid (fully padded fake docs) are left all-zero.
+        ``(C, Np, W)`` with every invalid row replaced by the doc's first
+        valid row (duplicating a real token is score-neutral under the max;
+        left- and right-padded inputs both work). Fully-padded fake docs
+        (no valid token) have all-zero valid, argmax lands on row 0, whose
+        words binarize to 0 for a zero embedding — they stay all-zero and
+        are masked downstream by doc count.
     """
-    return jnp.where(valid[..., None] > 0, words, words[:, :1, :])
+    first_valid = jnp.argmax(valid > 0, axis=1)  # (C,)
+    fill = jnp.take_along_axis(words, first_valid[:, None, None], axis=1)  # (C, 1, W)
+    return jnp.where(valid[..., None] > 0, words, fill)
 
 
 def words_to_tile_major(words_dm: jnp.ndarray) -> jnp.ndarray:

@@ -158,5 +158,8 @@ def shard_dataset_indices(n: int, seed: int = 0) -> np.ndarray:
     perm = rng.permutation(n)
     count = jax.process_count()
     per_proc = -(-n // count)  # ceil
-    padded = np.concatenate([perm, perm[: per_proc * count - n]])
+    # np.resize repeats cyclically, so even n < process_count pads to the
+    # full per_proc*count length (a single wrap slice would fall short and
+    # leave some processes with fewer — or zero — indices)
+    padded = np.resize(perm, per_proc * count)
     return padded[jax.process_index() :: count]

@@ -27,6 +27,7 @@ from colpali_tpu.ops.maxsim import maxsim
 from colpali_tpu.ops.maxsim_binary import (
     binary_maxsim_pallas_tiled,
     binary_maxsim_xla_tiled,
+    fill_doc_padding,
 )
 from colpali_tpu.ops.maxsim_pallas import (
     DOC_TILE,
@@ -191,6 +192,9 @@ class CorpusIndex:
         self.force_kernel = force_kernel
         self.prefilter = prefilter
         self._bwords = None
+        # two-tier shortlist size used when search(candidates=None); set
+        # explicitly or via tune_candidates() (recall-targeted doubling)
+        self.default_candidates: Optional[int] = None
 
     def _pack_host(
         self, docs_list, n_tiles: Optional[int] = None
@@ -239,13 +243,17 @@ class CorpusIndex:
                 store_host[t0:t1] = tiled.astype(ml_dtypes.bfloat16)
             if bwords_host is not None:
                 # host-side mirror of ops.quant.binarize_words +
-                # ops.maxsim_binary.fill_doc_padding (padded tokens take
-                # token 0's words: duplicates are score-neutral under max)
+                # ops.maxsim_binary.fill_doc_padding (padded tokens take the
+                # doc's FIRST VALID token's words — duplicates are
+                # score-neutral under max, and left-padded docs must not
+                # inherit an all-zero masked token 0)
                 bits = (tiled > 0).astype(np.uint32).reshape(t1 - t0, np_, DOC_TILE, d // 32, 32)
                 weights = (np.uint32(1) << np.arange(32, dtype=np.uint32))
                 words = np.sum(bits * weights, axis=-1, dtype=np.uint32).astype(np.int32)
                 valid = np.any(tiled != 0, axis=-1)  # (nt, Np, T)
-                words = np.where(valid[..., None], words, words[:, :1])
+                first_valid = np.argmax(valid, axis=1)  # (nt, T)
+                fill = np.take_along_axis(words, first_valid[:, None, :, None], axis=1)
+                words = np.where(valid[..., None], words, fill)
                 bwords_host[t0:t1] = words.transpose(0, 3, 1, 2)
         return store_host, scales_host, bwords_host
 
@@ -266,10 +274,15 @@ class CorpusIndex:
 
     # -- incremental ingestion ----------------------------------------------
 
-    def extend(self, doc_embeddings: Union[Sequence[Array], Array]) -> None:
+    def extend(
+        self,
+        doc_embeddings: Union[Sequence[Array], Array],
+        host_assemble: bool = False,
+    ) -> None:
         """Append documents in place — doc ids continue from ``num_docs``.
 
-        Only the partially-filled tail tile is fetched from the device
+        Only the partially-filled tail tile (plus, on a mesh, any trailing
+        fake pad tiles, which are dropped) is fetched from the device
         (~1 MB); its real docs are dequantized, repacked together with the
         new docs, and the packed tiles are concatenated onto the store.
         int8 dequant -> requant round-trips losslessly (absmax, and hence
@@ -279,13 +292,19 @@ class CorpusIndex:
         0 — the sketch sees the quantized sign; rerank scores are exact
         either way.) Neither the reference's CPU scoring nor its PLAID index
         supports incremental adds (a rebuild each time).
+
+        Mesh-sharded indexes are repartitioned: the total tile count is
+        re-padded to a multiple of ``DOC_TILE * n_shards`` so every chip
+        keeps an equal tile count, and the device_put redistributes tiles
+        (global doc ids are tile-order, so ids are stable).
+
+        HBM peak: the default on-device concatenate transiently holds ~2x
+        the index (old + concatenated copy) per chip — at 1M unpooled pages
+        (8.2 GB int8 + 1 GB sign words single-chip) that exceeds a 16 GB
+        v5e chip. Pass ``host_assemble=True`` to round-trip the old tiles
+        through host RAM and re-upload once, bounding the device peak to
+        ~1x the new index size (slower: one full download + upload).
         """
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "extend() on a mesh-sharded index is not supported; rebuild "
-                "with the full corpus (resharding requires repartitioning "
-                "every chip's tiles)"
-            )
         if isinstance(doc_embeddings, (list, tuple)):
             new_docs = [np.asarray(d, dtype=np.float32) for d in doc_embeddings]
         else:
@@ -312,20 +331,52 @@ class CorpusIndex:
             tail_docs = [tile[:, lane, :] for lane in range(tail)]
             new_docs = tail_docs + new_docs
 
-        n_new_tiles = round_up(len(new_docs), DOC_TILE) // DOC_TILE
+        num_docs_new = self.num_docs + n_added
+        shard_multiple = DOC_TILE * (self.mesh.shape[self.axis] if self.mesh is not None else 1)
+        n_total_tiles = round_up(num_docs_new, shard_multiple) // DOC_TILE
+        n_new_tiles = n_total_tiles - keep_tiles
         store_h, scales_h, bwords_h = self._pack_host(new_docs, n_tiles=n_new_tiles)
 
-        def cat(old, new_host, spec):
-            new_dev = self._device_put(jnp.asarray(new_host), spec)
-            return jnp.concatenate([old[:keep_tiles], new_dev]) if keep_tiles else new_dev
+        if host_assemble:
+            # download old tiles, FREE the device buffers, then upload once:
+            # device peak stays ~1x the new index (+ transfer staging).
+            def fetch(old):
+                return np.asarray(old[:keep_tiles]) if keep_tiles else None
 
-        self._store = cat(self._store, store_h, P(self.axis, None, None, None))
-        if self._scales is not None:
-            self._scales = cat(self._scales, scales_h, P(self.axis, None, None))
-        if self._bwords is not None:
-            self._bwords = cat(self._bwords, bwords_h, P(self.axis, None, None, None))
-        self.num_docs += n_added
-        self.padded_docs = (keep_tiles + n_new_tiles) * DOC_TILE
+            old_store, old_scales, old_bwords = fetch(self._store), None, None
+            if self._scales is not None:
+                old_scales = fetch(self._scales)
+            if self._bwords is not None:
+                old_bwords = fetch(self._bwords)
+            self._store = self._scales = self._bwords = None
+
+            def cat(old_host, new_host, spec):
+                full = new_host if old_host is None else np.concatenate([old_host, new_host])
+                return self._device_put(jnp.asarray(full), spec)
+
+            self._store = cat(old_store, store_h, P(self.axis, None, None, None))
+            if old_scales is not None or scales_h is not None:
+                self._scales = cat(old_scales, scales_h, P(self.axis, None, None))
+            if old_bwords is not None or bwords_h is not None:
+                self._bwords = cat(old_bwords, bwords_h, P(self.axis, None, None, None))
+        else:
+
+            def cat(old, new_host, spec):
+                # the new tile count alone need not divide over the mesh —
+                # upload replicated, concat, then reshard the full store so
+                # every chip keeps an equal tile count
+                rep = P(*([None] * len(spec)))
+                new_dev = self._device_put(jnp.asarray(new_host), rep)
+                out = jnp.concatenate([old[:keep_tiles], new_dev]) if keep_tiles else new_dev
+                return self._device_put(out, spec)
+
+            self._store = cat(self._store, store_h, P(self.axis, None, None, None))
+            if self._scales is not None:
+                self._scales = cat(self._scales, scales_h, P(self.axis, None, None))
+            if self._bwords is not None:
+                self._bwords = cat(self._bwords, bwords_h, P(self.axis, None, None, None))
+        self.num_docs = num_docs_new
+        self.padded_docs = n_total_tiles * DOC_TILE
 
     # -- persistence --------------------------------------------------------
 
@@ -474,9 +525,11 @@ class CorpusIndex:
         serving call (reference ``get_topk_plaid``, processing_utils.py:189).
 
         With ``prefilter="binary"``, a coarse sign-sketch pass shortlists
-        ``candidates`` docs (default ``max(8*k, 64)``; per shard when a mesh
-        is attached) and only those are rescored exactly. Returned scores are
-        exact; only recall is approximate."""
+        ``candidates`` docs (default: ``default_candidates`` when set — see
+        :meth:`tune_candidates` — else ``max(8*k, 64)``; per shard when a
+        mesh is attached) and only those are rescored exactly. Returned
+        scores are exact; only recall is approximate — measure it with
+        :meth:`estimate_recall` on representative queries."""
         queries = self._prep_queries(query_embeddings)
         k = min(k, self.num_docs)
         if self.prefilter == "binary":
@@ -514,7 +567,7 @@ class CorpusIndex:
     ) -> Tuple[np.ndarray, np.ndarray]:
         q_words, q_valid = binarize_words(queries)
         coarse = self._binary_fn()
-        candidates = max(candidates or max(8 * k, 64), k)
+        candidates = max(candidates or self.default_candidates or max(8 * k, 64), k)
 
         if self.mesh is None:
             c = min(candidates, self.num_docs)
@@ -569,6 +622,77 @@ class CorpusIndex:
         top_idx = jnp.take_along_axis(all_i, pos, axis=1)
         return np.asarray(top_scores), np.asarray(top_idx)
 
+    # -- recall management ---------------------------------------------------
+
+    def exact_search(
+        self, query_embeddings: Union[Sequence[Array], Array], k: int = 10
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k by scoring EVERY doc exactly, bypassing the prefilter —
+        the recall oracle for :meth:`estimate_recall` (and an escape hatch
+        when a caller needs guaranteed-exhaustive results from a two-tier
+        index)."""
+        queries = self._prep_queries(query_embeddings)
+        k = min(k, self.num_docs)
+        scores = self._score_padded(queries)
+        if self.padded_docs > self.num_docs:
+            col = jnp.arange(self.padded_docs)[None, :]
+            scores = jnp.where(col < self.num_docs, scores, -jnp.inf)
+        top_scores, top_idx = jax.lax.top_k(scores, k)
+        return np.asarray(top_scores), np.asarray(top_idx)
+
+    def estimate_recall(
+        self,
+        query_embeddings: Union[Sequence[Array], Array],
+        k: int = 10,
+        candidates: Optional[int] = None,
+    ) -> float:
+        """Measured recall@k of the two-tier path on sample queries: the
+        mean fraction of the EXACT top-k that the sign-sketch shortlist +
+        rerank returns. The coarse pass's recall is corpus-dependent (1.0 on
+        corpora with genuinely relevant docs, but can collapse when all
+        scores are an undifferentiated random band — docs/PERF.md), so
+        serving deployments should measure it on their own queries rather
+        than trust a fixed ``candidates``. Sample ~32+ representative
+        queries for a stable estimate."""
+        if self.prefilter != "binary":
+            raise ValueError("estimate_recall requires an index built with prefilter='binary'")
+        k = min(k, self.num_docs)
+        _, exact_idx = self.exact_search(query_embeddings, k=k)
+        _, tiered_idx = self.search(query_embeddings, k=k, candidates=candidates)
+        hits = sum(
+            len(set(e.tolist()) & set(t.tolist())) for e, t in zip(exact_idx, tiered_idx)
+        )
+        return hits / exact_idx.size
+
+    def tune_candidates(
+        self,
+        query_embeddings: Union[Sequence[Array], Array],
+        k: int = 10,
+        target_recall: float = 0.95,
+        max_candidates: Optional[int] = None,
+    ) -> Tuple[int, float]:
+        """Grow the shortlist until measured recall@k reaches the target
+        (doubling from the default ``max(8k, 64)``), then pin the result as
+        this index's default ``candidates`` for :meth:`search`. Returns
+        ``(candidates, recall)`` — recall may be below target if the cap
+        (default: corpus size) was hit, in which case search degenerates to
+        exact scoring cost and callers should drop the prefilter."""
+        if self.prefilter != "binary":
+            raise ValueError("tune_candidates requires an index built with prefilter='binary'")
+        cap = min(max_candidates or self.num_docs, self.num_docs)
+        c = min(max(8 * k, 64), cap)
+        _, exact_idx = self.exact_search(query_embeddings, k=min(k, self.num_docs))
+        exact_sets = [set(row.tolist()) for row in exact_idx]
+        while True:
+            _, tiered_idx = self.search(query_embeddings, k=min(k, self.num_docs), candidates=c)
+            hits = sum(len(s & set(t.tolist())) for s, t in zip(exact_sets, tiered_idx))
+            recall = hits / exact_idx.size
+            if recall >= target_recall or c >= cap:
+                break
+            c = min(2 * c, cap)
+        self.default_candidates = c
+        return c, recall
+
     def _prep_queries(self, qs: Union[Sequence[Array], Array]) -> jnp.ndarray:
         if isinstance(qs, (list, tuple)):
             padded = pad_sequences([np.asarray(q, np.float32) for q in qs], pad_multiple=16)
@@ -596,7 +720,7 @@ def _pack_tiles_device(chunk: jnp.ndarray, dtype: str, prefilter: Optional[str])
     bwords = None
     if prefilter == "binary":
         words, valid = binarize_words(chunk)  # (c, Np, W), (c, Np)
-        words = jnp.where(valid[..., None] > 0, words, words[:, :1, :])
+        words = fill_doc_padding(words, valid)
         bwords = words.reshape(c // DOC_TILE, DOC_TILE, np_, d // 32).transpose(0, 3, 2, 1)
     return store, scales, bwords
 
@@ -626,6 +750,7 @@ class DeviceIndexBuilder:
         self.dtype = dtype
         self.prefilter = prefilter
         self.num_docs = 0
+        self._built = False
         self._tiles: list = []  # [(store, scales, bwords)] per packed chunk
         self._pending: list = []  # device (B, Np, D) fp32 batches < one tile
 
@@ -637,6 +762,11 @@ class DeviceIndexBuilder:
         score-neutral padding convention). ``S`` must not exceed
         ``doc_tokens``; shorter batches are zero-padded up.
         """
+        if self._built:
+            raise RuntimeError(
+                "builder already finalized by build(); create a new "
+                "DeviceIndexBuilder (or use CorpusIndex.extend) to add more docs"
+            )
         b, s, d = embeddings.shape
         if d != self.dim:
             raise ValueError(f"dim mismatch: builder {self.dim}, batch {d}")
@@ -669,8 +799,11 @@ class DeviceIndexBuilder:
 
     def build(self, mesh: Optional[Mesh] = None, axis: str = "data") -> CorpusIndex:
         """Finalize into a :class:`CorpusIndex` (re-sharding onto ``mesh``)."""
+        if self._built:
+            raise RuntimeError("builder already finalized by build()")
         if self.num_docs == 0:
             raise ValueError("No documents added")
+        self._built = True
         self._flush(final=True)
         store = jnp.concatenate([t[0] for t in self._tiles])
         scales = None if self.dtype != "int8" else jnp.concatenate([t[1] for t in self._tiles])

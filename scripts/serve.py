@@ -79,16 +79,29 @@ def make_handler(index, files):
                         "scores": scores.tolist(),
                         "files": [[files[i] for i in row] for row in ids],
                     })
+                elif self.path == "/tune":
+                    # recall-targeted shortlist sizing: sample queries in,
+                    # pinned `candidates` default + measured recall out
+                    # (CorpusIndex.tune_candidates / estimate_recall)
+                    qs = [np.asarray(e, np.float32) for e in payload["embeddings"]]
+                    k = int(payload.get("k", 10))
+                    target = float(payload.get("target_recall", 0.95))
+                    with lock:
+                        cand, recall = index.tune_candidates(qs, k=k, target_recall=target)
+                    self._json(200, {"candidates": cand, "recall": recall})
                 elif self.path == "/add":
                     # incremental ingestion (CorpusIndex.extend): embeddings
                     # (list of per-doc token matrices) + optional file names
                     new = [np.asarray(e, np.float32) for e in payload["embeddings"]]
-                    names = payload.get("files") or [
-                        str(index.num_docs + i) for i in range(len(new))
-                    ]
-                    if len(names) != len(new):
+                    names = payload.get("files")
+                    if names is not None and len(names) != len(new):
                         raise ValueError(f"{len(new)} embeddings but {len(names)} files")
                     with lock:
+                        # default names must be derived from num_docs INSIDE
+                        # the lock: two concurrent /adds would otherwise both
+                        # read the same count and register duplicate doc names
+                        if names is None:
+                            names = [str(index.num_docs + i) for i in range(len(new))]
                         index.extend(new)
                         files.extend(names)
                     self._json(200, {"num_docs": index.num_docs})

@@ -19,6 +19,15 @@ from colpali_tpu.ops.maxsim_binary import (
 from colpali_tpu.ops.quant import binarize_words, unpack_words
 
 
+def _pad_tiles(words):
+    """(C, Np, W) -> tile-major, zero-padding the doc count up to 128."""
+    c = words.shape[0]
+    if c % 128:
+        pad = jnp.zeros((128 - c % 128, *words.shape[1:]), words.dtype)
+        words = jnp.concatenate([words, pad])
+    return words_to_tile_major(words)
+
+
 def _random_padded(rng, b, nq, c, np_, d, q_real, p_real):
     q = rng.normal(size=(b, nq, d)).astype(np.float32)
     q[:, q_real:] = 0.0
@@ -47,7 +56,7 @@ class TestBinarizeWords:
         with pytest.raises(ValueError, match="multiple of 32"):
             binarize_words(jnp.ones((2, 24)))
 
-    def test_fill_doc_padding_duplicates_token0(self):
+    def test_fill_doc_padding_duplicates_first_valid(self):
         x = np.ones((2, 3, 32), np.float32)
         x[0, 1:] = 0.0  # doc 0: tokens 1,2 padded
         x[1] = 0.0  # fully padded fake doc
@@ -56,6 +65,28 @@ class TestBinarizeWords:
         np.testing.assert_array_equal(filled[0, 1], filled[0, 0])
         np.testing.assert_array_equal(filled[0, 2], filled[0, 0])
         np.testing.assert_array_equal(filled[1], np.zeros((3, 1), np.int32))
+
+    def test_fill_doc_padding_left_padded(self):
+        """LEFT-padded docs (qwen2/gemma3/modernvbert processors) must take
+        the first VALID token, not the masked all-zero token 0 — an all-zero
+        word scores dim - 2*popcount(q) in the XOR pass instead of being
+        score-neutral (round-2 advisor finding)."""
+        rng = np.random.default_rng(7)
+        real = rng.normal(size=(2, 32)).astype(np.float32)
+        left = np.zeros((1, 4, 32), np.float32)
+        left[0, 2:] = real  # tokens 0,1 are padding
+        right = np.zeros((1, 4, 32), np.float32)
+        right[0, :2] = real
+        lw = fill_doc_padding(*binarize_words(jnp.asarray(left)))
+        rw = fill_doc_padding(*binarize_words(jnp.asarray(right)))
+        # same multiset of token words -> identical coarse MaxSim scores
+        q = rng.normal(size=(1, 3, 32)).astype(np.float32)
+        qw, qv = binarize_words(jnp.asarray(q))
+        sl = binary_maxsim_xla_tiled(qw, qv, _pad_tiles(lw), 32)
+        sr = binary_maxsim_xla_tiled(qw, qv, _pad_tiles(rw), 32)
+        np.testing.assert_array_equal(np.asarray(sl)[:, :1], np.asarray(sr)[:, :1])
+        # and no padded token may contain all-zero words
+        assert (np.asarray(lw) != 0).any(axis=-1).all()
 
 
 class TestBinaryMaxsimParity:

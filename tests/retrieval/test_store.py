@@ -262,6 +262,45 @@ class TestBinaryPrefilter:
         _, t_idx = tiered.search(queries, k=3, candidates=32)
         np.testing.assert_array_equal(t_idx, e_idx)
 
+    def test_estimate_recall_planted_corpus(self, corpus):
+        docs, queries = corpus
+        rng = np.random.default_rng(9)
+        many = docs + [
+            x / np.linalg.norm(x, axis=-1, keepdims=True)
+            for x in rng.normal(size=(300, 8, 32)).astype(np.float32)
+        ]
+        index = CorpusIndex(many, dtype="int8", prefilter="binary")
+        # queries correlated with the planted docs -> coarse pass keeps them
+        qs = [d[:4] for d in docs[:3]]
+        assert index.estimate_recall(qs, k=3, candidates=64) == 1.0
+
+    def test_tune_candidates_reaches_target_and_pins_default(self):
+        """On an adversarial (pure-random, undifferentiated-score) corpus the
+        doubling loop must grow the shortlist until measured recall hits the
+        target, then pin it as the search() default (round-2 weak #4: a fixed
+        default could silently serve near-zero recall)."""
+        rng = np.random.default_rng(10)
+        docs = rng.normal(size=(500, 6, 32)).astype(np.float32)
+        docs /= np.linalg.norm(docs, axis=-1, keepdims=True)
+        index = CorpusIndex(list(docs), dtype="int8", prefilter="binary")
+        qs = rng.normal(size=(4, 4, 32)).astype(np.float32)
+        qs /= np.linalg.norm(qs, axis=-1, keepdims=True)
+        cand, recall = index.tune_candidates(list(qs), k=5, target_recall=1.0)
+        assert recall == 1.0
+        assert index.default_candidates == cand
+        # the pinned default now drives search(candidates=None): exact top-k
+        _, tiered = index.search(list(qs), k=5)
+        _, exact = index.exact_search(list(qs), k=5)
+        np.testing.assert_array_equal(tiered, exact)
+
+    def test_estimate_recall_requires_prefilter(self, corpus):
+        docs, queries = corpus
+        index = CorpusIndex(docs, dtype="bf16")
+        with pytest.raises(ValueError, match="prefilter"):
+            index.estimate_recall(queries)
+        with pytest.raises(ValueError, match="prefilter"):
+            index.tune_candidates(queries)
+
     def test_sharded_fake_doc_shards_never_win(self):
         """Shards holding only padding (num_docs << padded_docs) must not
         emit fake doc ids even when every real score is negative."""
@@ -353,6 +392,22 @@ class TestDeviceIndexBuilder:
         with pytest.raises(ValueError, match="No documents"):
             builder.build()
 
+    def test_rejects_use_after_build(self):
+        """add()/build() after finalize must fail loudly — a second build()
+        used to pass the num_docs guard and crash opaquely (or silently drop
+        the pre-build docs; round-2 advisor finding)."""
+        import jax.numpy as jnp
+
+        from colpali_tpu.retrieval import DeviceIndexBuilder
+
+        builder = DeviceIndexBuilder(doc_tokens=16, dim=32)
+        builder.add(jnp.ones((2, 16, 32)))
+        builder.build()
+        with pytest.raises(RuntimeError, match="finalized"):
+            builder.add(jnp.ones((2, 16, 32)))
+        with pytest.raises(RuntimeError, match="finalized"):
+            builder.build()
+
 
 class TestIncrementalExtend:
     """CorpusIndex.extend: append docs in place; N extends == one build."""
@@ -397,11 +452,57 @@ class TestIncrementalExtend:
         index.extend([])
         assert index.num_docs == n
 
-    def test_extend_sharded_raises(self):
+    def test_extend_sharded_matches_scratch_build(self):
+        """Mesh-sharded incremental adds: per-shard tile counts stay equal
+        (total re-padded to DOC_TILE*n_shards) and search results equal a
+        from-scratch sharded build."""
         mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
-        index = CorpusIndex(self._docs(34, 10), mesh=mesh)
-        with pytest.raises(NotImplementedError, match="mesh"):
-            index.extend(self._docs(35, 5))
+        all_docs = self._docs(34, 2500)
+        a, b, c = all_docs[:900], all_docs[900:1800], all_docs[1800:]
+        index = CorpusIndex(a, dtype="int8", doc_tokens=16, mesh=mesh, force_kernel=False)
+        index.extend(b)
+        index.extend(c)
+        ref = CorpusIndex(all_docs, dtype="int8", doc_tokens=16, mesh=mesh, force_kernel=False)
+        assert index.num_docs == ref.num_docs and index.padded_docs == ref.padded_docs
+        assert index.padded_docs % (128 * 8) == 0
+        np.testing.assert_array_equal(np.asarray(index._store), np.asarray(ref._store))
+        queries = [d[:4] for d in all_docs[2400:2402]]  # docs from the last add
+        s0, i0 = index.search(queries, k=5)
+        s1, i1 = ref.search(queries, k=5)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(s0, s1, rtol=1e-5)
+
+    def test_extend_sharded_prefilter(self):
+        """Mesh + binary prefilter extend: the two-tier shard_map search path
+        agrees with a from-scratch sharded two-tier build."""
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+        all_docs = self._docs(36, 1500)
+        index = CorpusIndex(
+            all_docs[:1100], dtype="int8", doc_tokens=16, mesh=mesh,
+            prefilter="binary", force_kernel=False,
+        )
+        index.extend(all_docs[1100:])
+        ref = CorpusIndex(
+            all_docs, dtype="int8", doc_tokens=16, mesh=mesh,
+            prefilter="binary", force_kernel=False,
+        )
+        queries = [d[:4] for d in all_docs[1200:1202]]
+        s0, i0 = index.search(queries, k=3, candidates=32)
+        s1, i1 = ref.search(queries, k=3, candidates=32)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(s0, s1, rtol=1e-5)
+
+    def test_extend_host_assemble_matches_device_path(self):
+        """host_assemble=True (bounded-HBM path) builds the identical index."""
+        all_docs = self._docs(37, 300)
+        a, b = all_docs[:100], all_docs[100:]
+        dev = CorpusIndex(a, dtype="int8", doc_tokens=16, prefilter="binary")
+        dev.extend(b)
+        host = CorpusIndex(a, dtype="int8", doc_tokens=16, prefilter="binary")
+        host.extend(b, host_assemble=True)
+        np.testing.assert_array_equal(np.asarray(dev._store), np.asarray(host._store))
+        np.testing.assert_array_equal(np.asarray(dev._scales), np.asarray(host._scales))
+        np.testing.assert_array_equal(np.asarray(dev._bwords), np.asarray(host._bwords))
 
     def test_sharded_two_tier_xla_fallback(self):
         """mesh + prefilter with the XLA (non-kernel) branch — the CPU/GPU

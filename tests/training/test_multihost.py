@@ -93,3 +93,20 @@ class TestMultihost:
             seen.update(idx.tolist())
         assert len(set(lengths)) == 1, lengths  # all equal
         assert seen == set(range(103))  # every example still covered
+
+    def test_shard_indices_tiny_dataset(self, monkeypatch):
+        """n < process_count: cyclic wrap (np.resize) must still hand every
+        process a non-empty, equal-length shard (round-2 advisor finding —
+        a single wrap slice left some processes empty and deadlocked)."""
+        import colpali_tpu.parallel.multihost as mh
+
+        monkeypatch.setattr(mh.jax, "process_count", lambda: 8)
+        lengths, seen = [], set()
+        for pid in range(8):
+            monkeypatch.setattr(mh.jax, "process_index", lambda pid=pid: pid)
+            idx = mh.shard_dataset_indices(3, seed=0)
+            assert len(idx) > 0
+            lengths.append(len(idx))
+            seen.update(idx.tolist())
+        assert len(set(lengths)) == 1, lengths
+        assert seen == set(range(3))
