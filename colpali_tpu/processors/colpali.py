@@ -97,9 +97,11 @@ class ColPaliProcessor(BaseVisualRetrieverProcessor):
         images: Sequence[Any],
         context_prompts: Optional[Sequence[str]] = None,
         device_pixels: bool = False,
+        host_resize: bool = False,
     ) -> Batch:
         """device_pixels=True keeps ``pixel_values`` on device (the
-        serving/embedding path — see processors/image_processing.py)."""
+        serving/embedding path — see processors/image_processing.py);
+        host_resize=True resizes on host pre-upload (fewer link bytes)."""
         prompts = list(context_prompts) if context_prompts else [self.visual_prompt_prefix] * len(images)
         if len(prompts) != len(images):
             raise ValueError(f"Got {len(images)} images but {len(prompts)} prompts")
@@ -110,6 +112,7 @@ class ColPaliProcessor(BaseVisualRetrieverProcessor):
             mean=self.image_mean,
             std=self.image_std,
             device=device_pixels,
+            host_resize=host_resize,
         )
         return batch
 

@@ -64,7 +64,8 @@ def _resize_normalize(
     """
     b = images_u8.shape[0]
     x = images_u8.astype(jnp.float32)
-    x = jax.image.resize(x, (b, height, width, 3), method=method, antialias=antialias)
+    if images_u8.shape[1:3] != (height, width):  # static under jit
+        x = jax.image.resize(x, (b, height, width, 3), method=method, antialias=antialias)
     x = x / 255.0
     return (x - mean[None, None, None, :]) / std[None, None, None, :]
 
@@ -76,6 +77,7 @@ def preprocess_images_fixed(
     std: Sequence[float] = (0.5, 0.5, 0.5),
     method: str = "bicubic",
     device: bool = False,
+    host_resize: bool = False,
 ) -> Union[np.ndarray, jnp.ndarray]:
     """Preprocess a batch of images to a fixed resolution (SigLIP/PaliGemma).
 
@@ -85,8 +87,23 @@ def preprocess_images_fixed(
     Returns ``(B, height, width, 3)`` float32 (NHWC) — a DEVICE array with
     ``device=True`` (the serving path: normalized-image downloads run at
     MB/s on remote-attached accelerators), host numpy otherwise.
+    ``host_resize=True`` resizes on host (PIL bicubic) BEFORE upload so only
+    target-size pixels cross a bandwidth-limited host->device link (a 150 dpi
+    page is ~6.3 MB raw but 0.6 MB at 448x448 — perf/embed_decompose.py).
     """
-    arrays: List[np.ndarray] = [to_rgb_array(im) for im in images]
+    if host_resize:
+        from PIL import Image
+
+        arrays = []
+        for im in images:
+            arr = to_rgb_array(im)
+            if arr.shape[:2] != size:
+                arr = np.asarray(
+                    Image.fromarray(arr).resize((size[1], size[0]), Image.Resampling.BICUBIC)
+                )
+            arrays.append(arr)
+    else:
+        arrays = [to_rgb_array(im) for im in images]
     mean_j = jnp.asarray(mean, dtype=jnp.float32)
     std_j = jnp.asarray(std, dtype=jnp.float32)
     h, w = size

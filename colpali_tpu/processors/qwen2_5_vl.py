@@ -49,8 +49,8 @@ class ColQwen2_5Processor(ColQwen2Processor):  # noqa: N801 — reference naming
     def _window_patches(self) -> int:
         return self.window_size // self.merge_size // self.patch_size
 
-    def process_images(self, images: Sequence[Any], context_prompts=None, device_pixels: bool = False) -> Batch:
-        batch = super().process_images(images, context_prompts, device_pixels=device_pixels)
+    def process_images(self, images: Sequence[Any], context_prompts=None, device_pixels: bool = False, host_resize: bool = False) -> Batch:
+        batch = super().process_images(images, context_prompts, device_pixels=device_pixels, host_resize=host_resize)
         b, p = batch["patch_mask"].shape
         window_id = np.full((b, p), -1, np.int32)
         for i in range(b):

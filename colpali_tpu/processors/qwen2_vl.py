@@ -286,12 +286,37 @@ class ColQwen2Processor(BaseVisualRetrieverProcessor):
         flats, grids = self._preprocess_many([image])
         return flats[0], grids[0]
 
-    def _group_by_shape(self, images: Sequence[Any]):
+    def _group_by_shape(self, images: Sequence[Any], host_resize: bool = False):
         """Group images by (source shape, smart_resize target): pages from
         one corpus typically share a shape, so a whole batch costs one
         device dispatch instead of one per image (the per-image RPC is the
-        embed-pipeline hot spot on remote-attached accelerators)."""
-        arrays = [to_rgb_array(im) for im in images]
+        embed-pipeline hot spot on remote-attached accelerators).
+
+        host_resize=True performs the smart_resize on host (PIL bicubic —
+        the reference image processor's own resampler) BEFORE upload, so
+        only the resized pixels cross the host->device link. A 150 dpi page
+        is ~6.3 MB raw uint8 but ~1.5 MB at the 768-token budget: on
+        bandwidth-limited links (the axon tunnel measures ~77 MB/s,
+        perf/embed_decompose.py) the upload is the pipeline's largest stage
+        and this cuts it ~4x. The device resize is skipped (shape match)."""
+        if host_resize:
+            from PIL import Image
+
+            resized_arrays = []
+            for im in images:
+                arr = to_rgb_array(im)
+                h1, w1 = smart_resize(
+                    arr.shape[0], arr.shape[1],
+                    self.patch_size * self.merge_size, self.min_pixels, self.max_pixels,
+                )
+                if (h1, w1) != arr.shape[:2]:
+                    arr = np.asarray(
+                        Image.fromarray(arr).resize((w1, h1), Image.Resampling.BICUBIC)
+                    )
+                resized_arrays.append(arr)
+            arrays = resized_arrays
+        else:
+            arrays = [to_rgb_array(im) for im in images]
         targets = [
             smart_resize(
                 a.shape[0], a.shape[1], self.patch_size * self.merge_size, self.min_pixels, self.max_pixels
@@ -328,14 +353,15 @@ class ColQwen2Processor(BaseVisualRetrieverProcessor):
         return flats, grids
 
     def _preprocess_many_device(
-        self, images: Sequence[Any]
+        self, images: Sequence[Any], host_resize: bool = False
     ) -> Tuple[jnp.ndarray, List[Tuple[int, int, int]]]:
         """Fully on-device preprocessing: raw uint8 uploads once per shape
         group, resize+normalize+patchify run fused on the accelerator
         (:func:`_resize_patchify_device`), and the padded ``(B, p_max,
         patch_dim)`` pixel batch STAYS on device — no host round trip.
-        Returns (device pixel_values, per-image grids)."""
-        arrays, groups = self._group_by_shape(images)
+        host_resize=True additionally resizes on host pre-upload (see
+        :meth:`_group_by_shape`). Returns (device pixel_values, grids)."""
+        arrays, groups = self._group_by_shape(images, host_resize=host_resize)
         mean_j = jnp.asarray(self.image_mean)
         std_j = jnp.asarray(self.image_std)
 
@@ -378,14 +404,18 @@ class ColQwen2Processor(BaseVisualRetrieverProcessor):
         images: Sequence[Any],
         context_prompts: Optional[Sequence[str]] = None,
         device_pixels: bool = False,
+        host_resize: bool = False,
     ) -> Batch:
         """device_pixels=True keeps ``pixel_values`` as a DEVICE array from
         the fused resize+normalize+patchify kernel — the serving/embedding
         path (no normalized-image download, which runs at MB/s on
-        remote-attached accelerators). Host numpy otherwise."""
+        remote-attached accelerators). Host numpy otherwise. host_resize=True
+        (with device_pixels) resizes on host pre-upload so only target-size
+        pixels cross the link — the right trade on bandwidth-limited
+        host->device links (see _group_by_shape)."""
         prompts = list(context_prompts) if context_prompts else [self.visual_prompt_prefix] * len(images)
         if device_pixels:
-            device_pixel_values, grids = self._preprocess_many_device(images)
+            device_pixel_values, grids = self._preprocess_many_device(images, host_resize=host_resize)
             flats = None
         else:
             flats, grids = self._preprocess_many(images)

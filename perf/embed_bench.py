@@ -78,7 +78,9 @@ class _BenchTokenizer:
     """Minimal HF-like word-level tokenizer (prompt tokenization is a
     negligible share of the pipeline; images are the hot path)."""
 
-    special = ["<|endoftext|>", "<|im_start|>", "<|im_end|>", "<|vision_start|>", "<|vision_end|>", "<|image_pad|>"]
+    special = ["<|endoftext|>", "<|im_start|>", "<|im_end|>", "<|vision_start|>",
+               "<|vision_end|>", "<|image_pad|>", "<image>", "<bos>"]
+    bos_token = "<bos>"
 
     def __init__(self):
         self.vocab = {tok: i for i, tok in enumerate(self.special)}
@@ -128,20 +130,30 @@ def _make_pages(n: int, height: int = 1650, width: int = 1275):
 def run_e2e(args, t0):
     """PIL pages -> processor -> device -> forward -> host embeddings."""
     from colpali_tpu.data.prefetch import prefetch
-    from colpali_tpu.models.qwen2_vl import ColQwen2, Qwen2VLConfig
-    from colpali_tpu.processors.qwen2_vl import ColQwen2Processor
 
-    if args.model != "colqwen2":
-        raise SystemExit("--e2e currently measures the colqwen2 pipeline")
-    # reference recipe: 768 visual tokens max (processing_colqwen2.py:58-61)
-    processor = ColQwen2Processor(_BenchTokenizer(), max_num_visual_tokens=768)
-    model = ColQwen2(Qwen2VLConfig(), dim=128, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, scan_layers=args.scan)
+    if args.model == "colqwen2":
+        from colpali_tpu.models.qwen2_vl import ColQwen2, Qwen2VLConfig
+        from colpali_tpu.processors.qwen2_vl import ColQwen2Processor
+
+        # reference recipe: 768 visual tokens max (processing_colqwen2.py:58-61)
+        processor = ColQwen2Processor(_BenchTokenizer(), max_num_visual_tokens=768)
+        model = ColQwen2(Qwen2VLConfig(), dim=128, dtype=jnp.bfloat16,
+                         param_dtype=jnp.bfloat16, scan_layers=args.scan)
+        keys = ("input_ids", "attention_mask", "pixel_values", "patch_mask",
+                "vision_hpos", "vision_wpos", "position_ids")
+    else:  # colpali: PaliGemma-3B, fixed 448x448 SigLIP pipeline
+        from colpali_tpu.models.configs import PaliGemmaConfig
+        from colpali_tpu.models.paligemma import ColPali
+        from colpali_tpu.processors.colpali import ColPaliProcessor
+
+        processor = ColPaliProcessor(_BenchTokenizer())
+        model = ColPali(PaliGemmaConfig(), dim=128, dtype=jnp.bfloat16,
+                        param_dtype=jnp.bfloat16, scan_layers=args.scan)
+        keys = ("input_ids", "attention_mask", "pixel_values")
 
     n_pages = args.batch * args.e2e_batches
     pages = _make_pages(n_pages)
     print(f"[{time.time()-t0:6.1f}s] {n_pages} synthetic pages ready", flush=True)
-
-    keys = ("input_ids", "attention_mask", "pixel_values", "patch_mask", "vision_hpos", "vision_wpos", "position_ids")
 
     chunk = args.e2e_chunk  # batches per device dispatch
     assert args.e2e_batches % chunk == 0, "--e2e-batches must divide by --e2e-chunk"
@@ -164,12 +176,30 @@ def run_e2e(args, t0):
                 out[k] = jnp.asarray(v.reshape(n, args.batch, *v.shape[1:]))
         return out
 
-    def batches():
-        for i in range(0, n_pages, args.batch * chunk):
-            group = pages[i : i + args.batch * chunk]
-            yield to_device(processor.process_images(group, device_pixels=True), chunk)
+    def stage(i):
+        group = pages[i : i + args.batch * chunk]
+        return to_device(
+            processor.process_images(group, device_pixels=True, host_resize=args.host_resize),
+            chunk,
+        )
 
-    warm = to_device(processor.process_images(pages[: args.batch * chunk], device_pixels=True), chunk)
+    def batches():
+        if args.workers > 1:
+            # overlap host preprocess + upload across batches: the upload is
+            # the largest pipeline stage on this tunnel (77 MB/s measured,
+            # perf/embed_decompose.py) and a single staging thread leaves the
+            # link idle while the device computes
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=args.workers) as pool:
+                futures = [pool.submit(stage, i) for i in range(0, n_pages, args.batch * chunk)]
+                for f in futures:
+                    yield f.result()
+        else:
+            for i in range(0, n_pages, args.batch * chunk):
+                yield stage(i)
+
+    warm = stage(0)
     print(f"[{time.time()-t0:6.1f}s] init params on device...", flush=True)
     warm_one = {k: v[0] for k, v in warm.items()}
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), **warm_one))()
@@ -219,6 +249,10 @@ def main():
     parser.add_argument("--e2e", action="store_true", help="full pipeline: PIL -> processor -> forward -> host")
     parser.add_argument("--e2e-batches", type=int, default=12)
     parser.add_argument("--e2e-chunk", type=int, default=1, help="forward batches per device dispatch (lax.map)")
+    parser.add_argument("--host-resize", action="store_true",
+                        help="smart_resize on host pre-upload (4x fewer bytes over the link)")
+    parser.add_argument("--workers", type=int, default=1,
+                        help="parallel preprocess+upload staging threads")
     args = parser.parse_args()
 
     if args.e2e:

@@ -133,6 +133,38 @@ def main():
         lora, opt_state, acc = jax.lax.fori_loop(0, iters, body, (lora, opt_state, jnp.float32(0)))
         return lora, opt_state, acc
 
+    # ---- FLOPs/step accounting (for MFU) --------------------------------
+    # Matmul FLOPs = 2 * kernel_size * tokens_through_that_kernel, summed
+    # over every >=2D kernel in the param tree (embeddings excluded: lookup,
+    # not matmul). Vision-tower kernels see b*patches tokens; text-stack
+    # kernels see b*(s_doc + s_q). Attention score/context matmuls add
+    # 2 * 2 * tokens * seq * hidden per layer. Step multiplier: forward (1x)
+    # + backward with a FROZEN base (activation grads only, ~1x; LoRA weight
+    # grads are negligible) + remat recompute of the forward (1x) = 3x.
+    def matmul_flops(tree, tokens, prefix=""):
+        total = 0
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            if hasattr(leaf, "ndim") and leaf.ndim >= 2 and "embed" not in name.lower():
+                total += 2 * int(np.prod(leaf.shape)) * tokens
+        return total
+
+    inner = params.get("model", params)
+    vis_params = {k: v for k, v in inner.items() if "vision" in k or "visual" in k}
+    txt_params = {
+        **{k: v for k, v in inner.items() if k not in vis_params},
+        **{k: v for k, v in params.items() if k != "model"},  # retrieval head
+    }
+    vis_tokens = b * patches
+    txt_tokens = b * (s_doc + s_q)
+    fwd_flops = matmul_flops(vis_params, vis_tokens) + matmul_flops(txt_params, txt_tokens)
+    vc, tc = config.vision, config.text
+    fwd_flops += vc.depth * 2 * 2 * vis_tokens * patches * vc.embed_dim  # vision attn
+    fwd_flops += tc.num_hidden_layers * 2 * 2 * (
+        b * s_doc * s_doc + b * s_q * s_q
+    ) * tc.num_attention_heads * tc.head_dim  # text attn (full, non-causal docs)
+    step_flops = 3 * fwd_flops
+
     print(f"[{time.time()-t0:6.1f}s] compiling train step...", flush=True)
     out = chained(lora, opt_state, params, batch)
     np.asarray(out[2])
@@ -143,6 +175,7 @@ def main():
         np.asarray(chained(lora, opt_state, params, batch)[2])
         times.append((time.perf_counter() - t1) / iters)
     step_s = min(times)
+    peak = 197e12 if on_tpu else None  # v5e bf16 peak
     print(
         json.dumps(
             {
@@ -151,6 +184,9 @@ def main():
                 "step_ms": round(step_s * 1000, 1),
                 "examples_per_s": round(b / step_s, 2),
                 "base_params_b": round(n_params / 1e9, 2),
+                "model_tflops_per_step": round(step_flops / 1e12, 2),
+                "achieved_tflops_per_s": round(step_flops / step_s / 1e12, 1),
+                "mfu_pct": round(100 * step_flops / step_s / peak, 1) if peak else None,
             }
         )
     )

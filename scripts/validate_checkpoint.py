@@ -1,0 +1,423 @@
+#!/usr/bin/env python
+"""Real-checkpoint validation gate: flax-on-TPU vs the torch reference.
+
+The north-star quality gate ("nDCG@5 within 0.1 of PyTorch", BASELINE.md)
+executed as one command against any HF-format ColPali-family checkpoint:
+
+    python scripts/validate_checkpoint.py CKPT_DIR --family colidefics3 \
+        [--images DIR] [--pages 16] [--out results.md]
+
+Pipeline (mirrors the reference gate
+/root/reference/tests/models/paligemma/colpali/test_modeling_colpali.py:119-157,
+but with the oracle computed IN-ENV instead of hardcoded goldens):
+
+  1. load the checkpoint through core.hf_loader -> flax model (bf16 on the
+     default device — the TPU path users run);
+  2. load the SAME safetensors into the reference torch architecture
+     (imported from /root/reference's colpali_engine when present, else
+     reconstructed from transformers classes + the 128-d linear head) in
+     fp32 on CPU — the oracle;
+  3. embed the same pages + queries with BOTH, compare the MaxSim score
+     matrices, and compute nDCG@5 / recall@5 for both rankings (query i's
+     gold page is page i);
+  4. print + optionally append a markdown report. Exit nonzero if
+     |nDCG@5_flax - nDCG@5_torch| > 0.1 or the flax matrix is not
+     diagonal-dominant when the torch one is.
+
+``--make-synth colsmol OUT_DIR`` writes a RANDOM-weight checkpoint at the
+real colSmol-256M architecture dims (SigLIP-93M vision + SmolLM2-135M text,
+512px tiles) with an offline word-level tokenizer — the hermetic stand-in
+used when no network egress is available to pull vidore weights: it
+exercises the identical code path (safetensors -> loader rules at real
+shapes -> bf16 forward at real scale -> A/B vs torch) with the only
+untested residue being the weight VALUES.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+QUERIES = [
+    "What is the chip used in the iPhone 12?",
+    "What is the price of the iPhone 12?",
+    "When was the iPhone 12 released?",
+]
+
+
+# --------------------------------------------------------------------------
+# synthetic checkpoint at real colSmol-256M dims
+# --------------------------------------------------------------------------
+
+def make_synth_colsmol(out_dir: str, seed: int = 0) -> None:
+    import torch
+    import transformers
+
+    os.makedirs(out_dir, exist_ok=True)
+    torch.manual_seed(seed)
+    # Real SmolVLM-256M-Instruct architecture dims (the colSmol-256M base):
+    # SigLIP-base-p16-512 vision tower + SmolLM2-135M text decoder.
+    cfg = transformers.Idefics3Config(
+        vision_config=dict(
+            hidden_size=768,
+            intermediate_size=3072,
+            num_hidden_layers=12,
+            num_attention_heads=12,
+            image_size=512,
+            patch_size=16,
+        ),
+        text_config=dict(
+            vocab_size=49280,
+            hidden_size=576,
+            intermediate_size=1536,
+            num_hidden_layers=30,
+            num_attention_heads=9,
+            num_key_value_heads=3,
+            rope_theta=100000.0,
+            rms_norm_eps=1e-5,
+            max_position_embeddings=8192,
+        ),
+        scale_factor=4,  # 512/16 = 32 -> 8x8 = 64 tokens/tile
+        image_token_id=49190,
+    )
+    model = transformers.Idefics3Model(cfg).eval()
+    head = torch.nn.Linear(cfg.text_config.hidden_size, 128)
+    state = {f"model.{k}": v for k, v in model.state_dict().items()}
+    state["linear.weight"] = head.weight.data
+    state["linear.bias"] = head.bias.data
+    state = {k: v for k, v in state.items() if "rotary_emb.inv_freq" not in k}
+    n_params = sum(v.numel() for v in state.values())
+    from safetensors.torch import save_file
+
+    save_file({k: v.contiguous() for k, v in state.items()},
+              os.path.join(out_dir, "model.safetensors"))
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump({**cfg.to_dict(), "architectures": ["ColIdefics3"]}, f)
+    with open(os.path.join(out_dir, "processor_config.json"), "w") as f:
+        json.dump({"image_seq_len": 64}, f)
+    with open(os.path.join(out_dir, "preprocessor_config.json"), "w") as f:
+        json.dump({
+            "max_image_size": {"longest_edge": 512},
+            "size": {"longest_edge": 2048},
+            "image_mean": [0.5, 0.5, 0.5],
+            "image_std": [0.5, 0.5, 0.5],
+        }, f)
+    _save_word_tokenizer(out_dir, image_token_id=cfg.image_token_id)
+    print(f"synthetic colSmol-256M checkpoint ({n_params/1e6:.0f}M params) -> {out_dir}")
+
+
+def _save_word_tokenizer(out_dir: str, image_token_id: int) -> None:
+    """Offline word-level tokenizer with the Idefics3 special tokens pinned
+    to their real ids (no network; AutoTokenizer-loadable)."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    words = (
+        "what is the chip used in iphone 12 ? price of when was released "
+        "describe image . user assistant a an and for to with document page "
+        "report table figure total revenue chart data summary results"
+    ).split()
+    vocab = {"<pad>": 0, "<unk>": 1}
+    for w in words:
+        vocab[w] = len(vocab)
+    specials = {
+        "<fake_token_around_image>": 49189,
+        "<image>": image_token_id,
+        "<global-img>": 49152,
+        "<|im_start|>": 49153,
+        "<end_of_utterance>": 49154,
+    }
+    for r in range(1, 7):
+        for c in range(1, 7):
+            specials[f"<row_{r}_col_{c}>"] = 49154 + (r - 1) * 6 + c
+    vocab.update(specials)
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
+    from transformers import PreTrainedTokenizerFast
+
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok,
+        pad_token="<pad>",
+        unk_token="<unk>",
+        additional_special_tokens=list(specials),
+    )
+    fast.save_pretrained(out_dir)
+
+
+# --------------------------------------------------------------------------
+# model construction per family
+# --------------------------------------------------------------------------
+
+def _load_flax(family: str, ckpt: str, dtype):
+    from colpali_tpu.core import hf_loader
+
+    if family == "colidefics3":
+        from colpali_tpu.models.idefics3 import ColIdefics3, Idefics3Config
+        from colpali_tpu.processors.idefics3 import ColIdefics3Processor
+
+        config = Idefics3Config.from_hf_config(hf_loader.load_hf_config(ckpt))
+        model = ColIdefics3(config, dim=128, dtype=dtype, param_dtype=dtype)
+        params = hf_loader.load_colidefics3_params(ckpt)
+        processor = ColIdefics3Processor.from_pretrained(ckpt)
+    elif family == "colpali":
+        from colpali_tpu.models import ColPali, PaliGemmaConfig
+        from colpali_tpu.processors import ColPaliProcessor
+
+        config = PaliGemmaConfig.from_hf_config(hf_loader.load_hf_config(ckpt))
+        model = ColPali(config, dim=128, dtype=dtype, param_dtype=dtype)
+        params = hf_loader.load_colpali_params(ckpt)
+        processor = ColPaliProcessor.from_pretrained(ckpt)
+    elif family == "colqwen2":
+        from colpali_tpu.models import ColQwen2, Qwen2VLConfig
+        from colpali_tpu.processors import ColQwen2Processor
+
+        config = Qwen2VLConfig.from_hf_config(hf_loader.load_hf_config(ckpt))
+        model = ColQwen2(config, dim=128, dtype=dtype, param_dtype=dtype)
+        params = hf_loader.load_colqwen2_params(ckpt)
+        processor = ColQwen2Processor.from_pretrained(ckpt, max_num_visual_tokens=768)
+    else:
+        raise SystemExit(f"unsupported --family {family}")
+    return model, params, processor
+
+
+def _load_torch_oracle(family: str, ckpt: str):
+    """The reference torch model: try /root/reference's colpali_engine first
+    (the actual upstream classes), fall back to reconstructing from
+    transformers + the linear head (identical math, modeling_colidefics3.py:16-48)."""
+    import torch
+
+    ref_path = "/root/reference"
+    if os.path.isdir(ref_path) and ref_path not in sys.path:
+        sys.path.insert(0, ref_path)
+    cls = None
+    try:
+        if family == "colidefics3":
+            from colpali_engine.models import ColIdefics3 as cls  # type: ignore
+        elif family == "colpali":
+            from colpali_engine.models import ColPali as cls  # type: ignore
+        elif family == "colqwen2":
+            from colpali_engine.models import ColQwen2 as cls  # type: ignore
+    except Exception as exc:  # noqa: BLE001
+        print(f"[oracle] colpali_engine import failed ({exc}); reconstructing", flush=True)
+
+    if cls is not None:
+        model = cls.from_pretrained(ckpt, torch_dtype=torch.float32).eval()
+        return model, "colpali_engine"
+
+    # reconstruction path (architecture math per the reference model files)
+    import transformers
+    from safetensors.torch import load_file
+
+    if family != "colidefics3":
+        raise SystemExit("oracle reconstruction currently supports colidefics3")
+    cfg = transformers.Idefics3Config.from_pretrained(ckpt)
+
+    class TorchColIdefics3(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = transformers.Idefics3Model(cfg)
+            self.linear = torch.nn.Linear(cfg.text_config.hidden_size, 128)
+
+        def forward(self, **kwargs):
+            hidden = self.model(**kwargs).last_hidden_state
+            proj = self.linear(hidden)
+            proj = proj / proj.norm(dim=-1, keepdim=True)
+            return proj * kwargs["attention_mask"].unsqueeze(-1)
+
+    model = TorchColIdefics3().eval()
+    state = {}
+    for fn in os.listdir(ckpt):
+        if fn.endswith(".safetensors"):
+            state.update(load_file(os.path.join(ckpt, fn)))
+    missing, unexpected = model.load_state_dict(state, strict=False)
+    real_missing = [k for k in missing if "rotary_emb" not in k]
+    if real_missing or unexpected:
+        raise SystemExit(f"oracle load mismatch: missing={real_missing[:5]} unexpected={unexpected[:5]}")
+    return model, "reconstructed"
+
+
+# --------------------------------------------------------------------------
+# embedding + comparison
+# --------------------------------------------------------------------------
+
+def _make_pages(n: int, size=(640, 480)) -> list:
+    from PIL import Image, ImageDraw
+
+    rng = np.random.default_rng(0)
+    pages = []
+    for i in range(n):
+        arr = np.full((size[0], size[1], 3), 255, np.uint8)
+        img = Image.fromarray(arr)
+        draw = ImageDraw.Draw(img)
+        # distinct content per page so rankings are meaningful
+        for line in range(12):
+            y = 20 + line * 40
+            x = int(rng.integers(10, size[1] // 3))
+            w = int(rng.integers(size[1] // 3, size[1] - x - 10))
+            draw.rectangle([x, y, x + w, y + 10], fill=tuple(int(v) for v in rng.integers(0, 120, 3)))
+        draw.text((20, 5), f"document page {i} quarterly report {i}", fill=(0, 0, 0))
+        pages.append(img)
+    return pages
+
+
+def _embed_flax(model, params, processor, images, queries, batch_size=4):
+    import jax.numpy as jnp
+
+    def run(batch):
+        return np.asarray(
+            model.apply({"params": params}, **{k: jnp.asarray(v) for k, v in batch.items()}),
+            np.float32,
+        )
+
+    doc_embs, doc_masks = [], []
+    for i in range(0, len(images), batch_size):
+        batch = processor.process_images(images[i : i + batch_size])
+        out = run(batch)
+        mask = np.asarray(batch["attention_mask"]).astype(bool)
+        doc_embs.extend(out[j][mask[j]] for j in range(out.shape[0]))
+    qb = processor.process_queries(queries)
+    out = run(qb)
+    mask = np.asarray(qb["attention_mask"]).astype(bool)
+    q_embs = [out[j][mask[j]] for j in range(out.shape[0])]
+    return q_embs, doc_embs
+
+
+def _embed_torch(model, processor, images, queries, batch_size=2):
+    import torch
+
+    def run(batch):
+        tensors = {}
+        for k, v in batch.items():
+            v = np.asarray(v)
+            if k == "pixel_values":
+                # flax layout (B, T, S, S, 3) -> torch (B, T, 3, S, S)
+                if v.ndim == 5:
+                    v = v.transpose(0, 1, 4, 2, 3)
+                tensors[k] = torch.tensor(v, dtype=torch.float32)
+            elif k in ("tile_mask", "patch_mask"):
+                tensors["pixel_attention_mask" if k == "tile_mask" else k] = None
+            else:
+                tensors[k] = torch.tensor(v)
+        tensors = {k: v for k, v in tensors.items() if v is not None}
+        with torch.no_grad():
+            return model(**tensors).numpy()
+
+    doc_embs = []
+    for i in range(0, len(images), batch_size):
+        batch = processor.process_images(images[i : i + batch_size])
+        out = run(batch)
+        mask = np.asarray(batch["attention_mask"]).astype(bool)
+        doc_embs.extend(out[j][mask[j]] for j in range(out.shape[0]))
+    qb = processor.process_queries(queries)
+    out = run(qb)
+    mask = np.asarray(qb["attention_mask"]).astype(bool)
+    q_embs = [out[j][mask[j]] for j in range(out.shape[0])]
+    return q_embs, doc_embs
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("checkpoint", nargs="?", help="HF checkpoint dir")
+    parser.add_argument("--family", default="colidefics3",
+                        choices=["colidefics3", "colpali", "colqwen2"])
+    parser.add_argument("--pages", type=int, default=8)
+    parser.add_argument("--images", help="directory of page images (else synthetic)")
+    parser.add_argument("--no-torch", action="store_true", help="skip the torch oracle")
+    parser.add_argument("--out", help="append a markdown report here")
+    parser.add_argument("--make-synth", nargs=2, metavar=("KIND", "DIR"),
+                        help="write a random-weight real-dims checkpoint and exit")
+    args = parser.parse_args()
+
+    if args.make_synth:
+        kind, out_dir = args.make_synth
+        if kind != "colsmol":
+            raise SystemExit("only --make-synth colsmol is supported")
+        make_synth_colsmol(out_dir)
+        return
+    if not args.checkpoint:
+        raise SystemExit("checkpoint dir required (or --make-synth)")
+
+    import jax.numpy as jnp
+
+    from colpali_tpu.evaluation.metrics import ndcg_at_k, recall_at_k
+    from colpali_tpu.ops.maxsim import score_multi_vector
+
+    t0 = time.time()
+    if args.images:
+        from PIL import Image
+
+        files = sorted(os.listdir(args.images))[: args.pages]
+        images = [Image.open(os.path.join(args.images, f)) for f in files]
+    else:
+        images = _make_pages(args.pages)
+    queries = (QUERIES + [f"find document page {i} quarterly report" for i in range(len(images))])[
+        : len(images)
+    ]
+
+    print(f"[{time.time()-t0:5.1f}s] loading flax ({args.family}, bf16)...", flush=True)
+    model, params, processor = _load_flax(args.family, args.checkpoint, jnp.bfloat16)
+    print(f"[{time.time()-t0:5.1f}s] embedding with flax on "
+          f"{jnp.zeros(1).device.platform}...", flush=True)
+    q_f, d_f = _embed_flax(model, params, processor, images, queries)
+    scores_flax = np.asarray(score_multi_vector(q_f, d_f))
+    print(f"[{time.time()-t0:5.1f}s] flax MaxSim matrix:\n{np.round(scores_flax, 2)}", flush=True)
+
+    report = {
+        "checkpoint": args.checkpoint,
+        "family": args.family,
+        "n_pages": len(images),
+        "flax_diag_dominant": bool((np.argmax(scores_flax, 1) == np.arange(len(queries))).all()),
+    }
+    rel = [[i] for i in range(len(queries))]
+    ranked_f = np.argsort(-scores_flax, axis=1)
+    report["flax_ndcg@5"] = float(np.mean([ndcg_at_k(ranked_f[i], rel[i], 5) for i in range(len(rel))]))
+    report["flax_recall@5"] = float(np.mean([recall_at_k(ranked_f[i], rel[i], 5) for i in range(len(rel))]))
+
+    if not args.no_torch:
+        print(f"[{time.time()-t0:5.1f}s] loading torch oracle (fp32, cpu)...", flush=True)
+        oracle, origin = _load_torch_oracle(args.family, args.checkpoint)
+        print(f"[{time.time()-t0:5.1f}s] embedding with torch ({origin})...", flush=True)
+        q_t, d_t = _embed_torch(oracle, processor, images, queries)
+        scores_torch = np.asarray(score_multi_vector(q_t, d_t))
+        print(f"[{time.time()-t0:5.1f}s] torch MaxSim matrix:\n{np.round(scores_torch, 2)}", flush=True)
+        ranked_t = np.argsort(-scores_torch, axis=1)
+        report["oracle"] = origin
+        report["torch_ndcg@5"] = float(np.mean([ndcg_at_k(ranked_t[i], rel[i], 5) for i in range(len(rel))]))
+        report["torch_recall@5"] = float(np.mean([recall_at_k(ranked_t[i], rel[i], 5) for i in range(len(rel))]))
+        report["torch_diag_dominant"] = bool((np.argmax(scores_torch, 1) == np.arange(len(queries))).all())
+        report["score_max_abs_diff"] = float(np.max(np.abs(scores_flax - scores_torch)))
+        report["score_rel_diff"] = float(
+            np.max(np.abs(scores_flax - scores_torch) / (np.abs(scores_torch) + 1e-6))
+        )
+        report["ndcg@5_delta"] = abs(report["flax_ndcg@5"] - report["torch_ndcg@5"])
+        report["ranking_agreement@5"] = float(np.mean(ranked_f[:, :5] == ranked_t[:, :5]))
+
+    print(json.dumps(report, indent=2))
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(f"\n## validate_checkpoint {args.checkpoint}\n\n")
+            for k, v in report.items():
+                f.write(f"- {k}: {v}\n")
+            f.write(f"\nflax scores:\n```\n{np.round(scores_flax, 2)}\n```\n")
+            if not args.no_torch:
+                f.write(f"torch scores:\n```\n{np.round(scores_torch, 2)}\n```\n")
+
+    if not args.no_torch:
+        if report["ndcg@5_delta"] > 0.1:
+            raise SystemExit(f"FAIL: nDCG@5 delta {report['ndcg@5_delta']:.3f} > 0.1")
+        if report["torch_diag_dominant"] and not report["flax_diag_dominant"]:
+            raise SystemExit("FAIL: torch is diagonal-dominant but flax is not")
+        print(f"PASS: nDCG@5 delta {report['ndcg@5_delta']:.3f} <= 0.1, "
+              f"max score diff {report['score_max_abs_diff']:.3f}")
+
+
+if __name__ == "__main__":
+    main()

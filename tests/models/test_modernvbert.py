@@ -177,6 +177,69 @@ class TestModernVBertComposition:
         assert logits.shape == (2, 6, cfg.text.vocab_size + cfg.additional_vocab_size)
 
 
+class TestBiModernVBertPoolingParity:
+    """Numerical parity of the Bi pooling paths against the reference math
+    (modeling_bimodernvbert.py:50-65), executed in torch on the SAME hidden
+    states: cls = h[:,0]; last = literal h[:,-1]; mean = masked mean; then
+    L2 norm clamped at eps=1e-12. Closes round-2 missing #5 (BiModernVBert
+    had functional-only coverage)."""
+
+    def _reference_pool(self, hidden, mask, strategy):
+        import torch
+
+        h = torch.tensor(hidden)
+        m = torch.tensor(mask)
+        if strategy == "cls":
+            pooled = h[:, 0]
+        elif strategy == "last":
+            pooled = h[:, -1]
+        else:  # mean (reference :57-60)
+            mm = m.unsqueeze(-1)
+            pooled = (h * mm).sum(dim=1) / mm.sum(dim=1)
+        pooled = pooled / pooled.norm(dim=-1, keepdim=True).clamp_min(1e-12)
+        return pooled.numpy()
+
+    @pytest.mark.parametrize("strategy", ["cls", "last", "mean"])
+    def test_dense_head_matches_reference(self, strategy):
+        from colpali_tpu.models.common import DenseHead
+        from colpali_tpu.models.configs import DenseHeadConfig
+
+        rng = np.random.default_rng(5)
+        hidden = rng.normal(size=(3, 7, 16)).astype(np.float32)
+        mask = np.ones((3, 7), np.float32)
+        mask[1, 4:] = 0.0  # a right-padded row (exercises masked mean)
+        head = DenseHead(DenseHeadConfig(pooling_strategy=strategy))
+        v = head.init(jax.random.PRNGKey(0), jnp.asarray(hidden), jnp.asarray(mask))
+        got = np.asarray(head.apply(v, jnp.asarray(hidden), jnp.asarray(mask)))
+        expected = self._reference_pool(hidden, mask, strategy)
+        np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("strategy", ["cls", "last", "mean"])
+    def test_bimodernvbert_composition(self, tiny_vbert_config, strategy):
+        """Full BiModernVBert == (parity-tested backbone hidden states) +
+        (reference pooling math): the Bi model must equal pooling applied to
+        its own backbone output — proving the composition wires the head to
+        the real last_hidden_state like the reference forward (:45-48)."""
+        from colpali_tpu.models.modernvbert import ModernVBertModel
+
+        cfg = tiny_vbert_config
+        rng = np.random.default_rng(6)
+        input_ids = rng.integers(1, 50, size=(2, 6)).astype(np.int32)
+        mask = np.ones_like(input_ids)
+        mask[0, 4:] = 0
+
+        bi = BiModernVBert(cfg, pooling_strategy=strategy)
+        v = bi.init(jax.random.PRNGKey(0), jnp.asarray(input_ids), jnp.asarray(mask))
+        got = np.asarray(bi.apply(v, jnp.asarray(input_ids), jnp.asarray(mask)))
+
+        backbone = ModernVBertModel(cfg)
+        hidden = np.asarray(
+            backbone.apply({"params": v["params"]["model"]}, jnp.asarray(input_ids), jnp.asarray(mask))
+        )
+        expected = self._reference_pool(hidden, mask.astype(np.float32), strategy)
+        np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
 class TestModernVBertLoader:
     def test_rules_convert_reference_layout(self, tiny_vbert_config):
         """Synthesize a state dict in the reference checkpoint layout

@@ -112,6 +112,67 @@ def _convert(hf) -> dict:
     return params
 
 
+class TestProductionLoaderCheckpointLayout:
+    """Round-2 missing #5b: route a Qwen3.5-LAYOUT checkpoint (safetensors
+    dir with the ``model.language_model.*`` key layout a ColQwen3_5 export
+    uses) through the PRODUCTION loader (load_colqwen35_params: QWEN35_RULES
+    + stack_expert_weights + fused-qkv split) and verify the loaded decoder
+    matches the HF torch forward — the same parity as the hand-converted
+    proxy test, but through the exact code path real checkpoints take.
+
+    Proxy coverage note: HF Qwen3Next is the same architecture family as the
+    reference's Qwen3_5 text stack (GatedDeltaNet + gated attention +
+    GShard-style MoE + partial rotary). What the proxy CANNOT cover:
+    (a) the Qwen3.5-VL vision tower + deepstack wiring (covered separately
+    by test_qwen3_vl_parity against HF Qwen3VL, which the config reuses),
+    (b) real config deltas of an unreleased Qwen3.5 checkpoint (hidden
+    sizes, layer_types schedule, expert counts — all config-driven here),
+    (c) real tokenizer artifacts. Everything weight-layout-shaped IS covered."""
+
+    def test_loader_matches_hand_conversion_and_torch(self, hf_model, tmp_path):
+        from safetensors.numpy import save_file
+
+        from colpali_tpu.core.hf_loader import load_colqwen35_params
+
+        sd = {
+            f"model.language_model.{k}": v.detach().numpy()
+            for k, v in hf_model.state_dict().items()
+            if "rotary_emb" not in k
+        }
+        save_file(sd, str(tmp_path / "model.safetensors"))
+        loaded = load_colqwen35_params(str(tmp_path), strict=True)
+
+        # 1. tree-identical to the proxy test's hand conversion
+        hand = _convert(hf_model)
+        flat_loaded = jax.tree_util.tree_leaves_with_path(loaded["model"]["language_model"])
+        flat_hand = {
+            jax.tree_util.keystr(p): v for p, v in jax.tree_util.tree_leaves_with_path(hand)
+        }
+        assert len(flat_loaded) == len(flat_hand)
+        for path, leaf in flat_loaded:
+            key = jax.tree_util.keystr(path)
+            np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_hand[key]), err_msg=key)
+
+        # 2. the loader-produced params drive the decoder to the torch output
+        cfg = Qwen35TextConfig.from_hf_config(hf_model.config.to_dict())
+        rng = np.random.default_rng(3)
+        input_ids = rng.integers(1, 60, size=(2, 9)).astype(np.int32)
+        mask = np.ones_like(input_ids)
+        with torch.no_grad():
+            expected = hf_model(
+                input_ids=torch.tensor(input_ids), attention_mask=torch.tensor(mask)
+            ).last_hidden_state.numpy()
+        from colpali_tpu.models.layers import make_attention_bias
+
+        decoder = HybridDecoder(cfg)
+        p = loaded["model"]["language_model"]
+        embeds = decoder.apply({"params": p}, jnp.asarray(input_ids), method=decoder.embed)
+        bias = make_attention_bias(jnp.asarray(mask), causal=True)
+        pos = jnp.broadcast_to(jnp.arange(9)[None, None], (3, 2, 9))
+        got = np.asarray(decoder.apply({"params": p}, embeds, bias, pos, jnp.asarray(mask)))
+        np.testing.assert_allclose(got, expected, rtol=2e-2, atol=2e-2)
+
+
 class TestChunkedDeltaRule:
     def test_matches_torch_reference(self):
         """Our triangular-solve formulation vs HF's sequential fallback."""

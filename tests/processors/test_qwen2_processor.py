@@ -149,6 +149,32 @@ class TestDevicePixelPath:
         for key in ("input_ids", "patch_mask", "vision_hpos", "vision_wpos", "position_ids"):
             np.testing.assert_array_equal(np.asarray(dev[key]), host[key])
 
+    def test_host_resize_matches_device_resize(self, processor):
+        """host_resize=True (PIL resize pre-upload, 4x fewer link bytes —
+        perf/embed_decompose.py) must keep identical metadata/grids and
+        near-identical pixels (PIL vs jax bicubic differ sub-pixel)."""
+        rng = np.random.default_rng(11)
+        imgs = [rng.integers(0, 255, (16, 12, 3), np.uint8) for _ in range(2)]
+        dev = processor.process_images(imgs, device_pixels=True)
+        hr = processor.process_images(imgs, device_pixels=True, host_resize=True)
+        np.testing.assert_array_equal(np.asarray(hr["image_grid_thw"]), np.asarray(dev["image_grid_thw"]))
+        for key in ("input_ids", "patch_mask", "vision_hpos", "vision_wpos", "position_ids"):
+            np.testing.assert_array_equal(np.asarray(hr[key]), np.asarray(dev[key]))
+        pa, pb = np.asarray(dev["pixel_values"]), np.asarray(hr["pixel_values"])
+        assert pa.shape == pb.shape
+        assert np.abs(pa - pb).mean() < 0.05
+
+    def test_host_resize_noop_when_already_target_size(self, processor):
+        """An image already at its smart_resize target must be bit-identical
+        through both paths (no resampling at all)."""
+        rng = np.random.default_rng(12)
+        img = rng.integers(0, 255, (8, 8, 3), np.uint8)  # 8x8 is its own target
+        dev = processor.process_images([img], device_pixels=True)
+        hr = processor.process_images([img], device_pixels=True, host_resize=True)
+        np.testing.assert_allclose(
+            np.asarray(hr["pixel_values"]), np.asarray(dev["pixel_values"]), atol=1e-6
+        )
+
     def test_qwen2_5_processor_forwards_device_pixels(self):
         from colpali_tpu.processors.qwen2_5_vl import ColQwen2_5Processor
 
