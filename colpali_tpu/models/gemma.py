@@ -28,7 +28,11 @@ class GemmaDecoderLayer(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_bias, rope):
+    def __call__(self, x, attn_mask, rope):
+        # attn_mask is the (B, S) token-validity mask; PaliGemma attention is
+        # always full bidirectional over valid tokens (prefix-LM inference
+        # masking) — passing the mask instead of a prebuilt additive bias
+        # lets Attention route to the fused flash kernel on TPU.
         cfg = self.config
         residual = x
         x = RMSNorm(eps=cfg.rms_norm_eps, param_dtype=self.param_dtype, name="input_layernorm")(x)
@@ -40,7 +44,7 @@ class GemmaDecoderLayer(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="self_attn",
-        )(x, attn_bias=attn_bias, rope=rope)
+        )(x, rope=rope, mask=attn_mask, causal=False)
         x = residual + x
         residual = x
         x = RMSNorm(eps=cfg.rms_norm_eps, param_dtype=self.param_dtype, name="post_attention_layernorm")(x)
@@ -87,7 +91,7 @@ class GemmaDecoder(nn.Module):
     def __call__(
         self,
         inputs_embeds: jnp.ndarray,
-        attn_bias: jnp.ndarray,
+        attention_mask: jnp.ndarray,
         position_ids: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         cfg = self.config
@@ -102,8 +106,8 @@ class GemmaDecoder(nn.Module):
         x = inputs_embeds.astype(self.dtype) * normalizer
 
         if self.scan_layers:
-            x, _ = self.layer_stack(x, attn_bias, rope)
+            x, _ = self.layer_stack(x, attention_mask, rope)
         else:
             for layer in self.layers:
-                x = layer(x, attn_bias, rope)
+                x = layer(x, attention_mask, rope)
         return self.norm(x)

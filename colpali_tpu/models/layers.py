@@ -112,6 +112,85 @@ def make_attention_bias(attention_mask: jnp.ndarray, causal: bool, dtype: Dtype 
 # fp32 attention-logits budget for auto query chunking (see Attention.q_chunk)
 _ATTN_LOGITS_BUDGET = 512 * 1024 * 1024
 
+# flash (fused-softmax Pallas) attention: sequence block size — seqs are
+# padded up to a multiple of this and the pad is masked via segment ids
+_FLASH_BLOCK = 512
+
+
+def _flash_available() -> bool:
+    """Flash path auto-eligibility: a single real TPU device. Multi-device
+    runs keep the XLA path — a pallas_call is opaque to GSPMD, so under a
+    tensor-parallel mesh it would force replication instead of sharding
+    (serve/embed pipelines are single-chip-per-replica; sharded training
+    wants the partitionable einsum path)."""
+    try:
+        devs = jax.devices()
+    except RuntimeError:
+        return False
+    return len(devs) == 1 and devs[0].platform == "tpu"
+
+
+def flash_attention_padded(
+    q: jnp.ndarray,  # (B, S, H, D) post-rope
+    k: jnp.ndarray,  # (B, S, Hkv, D)
+    v: jnp.ndarray,  # (B, S, Hkv, D)
+    mask: jnp.ndarray,  # (B, S) token validity
+    scale: float,
+    causal: bool = False,
+) -> jnp.ndarray:
+    """Fused-softmax attention via the stock Pallas TPU flash kernel, with
+    the padding this model zoo needs: head_dim padded up to 128 lanes
+    (zeros change no logits; the padded value dims are sliced off) and the
+    sequence padded to a _FLASH_BLOCK multiple with segment-id masking
+    (pad tokens sit in segment 0, real tokens in 1 — cross-segment
+    attention is masked, so real rows never see padding; pad rows produce
+    garbage that callers already mask downstream, exactly like the additive
+    -inf bias path). GQA K/V heads are repeated up to the query head count.
+
+    Why: materialized fp32 logits are the serving forward's hottest HBM
+    stream — at the ColQwen2 vision shape (B=8, S=2464, 32 layers) they
+    cost ~9 GB of traffic per layer, and the fused kernel measures 7.9 ms
+    vs 16.8 ms/layer for the chunked einsum path (perf/flash_probe.py).
+    """
+    from jax.experimental.pallas.ops.tpu import flash_attention as _fa
+
+    b, s, h, d = q.shape
+    hkv = k.shape[2]
+    if hkv != h:
+        rep = h // hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    d_pad = (-d) % 128
+    s_pad = (-s) % _FLASH_BLOCK
+    if d_pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, d_pad)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, d_pad)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, d_pad)))
+    if s_pad:
+        q = jnp.pad(q, ((0, 0), (0, s_pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, s_pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, s_pad), (0, 0), (0, 0)))
+    seg = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, s_pad)))  # pads -> 0
+    qt = q.transpose(0, 2, 1, 3)  # (B, H, S, D)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    blk = min(_FLASH_BLOCK, s + s_pad)
+    sizes = _fa.BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk,
+        block_k_dkv=blk, block_q_dkv=blk,
+        block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+    )
+    out = _fa.flash_attention(
+        qt, kt, vt,
+        segment_ids=_fa.SegmentIds(q=seg, kv=seg),
+        causal=causal,
+        sm_scale=scale,
+        block_sizes=sizes,
+    )
+    out = out.transpose(0, 2, 1, 3)  # (B, S, H, D)
+    return out[:, :s, :, :d]
+
 
 class Attention(nn.Module):
     """Multi-head attention with optional GQA/MQA and rotary embeddings.
@@ -138,6 +217,10 @@ class Attention(nn.Module):
     # would otherwise materialize 18.7 GB of fp32 logits — past one chip's
     # HBM); an explicit int forces that chunk (pass >= S for dense).
     q_chunk: Optional[int] = None
+    # fused-softmax Pallas flash kernel: None = auto (single real TPU device
+    # AND the caller passed a token mask instead of a custom additive bias
+    # AND bf16 compute); True/False force. See flash_attention_padded.
+    use_flash: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -145,6 +228,8 @@ class Attention(nn.Module):
         x: jnp.ndarray,
         attn_bias: Optional[jnp.ndarray] = None,
         rope: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None,
+        mask: Optional[jnp.ndarray] = None,
+        causal: bool = False,
     ) -> jnp.ndarray:
         b, s, model_dim = x.shape
         kv_heads = self.num_kv_heads or self.num_heads
@@ -169,6 +254,28 @@ class Attention(nn.Module):
             cos, sin = rope
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
+
+        flash = self.use_flash
+        if flash is None:
+            # auto: any padding-mask/causal/full attention (no CUSTOM additive
+            # bias), bf16 compute, single real TPU device, and a sequence
+            # where the _FLASH_BLOCK padding tax is small (block-multiple, or
+            # long enough that the pad fraction is bounded; short query
+            # forwards would pay 512/s extra attention FLOPs for nothing)
+            flash = (
+                attn_bias is None
+                and self.dtype == jnp.bfloat16
+                and (s % _FLASH_BLOCK == 0 or s >= 2048)
+                and _flash_available()
+            )
+        if flash:
+            seg = mask if mask is not None else jnp.ones((b, s), jnp.int32)
+            out = flash_attention_padded(q, k, v, seg, scale, causal=causal)
+            out = out.reshape(b, s, self.num_heads * self.head_dim)
+            o_bias = self.use_bias if self.out_bias is None else self.out_bias
+            return dense(self.out_dim or model_dim, "o_proj", o_bias)(out.astype(self.dtype))
+        if attn_bias is None and mask is not None:
+            attn_bias = make_attention_bias(mask.astype(jnp.int32), causal=causal)
 
         groups = self.num_heads // kv_heads
         qg = q.reshape(b, s, kv_heads, groups, self.head_dim)

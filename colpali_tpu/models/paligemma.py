@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_embeddings
 from colpali_tpu.models.configs import DenseHeadConfig, PaliGemmaConfig
 from colpali_tpu.models.gemma import GemmaDecoder
-from colpali_tpu.models.layers import Dtype, make_attention_bias
+from colpali_tpu.models.layers import Dtype
 from colpali_tpu.models.siglip import SiglipVisionTower
 
 
@@ -77,11 +77,11 @@ class PaliGemmaBackbone(nn.Module):
             inputs_embeds = merge_image_embeddings(inputs_embeds, image_mask, image_features)
 
         # Whole input is "prefix": full bidirectional attention over valid
-        # tokens (inference-mode PaliGemma masking).
-        attn_bias = make_attention_bias(attention_mask, causal=False)
+        # tokens (inference-mode PaliGemma masking). The raw mask goes down
+        # so Attention can use the fused flash kernel on TPU.
         b, s = input_ids.shape
         position_ids = jnp.broadcast_to(jnp.arange(1, s + 1)[None, :], (b, s))  # 1-indexed
-        return self.language_model(inputs_embeds, attn_bias, position_ids)
+        return self.language_model(inputs_embeds, attention_mask, position_ids)
 
 
 class ColPali(nn.Module):

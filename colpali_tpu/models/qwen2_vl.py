@@ -144,7 +144,7 @@ class Qwen2VisionBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_bias, rope):
+    def __call__(self, x, patch_mask, rope):
         cfg = self.config
         ln = lambda name: nn.LayerNorm(  # noqa: E731
             epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name=name
@@ -159,7 +159,7 @@ class Qwen2VisionBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="attn",
-        )(h, attn_bias=attn_bias, rope=rope)
+        )(h, rope=rope, mask=patch_mask, causal=False)
         x = residual + h
         residual = x
         h = ln("norm2")(x)
@@ -205,18 +205,20 @@ class Qwen2VisionTower(nn.Module):
         emb = jnp.concatenate([half, half], axis=-1)
         rope = (jnp.cos(emb), jnp.sin(emb))
 
-        # full attention among the image's valid patches
-        attn_bias = make_attention_bias(patch_mask.astype(jnp.int32), causal=False)
+        # full attention among the image's valid patches; the mask is passed
+        # down (not a prebuilt additive bias) so Attention can route to the
+        # fused flash kernel on TPU (XLA CSEs the per-layer bias otherwise)
+        mask32 = patch_mask.astype(jnp.int32)
 
         block_kwargs = dict(config=cfg, dtype=self.dtype, param_dtype=self.param_dtype)
         if self.scan_layers:
             x, _ = scanned_stack(
                 Qwen2VisionBlock, block_kwargs, cfg.depth, num_args=2, remat=self.remat
-            )(name="blocks")(x, attn_bias, rope)
+            )(name="blocks")(x, mask32, rope)
         else:
             lcls = nn.remat(Qwen2VisionBlock) if self.remat else Qwen2VisionBlock
             for i in range(cfg.depth):
-                x = lcls(**block_kwargs, name=f"blocks_{i}")(x, attn_bias, rope)
+                x = lcls(**block_kwargs, name=f"blocks_{i}")(x, mask32, rope)
 
         # PatchMerger: LN -> group 4 consecutive merge-ordered patches -> MLP
         merge = cfg.spatial_merge_size**2

@@ -225,7 +225,7 @@ class Qwen3VisionBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_bias, rope):
+    def __call__(self, x, patch_mask, rope):
         cfg = self.config
         ln = lambda name: nn.LayerNorm(  # noqa: E731
             epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name=name
@@ -240,7 +240,7 @@ class Qwen3VisionBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="attn",
-        )(h, attn_bias=attn_bias, rope=rope)
+        )(h, rope=rope, mask=patch_mask, causal=False)
         x = residual + h
         residual = x
         h = ln("norm2")(x)
@@ -285,7 +285,8 @@ class Qwen3VisionTower(nn.Module):
         emb = jnp.concatenate([half, half], axis=-1)
         rope = (jnp.cos(emb), jnp.sin(emb))
 
-        attn_bias = make_attention_bias(patch_mask.astype(jnp.int32), causal=False)
+        # mask (not a prebuilt bias) so Attention can take the TPU flash path
+        mask32 = patch_mask.astype(jnp.int32)
 
         block_kwargs = dict(config=cfg, dtype=self.dtype, param_dtype=self.param_dtype)
         if self.scan_layers:
@@ -293,13 +294,13 @@ class Qwen3VisionTower(nn.Module):
                 Qwen3VisionBlock, block_kwargs, cfg.depth, num_args=2,
                 remat=self.remat, collect=True,
             )(name="blocks")
-            x, ys = stack(x, attn_bias, rope)
+            x, ys = stack(x, mask32, rope)
             taps = [ys[i] for i in cfg.deepstack_visual_indexes]
         else:
             taps = []
             for i in range(cfg.depth):
                 x = Qwen3VisionBlock(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
-                                     name=f"blocks_{i}")(x, attn_bias, rope)
+                                     name=f"blocks_{i}")(x, mask32, rope)
                 if i in cfg.deepstack_visual_indexes:
                     taps.append(x)
         deepstack = [

@@ -273,29 +273,23 @@ def main():
 
     iters = args.iters
 
-    @jax.jit
-    def chained(params, inputs):
-        def body(i, carry):
-            acc, ids = carry
-            out = model.apply(params, **{**inputs, "input_ids": ids})
-            # Every output element must feed the result: reducing a single
-            # element would let XLA dead-code-eliminate the other batch rows
-            # (they are independent). The predicate is value-preserving but
-            # not algebraically foldable, so the loop cannot be hoisted.
-            s = jnp.mean(out.astype(jnp.float32))
-            ids = ids + (s > 1e30).astype(ids.dtype)
-            return (acc + s, ids)
-
-        acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), inputs["input_ids"]))
-        return acc
-
+    # Per-dispatch forwards, synced once at the end — NOT in-jit fori_loop
+    # chaining: with pixel_values constant across iterations XLA hoists the
+    # whole vision tower out of the loop, inflating the "ceiling" 3-4x
+    # (round 2 shipped 2,490 pages/min from exactly this artifact; the honest
+    # number at the same config is ~660). Async dispatch pipelines the
+    # sequential executions, so per-dispatch RPC latency stays off this
+    # number (perf/embed_pipeline_probe.py cases D/E: chunking dispatches
+    # with lax.map changes nothing).
+    fwd = jax.jit(lambda p, b_: model.apply(p, **b_))
     print(f"[{time.time()-t0:6.1f}s] compiling forward...", flush=True)
-    np.asarray(chained(params, inputs))
+    np.asarray(fwd(params, inputs))
     print(f"[{time.time()-t0:6.1f}s] compiled; timing...", flush=True)
     times = []
     for _ in range(3):
         t1 = time.perf_counter()
-        np.asarray(chained(params, inputs))
+        outs = [fwd(params, inputs) for _ in range(iters)]
+        _ = float(np.asarray(jnp.sum(jnp.stack([jnp.sum(o.astype(jnp.float32)) for o in outs]))))
         times.append((time.perf_counter() - t1) / iters)
     dt = min(times)
     pages_per_min = args.batch / dt * 60

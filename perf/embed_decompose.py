@@ -115,30 +115,26 @@ def main():
     t_disp = min(times)
     print(f"dispatch floor:    {t_disp*1e3:8.1f} ms/round-trip", flush=True)
 
-    # --- 4. compute ceiling: fused preprocess kernel + forward, chained
-    # in one jit (no host involvement between iterations)
+    # --- 4. compute: per-dispatch forwards over ONE pre-staged device batch,
+    # synced once at the end. NOT the in-jit fori_loop chaining trick: with
+    # pixel_values constant across iterations, XLA hoists the entire vision
+    # tower out of the loop and the "ceiling" reads 3-4x too fast (this bug
+    # shipped in round 2's 2,490 pages/min number). Sequentially dispatched
+    # distinct executions measure what serving actually pays.
     from embed_bench import build_colqwen2
 
     model, inputs = build_colqwen2(args.batch, 2464, text_tokens=20, scan=True)
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), **inputs))()
-    iters = 4
-
-    @jax.jit
-    def chained(params, inputs):
-        def body(i, carry):
-            acc, ids = carry
-            out = model.apply(params, **{**inputs, "input_ids": ids})
-            s = jnp.mean(out.astype(jnp.float32))
-            return (acc + s, ids + (s > 1e30).astype(ids.dtype))
-        acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), inputs["input_ids"]))
-        return acc
+    fwd = jax.jit(lambda p, b_: model.apply(p, **b_))
 
     print(f"[{time.time()-t0:5.1f}s] compiling forward...", flush=True)
-    np.asarray(chained(params, inputs))
+    np.asarray(fwd(params, inputs))
+    iters = 8
     times = []
     for _ in range(3):
         t1 = time.perf_counter()
-        np.asarray(chained(params, inputs))
+        outs = [fwd(params, inputs) for _ in range(iters)]
+        _ = float(np.asarray(jnp.sum(jnp.stack([jnp.sum(o.astype(jnp.float32)) for o in outs]))))
         times.append((time.perf_counter() - t1) / iters)
     t_fwd = min(times)
     print(f"forward compute:   {t_fwd*1e3:8.1f} ms/batch "

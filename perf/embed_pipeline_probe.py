@@ -101,6 +101,31 @@ def main():
           f"-> {n_pages/t_inter*60:,.0f} pages/min", flush=True)
     print(f"A+B = {t_stage+t_fwd:.2f} s, max(A,B) = {max(t_stage, t_fwd):.2f} s", flush=True)
 
+    # D: dispatch cost isolation — same staged batch, 24 sequential dispatches
+    t1 = time.perf_counter()
+    outs = [fwd(params, staged[0]) for _ in range(args.batches)]
+    _ = float(np.asarray(jnp.sum(jnp.stack([jnp.sum(o.astype(jnp.float32)) for o in outs]))))
+    t_rep = time.perf_counter() - t1
+    print(f"D same-batch   : {t_rep:6.2f} s ({t_rep/args.batches*1e3:6.0f} ms/dispatch)", flush=True)
+
+    # E: chunked lax.map — K batches per dispatch amortizes the RPC overhead
+    for k in (4, 8):
+        if args.batches % k:
+            continue
+        stacked_groups = []
+        for g in range(0, args.batches, k):
+            grp = staged[g : g + k]
+            stacked_groups.append({key: jnp.stack([b[key] for b in grp]) for key in keys})
+        fwd_many = jax.jit(lambda p, bs: jax.lax.map(lambda b: model.apply(p, **b), bs))
+        print(f"[{time.time()-t0:5.1f}s] compiling lax.map K={k}...", flush=True)
+        np.asarray(fwd_many(params, stacked_groups[0]))
+        t1 = time.perf_counter()
+        outs = [fwd_many(params, sg) for sg in stacked_groups]
+        _ = float(np.asarray(jnp.sum(jnp.stack([jnp.sum(o.astype(jnp.float32)) for o in outs]))))
+        t_chunk = time.perf_counter() - t1
+        print(f"E lax.map K={k} : {t_chunk:6.2f} s ({t_chunk/args.batches*1e3:6.0f} ms/batch) "
+              f"-> {n_pages/t_chunk*60:,.0f} pages/min", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -249,20 +249,29 @@ def _load_torch_oracle(family: str, ckpt: str):
 # --------------------------------------------------------------------------
 
 def _make_pages(n: int, size=(640, 480)) -> list:
+    """Strongly distinct synthetic pages: with random weights, visually
+    similar pages collapse to near-identical embeddings (tied scores make
+    the ranking comparison vacuous), so each page gets its own dominant
+    color field + structure frequency."""
     from PIL import Image, ImageDraw
 
     rng = np.random.default_rng(0)
     pages = []
     for i in range(n):
-        arr = np.full((size[0], size[1], 3), 255, np.uint8)
+        hue = np.array([(37 * i) % 255, (91 * i + 60) % 255, (151 * i + 120) % 255], np.uint8)
+        arr = np.tile(hue, (size[0], size[1], 1))
+        # page-specific texture: checkerboard of page-dependent frequency
+        f = 8 + 6 * (i % 7)
+        yy, xx = np.mgrid[0 : size[0], 0 : size[1]]
+        checker = (((yy // f) + (xx // f)) % 2).astype(np.uint8) * 80
+        arr = np.clip(arr.astype(np.int16) + checker[..., None] - 40, 0, 255).astype(np.uint8)
         img = Image.fromarray(arr)
         draw = ImageDraw.Draw(img)
-        # distinct content per page so rankings are meaningful
-        for line in range(12):
-            y = 20 + line * 40
+        for line in range(6 + i % 5):
+            y = 20 + line * 50
             x = int(rng.integers(10, size[1] // 3))
             w = int(rng.integers(size[1] // 3, size[1] - x - 10))
-            draw.rectangle([x, y, x + w, y + 10], fill=tuple(int(v) for v in rng.integers(0, 120, 3)))
+            draw.rectangle([x, y, x + w, y + 12], fill=tuple(int(v) for v in rng.integers(0, 255, 3)))
         draw.text((20, 5), f"document page {i} quarterly report {i}", fill=(0, 0, 0))
         pages.append(img)
     return pages
