@@ -124,13 +124,23 @@ def main():
     @jax.jit
     def chained(lora, opt_state, base, bt):
         def body(i, carry):
-            lora, opt_state, acc = carry
-            loss, grads = jax.value_and_grad(lora_loss)(lora, base, bt)
+            lora, opt_state, acc, px = carry
+            # the batch must CHANGE each iteration or XLA hoists the frozen
+            # (adapter-free) vision tower out of the loop and the step time
+            # reads vision-free — a real training step pays the vision
+            # forward on every (new) batch. The predicate is value-neutral
+            # but not foldable.
+            loss, grads = jax.value_and_grad(lora_loss)(
+                lora, base, {**bt, "doc_pixel_values": px}
+            )
             updates, opt_state = tx.update(grads, opt_state, lora)
             lora = optax.apply_updates(lora, updates)
-            return (lora, opt_state, acc + loss)
+            px = px + (loss > 1e30).astype(px.dtype)
+            return (lora, opt_state, acc + loss, px)
 
-        lora, opt_state, acc = jax.lax.fori_loop(0, iters, body, (lora, opt_state, jnp.float32(0)))
+        lora, opt_state, acc, _ = jax.lax.fori_loop(
+            0, iters, body, (lora, opt_state, jnp.float32(0), bt["doc_pixel_values"])
+        )
         return lora, opt_state, acc
 
     # ---- FLOPs/step accounting (for MFU) --------------------------------
@@ -138,10 +148,14 @@ def main():
     # over every >=2D kernel in the param tree (embeddings excluded: lookup,
     # not matmul). Vision-tower kernels see b*patches tokens; text-stack
     # kernels see b*(s_doc + s_q). Attention score/context matmuls add
-    # 2 * 2 * tokens * seq * hidden per layer. Step multiplier: forward (1x)
-    # + backward with a FROZEN base (activation grads only, ~1x; LoRA weight
-    # grads are negligible) + remat recompute of the forward (1x) = 3x.
-    def matmul_flops(tree, tokens, prefix=""):
+    # 2 * 2 * tokens * seq * hidden per layer. Step multipliers: the VISION
+    # tower is frozen with NO adapters (LoRA targets the text stack,
+    # training/lora.DEFAULT_TARGET_PATTERN — the reference recipe), so it
+    # pays forward only (1x). The TEXT stack pays forward (1x) + backward
+    # activation grads through frozen kernels (~1x; adapter weight-grad
+    # matmuls are rank-32, negligible) + the remat forward recompute (1x)
+    # = 3x.
+    def matmul_flops(tree, tokens):
         total = 0
         for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
             name = "/".join(str(getattr(p, "key", p)) for p in path)
@@ -157,13 +171,14 @@ def main():
     }
     vis_tokens = b * patches
     txt_tokens = b * (s_doc + s_q)
-    fwd_flops = matmul_flops(vis_params, vis_tokens) + matmul_flops(txt_params, txt_tokens)
     vc, tc = config.vision, config.text
-    fwd_flops += vc.depth * 2 * 2 * vis_tokens * patches * vc.embed_dim  # vision attn
-    fwd_flops += tc.num_hidden_layers * 2 * 2 * (
+    vis_flops = matmul_flops(vis_params, vis_tokens)
+    vis_flops += vc.depth * 2 * 2 * vis_tokens * patches * vc.embed_dim  # vision attn
+    txt_flops = matmul_flops(txt_params, txt_tokens)
+    txt_flops += tc.num_hidden_layers * 2 * 2 * (
         b * s_doc * s_doc + b * s_q * s_q
     ) * tc.num_attention_heads * tc.head_dim  # text attn (full, non-causal docs)
-    step_flops = 3 * fwd_flops
+    step_flops = 1 * vis_flops + 3 * txt_flops
 
     print(f"[{time.time()-t0:6.1f}s] compiling train step...", flush=True)
     out = chained(lora, opt_state, params, batch)
