@@ -38,6 +38,63 @@ def _resize_batch_jit(arrs: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
     return jax.image.resize(arrs, (b, *shape, 3), method="bicubic", antialias=True)
 
 
+@functools.lru_cache(maxsize=128)
+def _resize_matrix(src: int, dst: int) -> np.ndarray:
+    """(dst, src) interpolation matrix, bit-equal to jax.image.resize's
+    bicubic+antialias along one axis (resizing is linear, so the matrix IS
+    the resize of the identity). Cached per (src, dst)."""
+    eye = jnp.eye(src, dtype=jnp.float32)
+    return np.asarray(jax.image.resize(eye, (dst, src), method="bicubic", antialias=True))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h1", "w1", "rows", "cols", "s", "crop_bounds")
+)
+def _split_resize_normalize(
+    batch: jnp.ndarray,  # (B, H0, W0, 3) uint8/float (0-255)
+    mean: jnp.ndarray,
+    std: jnp.ndarray,
+    mh1: Optional[jnp.ndarray],  # (h1, H0) longest-edge resize matrices
+    mw1: Optional[jnp.ndarray],  # (w1, W0)
+    crop_mats: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...],  # per-crop (s,ch),(s,cw)
+    h1: int,
+    w1: int,
+    rows: int,
+    cols: int,
+    s: int,
+    crop_bounds: Tuple[Tuple[int, int, int, int], ...],
+) -> jnp.ndarray:
+    """Fused tile pipeline for one shape group, TPU-layout-aware.
+
+    Two traps this avoids (measured ~2.4 s/batch on the naive version,
+    perf/colsmol_staging_probe.py):
+    - NHWC float work with C=3 as the minor (lane) dim wastes 125/128 of
+      every TPU vector lane; channels are folded into the batch dim
+      ((B, H, W, 3) -> (B*3, H, W)) so lanes run along W.
+    - jax.image.resize per crop is slow and was dispatched 13x per batch;
+      here every resize is two MXU matmuls against cached interpolation
+      matrices (exactly equal to bicubic+antialias: resize is linear), all
+      in ONE compiled program.
+
+    Returns (B, rows*cols+1, s, s, 3) normalized tiles (global last).
+    """
+    b, h0, w0, _ = batch.shape
+    x = batch.transpose(0, 3, 1, 2).reshape(b * 3, h0, w0).astype(jnp.float32)
+    if (h0, w0) != (h1, w1):
+        x = jnp.einsum("Hh,bhw->bHw", mh1, x)
+        x = jnp.einsum("Ww,bhw->bhW", mw1, x)
+    tiles = []
+    for (r0, r1, c0, c1), (mh, mw) in zip(crop_bounds, crop_mats):
+        crop = x[:, r0:r1, c0:c1]
+        t = jnp.einsum("Hh,bhw->bHw", mh, crop) if crop.shape[1] != s else crop
+        t = jnp.einsum("Ww,bhw->bhW", mw, t) if t.shape[2] != s else t
+        tiles.append(t)
+    stacked = jnp.stack(tiles, axis=1)  # (B*3, T, s, s)
+    t_n = stacked.shape[1]
+    out = stacked.reshape(b, 3, t_n, s, s).transpose(0, 2, 3, 4, 1)
+    return (out / 255.0 - mean) / std
+
+
 def _resize_grouped(items: List[Tuple[np.ndarray, Tuple[int, int]]]) -> List[np.ndarray]:
     """Resize many (array, (h, w)) requests, grouping identical
     (source shape, target) pairs into one batched device call. The split-image
@@ -180,7 +237,9 @@ class ColIdefics3Processor(BaseVisualRetrieverProcessor):
         remote-attached devices). Returns (device tiles, tile counts,
         [(rows, cols)] per image)."""
         s = self.tile_size
-        arrs = [to_rgb_array(im).astype(np.float32) for im in images]
+        # uint8 upload — float32 would be 4x the bytes over the
+        # host->device link (the fused kernel upcasts on device)
+        arrs = [to_rgb_array(im) for im in images]
         groups: Dict[Tuple[Tuple[int, int], Tuple[int, int]], List[int]] = {}
         for i, arr in enumerate(arrs):
             h0, w0 = arr.shape[:2]
@@ -192,20 +251,39 @@ class ColIdefics3Processor(BaseVisualRetrieverProcessor):
         group_tiles, idx_groups, layouts = [], [], {}
         for ((_, (h1, w1)), idxs) in groups.items():
             batch = jnp.asarray(np.stack([arrs[i] for i in idxs]))
-            resized = batch if batch.shape[1:3] == (h1, w1) else _resize_batch_jit(batch, (h1, w1))
-            tiles = []
+            h0, w0 = batch.shape[1:3]
             if h1 > s or w1 > s:
                 rows, cols = math.ceil(h1 / s), math.ceil(w1 / s)
+            else:
+                rows = cols = 0
+            # static crop bounds + cached interpolation matrices per crop
+            bounds, mats = [], []
+            if rows and cols:
                 opt_h, opt_w = math.ceil(h1 / rows), math.ceil(w1 / cols)
                 for r in range(rows):
                     for c in range(cols):
-                        crop = resized[:, r * opt_h : min((r + 1) * opt_h, h1), c * opt_w : min((c + 1) * opt_w, w1)]
-                        tiles.append(_resize_batch_jit(crop, (s, s)))
-            else:
-                rows = cols = 0
-            tiles.append(resized if resized.shape[1:3] == (s, s) else _resize_batch_jit(resized, (s, s)))
-            stacked = jnp.stack(tiles, axis=1)  # (n, T, S, S, 3), 0-255
-            group_tiles.append((stacked / 255.0 - mean_j) / std_j)
+                        r0, r1 = r * opt_h, min((r + 1) * opt_h, h1)
+                        c0, c1 = c * opt_w, min((c + 1) * opt_w, w1)
+                        bounds.append((r0, r1, c0, c1))
+                        mats.append((
+                            jnp.asarray(_resize_matrix(r1 - r0, s)),
+                            jnp.asarray(_resize_matrix(c1 - c0, s)),
+                        ))
+            bounds.append((0, h1, 0, w1))  # global view
+            mats.append((
+                jnp.asarray(_resize_matrix(h1, s)) if h1 != s else jnp.zeros((1, 1)),
+                jnp.asarray(_resize_matrix(w1, s)) if w1 != s else jnp.zeros((1, 1)),
+            ))
+            mh1 = jnp.asarray(_resize_matrix(h0, h1)) if h0 != h1 else jnp.zeros((1, 1))
+            mw1 = jnp.asarray(_resize_matrix(w0, w1)) if w0 != w1 else jnp.zeros((1, 1))
+            # one fused dispatch per shape group (resize+crops+normalize as
+            # channels-folded MXU matmuls — see _split_resize_normalize)
+            group_tiles.append(
+                _split_resize_normalize(
+                    batch, mean_j, std_j, mh1, mw1, tuple(mats),
+                    h1, w1, rows, cols, s, tuple(bounds),
+                )
+            )
             idx_groups.append(idxs)
             for i in idxs:
                 layouts[i] = (rows, cols)
@@ -249,9 +327,28 @@ class ColIdefics3Processor(BaseVisualRetrieverProcessor):
         images: Sequence[Any],
         context_prompts: Optional[Sequence[str]] = None,
         device_pixels: bool = False,
+        host_resize: bool = False,
     ) -> Batch:
         """device_pixels=True keeps the padded tile batch on device (see
-        _split_many_device); host numpy otherwise."""
+        _split_many_device); host numpy otherwise. host_resize=True applies
+        the longest-edge resize on host BEFORE upload when a page exceeds
+        ``longest_edge`` (fewer bytes over a bandwidth-limited link); pages
+        already within the limit upload raw — the 512px tile crops are
+        device-side either way."""
+        if host_resize:
+            from PIL import Image
+
+            shrunk = []
+            for im in images:
+                arr = to_rgb_array(im)
+                h0, w0 = arr.shape[:2]
+                if max(h0, w0) > self.longest_edge:
+                    h1, w1 = resized_dimensions(h0, w0, self.longest_edge)
+                    arr = np.asarray(
+                        Image.fromarray(arr).resize((w1, h1), Image.Resampling.BICUBIC)
+                    )
+                shrunk.append(arr)
+            images = shrunk
         if device_pixels:
             device_tiles, counts, rc = self._split_many_device(images)
             layouts = [(counts[i], *rc[i]) for i in range(len(images))]

@@ -141,7 +141,7 @@ def run_e2e(args, t0):
                          param_dtype=jnp.bfloat16, scan_layers=args.scan)
         keys = ("input_ids", "attention_mask", "pixel_values", "patch_mask",
                 "vision_hpos", "vision_wpos", "position_ids")
-    else:  # colpali: PaliGemma-3B, fixed 448x448 SigLIP pipeline
+    elif args.model == "colpali":  # PaliGemma-3B, fixed 448x448 SigLIP pipeline
         from colpali_tpu.models.configs import PaliGemmaConfig
         from colpali_tpu.models.paligemma import ColPali
         from colpali_tpu.processors.colpali import ColPaliProcessor
@@ -150,6 +150,26 @@ def run_e2e(args, t0):
         model = ColPali(PaliGemmaConfig(), dim=128, dtype=jnp.bfloat16,
                         param_dtype=jnp.bfloat16, scan_layers=args.scan)
         keys = ("input_ids", "attention_mask", "pixel_values")
+    else:  # colsmol: ColIdefics3 at the real colSmol-256M dims (512px tiles)
+        from colpali_tpu.models.idefics3 import ColIdefics3, Idefics3Config, Idefics3VisionConfig
+        from colpali_tpu.models.qwen2_vl import Qwen2TextConfig
+        from colpali_tpu.processors.idefics3 import ColIdefics3Processor
+
+        config = Idefics3Config(
+            vision=Idefics3VisionConfig(),  # defaults = SmolVLM SigLIP-B/16-512
+            text=Qwen2TextConfig(  # SmolLM2-135M dims
+                vocab_size=49280, hidden_size=576, intermediate_size=1536,
+                num_hidden_layers=30, num_attention_heads=9, num_key_value_heads=3,
+                head_dim=64, rope_theta=100000.0, attention_bias=False,
+                mrope_section=(32,),  # plain 1D rope in mrope form
+            ),
+            scale_factor=4,
+            image_token_id=6,  # _BenchTokenizer's "<image>"
+        )
+        processor = ColIdefics3Processor(_BenchTokenizer())
+        model = ColIdefics3(config, dim=128, dtype=jnp.bfloat16,
+                            param_dtype=jnp.bfloat16, scan_layers=args.scan)
+        keys = ("input_ids", "attention_mask", "pixel_values", "tile_mask")
 
     n_pages = args.batch * args.e2e_batches
     pages = _make_pages(n_pages)
@@ -204,9 +224,16 @@ def run_e2e(args, t0):
     warm_one = {k: v[0] for k, v in warm.items()}
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), **warm_one))()
 
-    @jax.jit
-    def apply_many(params, stacked):
-        return jax.lax.map(lambda b: model.apply(params, **b), stacked)
+    if chunk == 1:
+        # no lax.map wrapper for the common case — a length-1 scan still
+        # compiles to a loop and can inhibit cross-op optimization
+        @jax.jit
+        def apply_many(params, stacked):
+            return model.apply(params, **{k: v[0] for k, v in stacked.items()})[None]
+    else:
+        @jax.jit
+        def apply_many(params, stacked):
+            return jax.lax.map(lambda b: model.apply(params, **b), stacked)
 
     print(f"[{time.time()-t0:6.1f}s] compiling forward...", flush=True)
     np.asarray(apply_many(params, warm))
@@ -241,7 +268,7 @@ def run_e2e(args, t0):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model", default="colqwen2", choices=["colqwen2", "colpali"])
+    parser.add_argument("--model", default="colqwen2", choices=["colqwen2", "colpali", "colsmol"])
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--patches", type=int, default=768)
     parser.add_argument("--iters", type=int, default=8)

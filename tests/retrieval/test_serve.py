@@ -1,0 +1,93 @@
+"""scripts/serve.py HTTP surface: /healthz, /search, /add, /tune.
+
+Boots the handler over a real ThreadingHTTPServer on an ephemeral port with
+a tiny two-tier index and drives it with urllib — covers the endpoint
+wiring, the /add lock path, and the /tune recall endpoint (round-2 weak #4).
+"""
+
+import json
+import sys
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "scripts"))
+
+from colpali_tpu.retrieval import CorpusIndex  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def server():
+    import serve as serve_mod
+
+    rng = np.random.default_rng(0)
+    docs = [x / np.linalg.norm(x, axis=-1, keepdims=True)
+            for x in rng.normal(size=(300, 6, 32)).astype(np.float32)]
+    index = CorpusIndex(docs, dtype="int8", prefilter="binary")
+    files = [f"page_{i}.png" for i in range(len(docs))]
+    handler = serve_mod.make_handler(index, files)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_port}", index, docs, files
+    httpd.shutdown()
+
+
+def _post(url, path, payload):
+    req = urllib.request.Request(
+        url + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return json.loads(resp.read())
+
+
+def test_healthz(server):
+    url, index, _, _ = server
+    with urllib.request.urlopen(url + "/healthz", timeout=10) as resp:
+        out = json.loads(resp.read())
+    assert out["status"] == "ok" and out["num_docs"] == index.num_docs
+
+
+def test_search_returns_files_and_exact_scores(server):
+    url, index, docs, files = server
+    out = _post(url, "/search", {"embeddings": [docs[3].tolist()], "k": 3, "candidates": 64})
+    assert len(out["doc_ids"][0]) == 3
+    assert out["doc_ids"][0][0] == 3  # self-retrieval
+    assert out["files"][0][0] == "page_3.png"
+
+
+def test_tune_pins_default_candidates(server):
+    url, index, docs, _ = server
+    out = _post(url, "/tune", {
+        "embeddings": [d.tolist() for d in docs[:4]], "k": 5, "target_recall": 1.0,
+    })
+    assert out["recall"] == 1.0
+    assert index.default_candidates == out["candidates"]
+
+
+def test_add_extends_index(server):
+    url, index, docs, files = server
+    n0 = index.num_docs
+    rng = np.random.default_rng(7)
+    new = rng.normal(size=(2, 6, 32)).astype(np.float32)
+    new /= np.linalg.norm(new, axis=-1, keepdims=True)
+    out = _post(url, "/add", {"embeddings": [e.tolist() for e in new]})
+    assert out["num_docs"] == n0 + 2
+    # default names derived inside the lock
+    assert files[-1] == str(n0 + 1)
+    hit = _post(url, "/search", {"embeddings": [new[0].tolist()], "k": 1, "candidates": 64})
+    assert hit["doc_ids"][0][0] == n0
+
+
+def test_unknown_path_404(server):
+    url, _, _, _ = server
+    try:
+        _post(url, "/nope", {})
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404

@@ -170,6 +170,38 @@ class TestOrchestrator:
         summary = ColModelTraining(config).train()
         assert "eval_loss" in summary  # reference: per-epoch eval hook
 
+    def test_eval_cached_by_step(self, setup):
+        """Back-to-back evaluate() calls at the same train step return the
+        cached metrics without re-running the eval forwards (round-2 weak
+        #6: per-tick index rebuild cost)."""
+        ds, model, params, outdir = setup
+        rng = np.random.default_rng(3)
+        eval_corpus = Corpus([{"doc": rng.normal(size=(28, 28, 3)).astype(np.float32)} for _ in range(2)])
+        eval_ds = ColPaliEngineDataset(
+            [{"query": f"eval q {i}", "pos_target": [i]} for i in range(2)], corpus=eval_corpus
+        )
+        config = ColModelTrainingConfig(
+            model=model,
+            params=params,
+            processor=FakeProcessor(),
+            loss_func=ColbertLoss(temperature=0.1),
+            train_datasets=[ds],
+            eval_dataset=eval_ds,
+            output_dir=outdir,
+            global_batch_size=8,
+            num_epochs=1,
+            train=TrainConfig(learning_rate=1e-3, warmup_steps=0),
+        )
+        trainer = ColModelTraining(config)
+        first = trainer.evaluate()
+        calls = []
+        real_eval_step = trainer.eval_step
+        trainer.eval_step = lambda *a, **k: calls.append(1) or real_eval_step(*a, **k)
+        assert trainer.evaluate() is first  # same step -> cache hit
+        assert calls == []  # no forwards re-ran
+        trainer.train()  # advances the step
+        assert trainer.evaluate() is not first  # new step -> fresh eval
+
     def test_resume_from_checkpoint(self, setup):
         ds, model, params, outdir = setup
         base = dict(
