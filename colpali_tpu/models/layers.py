@@ -134,7 +134,7 @@ def flash_attention_padded(
     q: jnp.ndarray,  # (B, S, H, D) post-rope
     k: jnp.ndarray,  # (B, S, Hkv, D)
     v: jnp.ndarray,  # (B, S, Hkv, D)
-    mask: jnp.ndarray,  # (B, S) token validity
+    mask: jnp.ndarray,  # (B, S) token validity (0/1) OR arbitrary segment ids
     scale: float,
     causal: bool = False,
 ) -> jnp.ndarray:
@@ -145,7 +145,11 @@ def flash_attention_padded(
     (pad tokens sit in segment 0, real tokens in 1 — cross-segment
     attention is masked, so real rows never see padding; pad rows produce
     garbage that callers already mask downstream, exactly like the additive
-    -inf bias path). GQA K/V heads are repeated up to the query head count.
+    -inf bias path). ``mask`` may carry ARBITRARY segment ids (tokens attend
+    iff ids match) — this expresses windowed attention (Qwen2.5 vision:
+    window_id per patch, -1 padding) for free; sequence padding uses id -2,
+    which collides with nothing. GQA K/V heads are repeated up to the query
+    head count.
 
     Why: materialized fp32 logits are the serving forward's hottest HBM
     stream — at the ColQwen2 vision shape (B=8, S=2464, 32 layers) they
@@ -170,7 +174,7 @@ def flash_attention_padded(
         q = jnp.pad(q, ((0, 0), (0, s_pad), (0, 0), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, s_pad), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, s_pad), (0, 0), (0, 0)))
-    seg = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, s_pad)))  # pads -> 0
+    seg = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, s_pad)), constant_values=-2)
     qt = q.transpose(0, 2, 1, 3)  # (B, H, S, D)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
@@ -230,6 +234,7 @@ class Attention(nn.Module):
         rope: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None,
         mask: Optional[jnp.ndarray] = None,
         causal: bool = False,
+        segments: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         b, s, model_dim = x.shape
         kv_heads = self.num_kv_heads or self.num_heads
@@ -269,12 +274,25 @@ class Attention(nn.Module):
                 and _flash_available()
             )
         if flash:
-            seg = mask if mask is not None else jnp.ones((b, s), jnp.int32)
+            seg = segments if segments is not None else mask
+            if seg is None:
+                seg = jnp.ones((b, s), jnp.int32)
             out = flash_attention_padded(q, k, v, seg, scale, causal=causal)
             out = out.reshape(b, s, self.num_heads * self.head_dim)
             o_bias = self.use_bias if self.out_bias is None else self.out_bias
             return dense(self.out_dim or model_dim, "o_proj", o_bias)(out.astype(self.dtype))
-        if attn_bias is None and mask is not None:
+        if attn_bias is None and segments is not None:
+            # segment-equality mask (windowed attention): attend iff ids match
+            neg = jnp.finfo(jnp.float32).min
+            same = segments[:, None, :, None] == segments[:, None, None, :]
+            attn_bias = jnp.where(same, 0.0, neg).astype(jnp.float32)
+            if causal:
+                qi = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+                ki = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+                attn_bias = jnp.maximum(
+                    attn_bias + jnp.where(ki <= qi, 0.0, neg)[None, None], neg
+                )
+        elif attn_bias is None and mask is not None:
             attn_bias = make_attention_bias(mask.astype(jnp.int32), causal=causal)
 
         groups = self.num_heads // kv_heads

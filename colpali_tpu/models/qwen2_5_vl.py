@@ -111,9 +111,14 @@ class Qwen25VisionBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, is_full, bias_full, bias_window, rope):
+    def __call__(self, x, is_full, seg_full, seg_window, rope):
         cfg = self.config
-        attn_bias = jnp.where(jnp.asarray(is_full), bias_full, bias_window)
+        # both attention flavors are SEGMENT-EQUALITY masks (tokens attend
+        # iff ids match): full attention = validity ids (valid=1, pad=-1),
+        # windowed = per-patch window ids (pad=-1). Passing ids instead of a
+        # prebuilt (B,1,P,P) bias lets Attention route to the fused flash
+        # kernel on TPU — windowed varlen attention costs nothing extra there.
+        segments = jnp.where(jnp.asarray(is_full), seg_full, seg_window)
         residual = x
         h = RMSNorm(eps=1e-6, add_unit_offset=False, param_dtype=self.param_dtype, name="norm1")(x)
         h = Attention(
@@ -124,7 +129,7 @@ class Qwen25VisionBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="attn",
-        )(h, attn_bias=attn_bias, rope=rope)
+        )(h, rope=rope, segments=segments)
         x = residual + h
         residual = x
         h = RMSNorm(eps=1e-6, add_unit_offset=False, param_dtype=self.param_dtype, name="norm2")(x)
@@ -186,11 +191,11 @@ class Qwen25VisionTower(nn.Module):
         emb = jnp.concatenate([half, half], axis=-1)
         rope = (jnp.cos(emb), jnp.sin(emb))
 
-        full_bias = make_attention_bias(patch_mask.astype(jnp.int32), causal=False)
-        # window bias: keys valid AND same window as the query patch
-        neg = jnp.finfo(jnp.float32).min
-        same_window = window_id[:, None, :, None] == window_id[:, None, None, :]  # (B,1,P,P)
-        window_bias = jnp.maximum(full_bias + jnp.where(same_window, 0.0, neg), neg).astype(full_bias.dtype)
+        # segment ids for both attention flavors (see Qwen25VisionBlock):
+        # full layers attend among valid patches (valid=1, pad=-1); windowed
+        # layers attend within a window (window_id >= 0, pad=-1)
+        seg_full = jnp.where(patch_mask, 1, -1).astype(jnp.int32)
+        seg_window = window_id.astype(jnp.int32)
 
         flags = jnp.asarray([i in cfg.fullatt_block_indexes for i in range(cfg.depth)])
         block_kwargs = dict(config=cfg, dtype=self.dtype, param_dtype=self.param_dtype)
@@ -200,11 +205,11 @@ class Qwen25VisionTower(nn.Module):
             x, _ = scanned_stack(
                 Qwen25VisionBlock, block_kwargs, cfg.depth, num_args=4,
                 remat=self.remat, scanned_args=1,
-            )(name="blocks")(x, flags, full_bias, window_bias, rope)
+            )(name="blocks")(x, flags, seg_full, seg_window, rope)
         else:
             lcls = nn.remat(Qwen25VisionBlock) if self.remat else Qwen25VisionBlock
             for i in range(cfg.depth):
-                x = lcls(**block_kwargs, name=f"blocks_{i}")(x, flags[i], full_bias, window_bias, rope)
+                x = lcls(**block_kwargs, name=f"blocks_{i}")(x, flags[i], seg_full, seg_window, rope)
 
         merge = cfg.spatial_merge_size**2
         b, p, _ = x.shape

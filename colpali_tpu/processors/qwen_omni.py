@@ -163,7 +163,8 @@ class ColQwen2_5OmniProcessor(ColQwen2_5Processor):  # noqa: N801
         ]
         flats, grids = [], []
         for frames in videos:
-            arrs = [to_rgb_array(f).astype(np.float32) for f in frames]
+            # uint8 upload (float32 would be 4x the host->device bytes)
+            arrs = [to_rgb_array(f) for f in frames]
             h0, w0 = arrs[0].shape[:2]
             h1, w1 = smart_resize(h0, w0, self.patch_size * self.merge_size, self.min_pixels, self.max_pixels)
             # all frames of one video share a shape: resize them in ONE
@@ -171,7 +172,8 @@ class ColQwen2_5OmniProcessor(ColQwen2_5Processor):  # noqa: N801
             # remote-attached accelerators)
             resized = np.asarray(
                 jax.image.resize(
-                    jnp.asarray(np.stack(arrs)), (len(arrs), h1, w1, 3), method="bicubic", antialias=True
+                    jnp.asarray(np.stack(arrs)).astype(jnp.float32),
+                    (len(arrs), h1, w1, 3), method="bicubic", antialias=True,
                 )
             )
             norm = ((resized / 255.0 - self.image_mean) / self.image_std).transpose(0, 3, 1, 2)

@@ -141,6 +141,23 @@ def run_e2e(args, t0):
                          param_dtype=jnp.bfloat16, scan_layers=args.scan)
         keys = ("input_ids", "attention_mask", "pixel_values", "patch_mask",
                 "vision_hpos", "vision_wpos", "position_ids")
+    elif args.model == "colqwen2_5":  # Qwen2.5-VL-3B: windowed vision attention
+        from colpali_tpu.models.qwen2_5_vl import ColQwen2_5, Qwen25VLConfig
+        from colpali_tpu.models.qwen2_vl import Qwen2TextConfig
+        from colpali_tpu.processors.qwen2_5_vl import ColQwen2_5Processor
+
+        config = Qwen25VLConfig(  # 3B text dims
+            text=Qwen2TextConfig(
+                vocab_size=151936, hidden_size=2048, intermediate_size=11008,
+                num_hidden_layers=36, num_attention_heads=16, num_key_value_heads=2,
+                head_dim=128, mrope_section=(16, 24, 24),
+            )
+        )
+        processor = ColQwen2_5Processor(_BenchTokenizer(), max_num_visual_tokens=768)
+        model = ColQwen2_5(config, dim=128, dtype=jnp.bfloat16,
+                           param_dtype=jnp.bfloat16, scan_layers=args.scan)
+        keys = ("input_ids", "attention_mask", "pixel_values", "patch_mask",
+                "vision_hpos", "vision_wpos", "position_ids", "window_id")
     elif args.model == "colpali":  # PaliGemma-3B, fixed 448x448 SigLIP pipeline
         from colpali_tpu.models.configs import PaliGemmaConfig
         from colpali_tpu.models.paligemma import ColPali
@@ -268,7 +285,7 @@ def run_e2e(args, t0):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model", default="colqwen2", choices=["colqwen2", "colpali", "colsmol"])
+    parser.add_argument("--model", default="colqwen2", choices=["colqwen2", "colqwen2_5", "colpali", "colsmol"])
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--patches", type=int, default=768)
     parser.add_argument("--iters", type=int, default=8)

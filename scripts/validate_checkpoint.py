@@ -58,7 +58,7 @@ QUERIES = [
 # synthetic checkpoint at real colSmol-256M dims
 # --------------------------------------------------------------------------
 
-def make_synth_colsmol(out_dir: str, seed: int = 0) -> None:
+def make_synth_colsmol(out_dir: str, seed: int = 0, tiny: bool = False) -> None:
     import torch
     import transformers
 
@@ -66,27 +66,29 @@ def make_synth_colsmol(out_dir: str, seed: int = 0) -> None:
     torch.manual_seed(seed)
     # Real SmolVLM-256M-Instruct architecture dims (the colSmol-256M base):
     # SigLIP-base-p16-512 vision tower + SmolLM2-135M text decoder.
+    # tiny=True shrinks width/depth (same architecture/layout) so the test
+    # suite can exercise the FULL gate (safetensors -> loader -> flax +
+    # torch oracle -> nDCG delta) in seconds.
+    if tiny:
+        vision_cfg = dict(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                          num_attention_heads=4, image_size=64, patch_size=16)
+        text_cfg = dict(vocab_size=49280, hidden_size=48, intermediate_size=96,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, rope_theta=100000.0,
+                        rms_norm_eps=1e-5, max_position_embeddings=8192)
+        scale_factor = 2
+    else:
+        vision_cfg = dict(hidden_size=768, intermediate_size=3072, num_hidden_layers=12,
+                          num_attention_heads=12, image_size=512, patch_size=16)
+        text_cfg = dict(vocab_size=49280, hidden_size=576, intermediate_size=1536,
+                        num_hidden_layers=30, num_attention_heads=9,
+                        num_key_value_heads=3, rope_theta=100000.0,
+                        rms_norm_eps=1e-5, max_position_embeddings=8192)
+        scale_factor = 4  # 512/16 = 32 -> 8x8 = 64 tokens/tile
     cfg = transformers.Idefics3Config(
-        vision_config=dict(
-            hidden_size=768,
-            intermediate_size=3072,
-            num_hidden_layers=12,
-            num_attention_heads=12,
-            image_size=512,
-            patch_size=16,
-        ),
-        text_config=dict(
-            vocab_size=49280,
-            hidden_size=576,
-            intermediate_size=1536,
-            num_hidden_layers=30,
-            num_attention_heads=9,
-            num_key_value_heads=3,
-            rope_theta=100000.0,
-            rms_norm_eps=1e-5,
-            max_position_embeddings=8192,
-        ),
-        scale_factor=4,  # 512/16 = 32 -> 8x8 = 64 tokens/tile
+        vision_config=vision_cfg,
+        text_config=text_cfg,
+        scale_factor=scale_factor,
         image_token_id=49190,
     )
     model = transformers.Idefics3Model(cfg).eval()
@@ -102,12 +104,14 @@ def make_synth_colsmol(out_dir: str, seed: int = 0) -> None:
               os.path.join(out_dir, "model.safetensors"))
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump({**cfg.to_dict(), "architectures": ["ColIdefics3"]}, f)
+    vc = cfg.vision_config
+    seq_len = (vc.image_size // vc.patch_size // cfg.scale_factor) ** 2
     with open(os.path.join(out_dir, "processor_config.json"), "w") as f:
-        json.dump({"image_seq_len": 64}, f)
+        json.dump({"image_seq_len": seq_len}, f)
     with open(os.path.join(out_dir, "preprocessor_config.json"), "w") as f:
         json.dump({
-            "max_image_size": {"longest_edge": 512},
-            "size": {"longest_edge": 2048},
+            "max_image_size": {"longest_edge": vc.image_size},
+            "size": {"longest_edge": 4 * vc.image_size},
             "image_mean": [0.5, 0.5, 0.5],
             "image_std": [0.5, 0.5, 0.5],
         }, f)
@@ -347,9 +351,9 @@ def main():
 
     if args.make_synth:
         kind, out_dir = args.make_synth
-        if kind != "colsmol":
-            raise SystemExit("only --make-synth colsmol is supported")
-        make_synth_colsmol(out_dir)
+        if kind not in ("colsmol", "colsmol-tiny"):
+            raise SystemExit("only --make-synth colsmol|colsmol-tiny is supported")
+        make_synth_colsmol(out_dir, tiny=kind.endswith("tiny"))
         return
     if not args.checkpoint:
         raise SystemExit("checkpoint dir required (or --make-synth)")

@@ -85,6 +85,31 @@ class TestFlashPaddedWrapper:
         ref = self._ref(q, k, v, mask, d**-0.5, False)
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
+    def test_segments_express_window_attention(self, oracle_kernel):
+        """Windowed attention (Qwen2.5 vision) = segment ids: the flash path
+        with per-window ids must equal the module's segment-equality bias
+        fallback on valid rows."""
+        import jax
+
+        rng = np.random.default_rng(3)
+        b, s, dm = 1, 12, 32
+        x = jnp.asarray(rng.normal(size=(b, s, dm)).astype(np.float32))
+        # 3 windows of 4 tokens, last 2 tokens padding (id -1)
+        seg = np.array([[0, 0, 0, 0, 1, 1, 1, 1, 2, 2, -1, -1]], np.int32)
+        kwargs = dict(num_heads=4, head_dim=8, dtype=jnp.float32)
+        attn_flash = Attention(**kwargs, use_flash=True)
+        attn_ref = Attention(**kwargs, use_flash=False)
+        v = attn_ref.init(jax.random.PRNGKey(0), x, segments=jnp.asarray(seg))
+        out_f = np.asarray(attn_flash.apply(v, x, segments=jnp.asarray(seg)))
+        out_r = np.asarray(attn_ref.apply(v, x, segments=jnp.asarray(seg)))
+        valid = (seg >= 0)
+        np.testing.assert_allclose(out_f[valid], out_r[valid], rtol=1e-4, atol=1e-5)
+        # tokens in different windows must not influence each other: zeroing
+        # window 1's inputs must not change window 0's outputs
+        x2 = x.at[0, 4:8].set(0.0)
+        out_r2 = np.asarray(attn_ref.apply(v, x2, segments=jnp.asarray(seg)))
+        np.testing.assert_allclose(out_r[0, :4], out_r2[0, :4], rtol=1e-5, atol=1e-6)
+
     def test_attention_module_flash_toggle(self, oracle_kernel):
         """Attention(use_flash=True) through the oracle == bias path, on the
         valid rows (pad rows are garbage by design in the flash path)."""
