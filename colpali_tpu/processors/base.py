@@ -27,6 +27,32 @@ class BaseVisualRetrieverProcessor(ABC):
     query_prefix: str = ""
     query_augmentation_token: str = ""
 
+    def save_pretrained(self, output_dir: str) -> None:
+        """Persist the tokenizer + image-pipeline configs so
+        ``from_pretrained(output_dir)`` reconstructs this processor — the
+        reference's final save writes the processor next to the weights so
+        the output dir is a self-contained checkpoint
+        (colmodel_training.py:109-118)."""
+        import json
+        import os
+
+        os.makedirs(output_dir, exist_ok=True)
+        tok = getattr(self, "tokenizer", None)
+        if tok is not None and hasattr(tok, "save_pretrained"):
+            tok.save_pretrained(output_dir)
+        preprocessor_cfg, processor_cfg = self._export_configs()
+        if preprocessor_cfg:
+            with open(os.path.join(output_dir, "preprocessor_config.json"), "w") as f:
+                json.dump(preprocessor_cfg, f, indent=2)
+        if processor_cfg:
+            with open(os.path.join(output_dir, "processor_config.json"), "w") as f:
+                json.dump(processor_cfg, f, indent=2)
+
+    def _export_configs(self) -> tuple:
+        """-> (preprocessor_config.json dict, processor_config.json dict);
+        per-family override matching what its ``from_pretrained`` reads."""
+        return {}, {}
+
     @abstractmethod
     def process_images(self, images: Sequence[Any]) -> Batch:
         """Process a list of images into model inputs."""

@@ -68,6 +68,14 @@ class ColPaliProcessor(BaseVisualRetrieverProcessor):
         init_kwargs.update(kwargs)
         return cls(tokenizer, **init_kwargs)
 
+    def _export_configs(self) -> tuple:
+        pp = {
+            "size": {"height": self.image_size, "width": self.image_size},
+            "image_mean": list(self.image_mean),
+            "image_std": list(self.image_std),
+        }
+        return pp, {}
+
     @property
     def query_augmentation_token(self) -> str:
         """Reference: the tokenizer pad token (processing_colpali.py:50-56)."""

@@ -76,6 +76,14 @@ class ColGemma3Processor(BaseVisualRetrieverProcessor):
         init_kwargs.update(kwargs)
         return cls(tokenizer, **init_kwargs)
 
+    def _export_configs(self) -> tuple:
+        pp = {
+            "size": {"height": self.image_size, "width": self.image_size},
+            "image_mean": list(self.image_mean),
+            "image_std": list(self.image_std),
+        }
+        return pp, {"image_seq_length": self.image_seq_length}
+
     @property
     def query_augmentation_token(self) -> str:
         """Reference declares <eos> (processing_colgemma.py:49) — note its

@@ -182,6 +182,15 @@ class ColIdefics3Processor(BaseVisualRetrieverProcessor):
         init_kwargs.update(kwargs)
         return cls(tokenizer, **init_kwargs)
 
+    def _export_configs(self) -> tuple:
+        pp = {
+            "max_image_size": {"longest_edge": self.tile_size},
+            "size": {"longest_edge": self.longest_edge},
+            "image_mean": [float(x) for x in self.image_mean],
+            "image_std": [float(x) for x in self.image_std],
+        }
+        return pp, {"image_seq_len": self.image_seq_len}
+
     # reference ClassVar (processing_colidefics3.py:23)
     query_augmentation_token: str = "<end_of_utterance>"
 

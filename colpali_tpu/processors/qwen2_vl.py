@@ -279,6 +279,19 @@ class ColQwen2Processor(BaseVisualRetrieverProcessor):
         init_kwargs.update(kwargs)
         return cls(tokenizer, **init_kwargs)
 
+    def _export_configs(self) -> tuple:
+        pp = {
+            "patch_size": self.patch_size,
+            "merge_size": self.merge_size,
+            "temporal_patch_size": self.temporal_patch_size,
+            "min_pixels": self.min_pixels,
+            "max_pixels": self.max_pixels,
+            "size": {"shortest_edge": self.min_pixels, "longest_edge": self.max_pixels},
+            "image_mean": [float(x) for x in self.image_mean],
+            "image_std": [float(x) for x in self.image_std],
+        }
+        return pp, {}
+
     # --- image pipeline -------------------------------------------------
 
     def _preprocess_one(self, image) -> Tuple[np.ndarray, Tuple[int, int, int]]:

@@ -14,6 +14,7 @@ trainable memory. LoRA dropout is row-dropout on A (see merge_lora).
 
 from __future__ import annotations
 
+import dataclasses
 import re
 from typing import Any, Dict
 
@@ -21,11 +22,30 @@ import jax
 import jax.numpy as jnp
 
 # Matches the reference's target regex: attention + MLP projections of the LM
-# and the retrieval head.
+# and the retrieval head — across EVERY family's naming: qwen/gemma/pali use
+# language_model, idefics3/modernvbert use text_model; ModernBERT's MLP is
+# Wi/Wo instead of gate/up/down; ColIdefics3 names its head "linear"
+# (reference scripts/configs/idefics/train_colsmolvlm_model.yaml:71 keeps the
+# custom_text_proj target there even though its idefics head is also
+# "linear" — we adapt the real head instead).
 DEFAULT_TARGET_PATTERN = (
-    r".*(language_model|text_model).*/(q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|down_proj)/kernel"
-    r"|.*custom_text_proj/kernel"
+    r".*(language_model|text_model).*/(q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|down_proj|Wi|Wo)/kernel"
+    r"|.*(custom_text_proj|head/linear)/kernel"
 )
+
+
+@dataclasses.dataclass
+class LoraSpec:
+    """YAML-facing LoRA recipe — the reference's ``peft_config``
+    (peft.LoraConfig: r / lora_alpha / lora_dropout / gaussian init /
+    target_modules, scripts/configs/qwen2/train_colqwen2_model.py:82-90).
+    Attach via ``ColModelTrainingConfig(peft=LoraSpec(...))``."""
+
+    rank: int = 32
+    alpha: float = 32.0
+    dropout: float = 0.1
+    target_pattern: str = DEFAULT_TARGET_PATTERN
+    init_stddev: float = 0.01  # "gaussian" init_lora_weights
 
 
 def _iter_kernels(params: Dict[str, Any]):

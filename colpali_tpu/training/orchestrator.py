@@ -25,7 +25,10 @@ from colpali_tpu.training.trainer import (
     TrainConfig,
     create_train_state,
     make_eval_step,
+    make_peft_eval_step,
+    make_peft_train_step,
     make_train_step,
+    shard_peft_train_step,
     shard_train_step,
 )
 from colpali_tpu.utils.reporting import MetricsLogger
@@ -55,6 +58,10 @@ class ColModelTrainingConfig:
     eval_batch_size: Optional[int] = None  # defaults to global_batch_size
     report_to: Any = "jsonl"  # "jsonl" | "wandb" | ["jsonl", "wandb"] | "none"
     resume_from_checkpoint: bool = False
+    # LoRA recipe (the reference's ``peft_config``, colmodel_training.py:21-71
+    # + scripts/configs/**): a training.LoraSpec — the base stays frozen,
+    # only rank-r adapters train, and save() exports the merged weights.
+    peft: Optional[Any] = None
     seed: int = 0
     pad_seq_to: Optional[Any] = None  # int or bucket list (see data.collator)
     pad_patches_to: Optional[Any] = None  # visual patch axis buckets (Qwen-VL)
@@ -78,22 +85,53 @@ class ColModelTraining:
         self.logger = MetricsLogger(config.output_dir, report_to=config.report_to)
 
         has_negatives = self._probe_negatives()
-        self.train_step = make_train_step(config.loss_func, has_negatives=has_negatives)
-        self.eval_step = (
-            jax.jit(make_eval_step(config.loss_func, has_negatives=has_negatives))
-            if config.eval_dataset is not None
-            else None
-        )
         params = config.params if config.params is not None else self._init_params()
-        self.state = create_train_state(config.model.apply, params, config.train)
+
+        self.base_params = None  # set when a peft (LoRA) recipe is attached
+        if config.peft is not None:
+            from colpali_tpu.training.lora import init_lora_params
+
+            spec = config.peft
+            self.base_params = params
+            adapters = init_lora_params(
+                params, jax.random.PRNGKey(config.seed + 1), rank=spec.rank,
+                target_pattern=spec.target_pattern, stddev=spec.init_stddev,
+            )
+            self.train_step = make_peft_train_step(
+                config.loss_func, spec, has_negatives=has_negatives, seed=config.seed
+            )
+            self.eval_step = (
+                jax.jit(make_peft_eval_step(config.loss_func, spec, has_negatives=has_negatives))
+                if config.eval_dataset is not None
+                else None
+            )
+            # optimizer state exists ONLY for the rank-r adapters
+            self.state = create_train_state(config.model.apply, adapters, config.train)
+        else:
+            self.train_step = make_train_step(config.loss_func, has_negatives=has_negatives)
+            self.eval_step = (
+                jax.jit(make_eval_step(config.loss_func, has_negatives=has_negatives))
+                if config.eval_dataset is not None
+                else None
+            )
+            self.state = create_train_state(config.model.apply, params, config.train)
 
         self.batch_sharding = None
         if config.mesh is not None:
-            self.train_step, self.state, self.batch_sharding = shard_train_step(
-                self.train_step, self.state, config.mesh
-            )
+            if config.peft is not None:
+                self.train_step, self.state, self.batch_sharding, self.base_params = (
+                    shard_peft_train_step(
+                        self.train_step, self.state, self.base_params, config.mesh
+                    )
+                )
+            else:
+                self.train_step, self.state, self.batch_sharding = shard_train_step(
+                    self.train_step, self.state, config.mesh
+                )
         else:
             self.train_step = jax.jit(self.train_step)
+            if self.base_params is not None:
+                self.base_params = jax.device_put(self.base_params)
 
         self.ckpt = CheckpointManager(
             f"{config.output_dir}/checkpoints",
@@ -165,9 +203,10 @@ class ColModelTraining:
                 self.collator([ds[i] for i in range(start, min(start + bs, len(ds)))])
                 for start in range(0, len(ds), bs)
             ]
+        extra = (self.base_params,) if self.base_params is not None else ()
         losses, q_embs, doc_outs = [], [], []
         for batch in self._eval_batches:
-            loss, q, d = self.eval_step(self.state, self._device_batch(batch))
+            loss, q, d = self.eval_step(self.state, self._device_batch(batch), *extra)
             losses.append(float(loss))
             q = np.asarray(q, np.float32)
             q_mask = np.asarray(batch["query_attention_mask"]).astype(bool)
@@ -206,8 +245,11 @@ class ColModelTraining:
         for epoch in range(cfg.num_epochs):
             # collation (tokenize + image preprocessing) runs one batch ahead
             # on a daemon thread, overlapping the async device step
+            extra = (self.base_params,) if self.base_params is not None else ()
             for batch in prefetch(self.batches(epoch), buffer_size=2):
-                self.state, metrics = self.train_step(self.state, self._device_batch(batch))
+                self.state, metrics = self.train_step(
+                    self.state, self._device_batch(batch), *extra
+                )
                 step += 1
                 samples += cfg.global_batch_size
                 if step % cfg.log_steps == 0:
@@ -240,11 +282,23 @@ class ColModelTraining:
         return summary
 
     def save(self, output_dir: Optional[str] = None) -> None:
-        """Final export (reference colmodel_training.py:109-118)."""
+        """Final export (reference colmodel_training.py:109-118). With a peft
+        recipe the export is the MERGED weights ``W + (alpha/r) A @ B`` — a
+        ready-to-serve checkpoint, the equivalent of the reference's
+        ``merge_and_unload`` deployment path."""
         out = output_dir or self.config.output_dir
         model = self.config.model
         model_config = getattr(model, "config", None)
-        save_pretrained(out, jax.device_get(self.state.params), config=model_config, model=model)
+        params = self.state.params
+        if self.base_params is not None:
+            from colpali_tpu.training.lora import merge_lora
+
+            spec = self.config.peft
+            params = merge_lora(self.base_params, params, alpha=spec.alpha, rank=spec.rank)
+        save_pretrained(out, jax.device_get(params), config=model_config, model=model)
+        proc = self.config.processor
+        if proc is not None and hasattr(proc, "save_pretrained"):
+            proc.save_pretrained(out)
 
 
 class _ConcatDataset:

@@ -130,6 +130,68 @@ def make_train_step(
     return train_step
 
 
+def make_peft_train_step(
+    loss_fn: Callable,
+    peft,
+    has_negatives: bool = False,
+    seed: int = 0,
+) -> Callable:
+    """LoRA train step: ``state.params`` is the ADAPTER tree; the frozen base
+    is an explicit step argument (never a jit closure — a multi-GB closure
+    constant hangs remote-lowering, see lora.make_lora_train_step). Grads and
+    optimizer moments exist only for the rank-r adapters; the merged weights
+    ``W + (alpha/r) A @ B`` are rebuilt inside the step, where XLA fuses the
+    rank-r delta into each consuming matmul.
+
+    Signature: ``train_step(state, batch, base_params)``.
+    """
+    from colpali_tpu.training.lora import merge_lora
+
+    def train_step(state: TrainState, batch: Batch, base_params):
+        # per-step LoRA dropout rng, derived from the traced step counter
+        rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+
+        def compute_loss(lora):
+            params = merge_lora(
+                base_params, lora, alpha=peft.alpha, rank=peft.rank,
+                dropout=peft.dropout, dropout_rng=rng,
+            )
+            q = _forward(state.apply_fn, params, batch, "query_")
+            d = _forward(state.apply_fn, params, batch, "doc_")
+            if has_negatives:
+                n = _forward(state.apply_fn, params, batch, "neg_doc_")
+                return loss_fn(q, d, n)
+            return loss_fn(q, d)
+
+        loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_peft_eval_step(
+    loss_fn: Callable,
+    peft,
+    has_negatives: bool = False,
+) -> Callable:
+    """Eval twin of :func:`make_peft_train_step` (no dropout):
+    ``eval_step(state, batch, base_params) -> (loss, q, d)``."""
+    from colpali_tpu.training.lora import merge_lora
+
+    def eval_step(state: TrainState, batch: Batch, base_params):
+        params = merge_lora(base_params, state.params, alpha=peft.alpha, rank=peft.rank)
+        q = _forward(state.apply_fn, params, batch, "query_")
+        d = _forward(state.apply_fn, params, batch, "doc_")
+        if has_negatives and "neg_doc_input_ids" in batch:
+            n = _forward(state.apply_fn, params, batch, "neg_doc_")
+            return loss_fn(q, d, n), q, d
+        return loss_fn(q, d), q, d
+
+    return eval_step
+
+
 def make_eval_step(
     loss_fn: Callable,
     has_negatives: bool = False,
@@ -172,3 +234,33 @@ def shard_train_step(
     )
     sharded_state = jax.device_put(state, state_shardings)
     return jitted, sharded_state, b_sharding
+
+
+def shard_peft_train_step(
+    train_step: Callable,
+    state: TrainState,
+    base_params,
+    mesh: Mesh,
+    rules=DEFAULT_TP_RULES,
+):
+    """jit a ``(state, batch, base_params)`` LoRA step over a (data, model)
+    mesh: the frozen base is sharded by the TP rules (it dominates HBM), the
+    rank-r adapter state is replicated (its per-chip cost is negligible and
+    the merged delta then needs no extra collectives — each shard of W
+    consumes the columns of B it owns via GSPMD partitioning of the matmul).
+
+    Returns (jitted_step, sharded_state, batch_sharding, sharded_base).
+    """
+    state_shardings = jax.tree.map(lambda _: NamedSharding(mesh, P()), state)
+    base_shardings = tree_shardings(base_params, mesh, rules)
+    b_sharding = batch_sharding(mesh)
+
+    jitted = jax.jit(
+        train_step,
+        in_shardings=(state_shardings, b_sharding, base_shardings),
+        out_shardings=(state_shardings, NamedSharding(mesh, P())),
+        donate_argnums=(0,),
+    )
+    sharded_state = jax.device_put(state, state_shardings)
+    sharded_base = jax.device_put(base_params, base_shardings)
+    return jitted, sharded_state, b_sharding, sharded_base

@@ -161,6 +161,29 @@ class TestNewTrainingConfigs:
             walk(yaml.safe_load(f.read_text()))
 
 
+class TestTrainColbertLoraCLI:
+    def test_lora_smoke_config(self, tmp_path):
+        """YAML-driven peft: the smoke LoRA recipe trains via the real CLI and
+        exports merged weights (reference peft_config path e2e)."""
+        import os
+        import subprocess
+        import sys
+
+        import yaml
+
+        cfg = yaml.safe_load(open("configs/train_colpali_smoke_lora.yaml"))
+        cfg["config"]["output_dir"] = str(tmp_path / "run")
+        cfg_path = tmp_path / "smoke_lora.yaml"
+        cfg_path.write_text(yaml.safe_dump(cfg))
+        env = {**os.environ, "PYTHONPATH": "", "JAX_PLATFORMS": "cpu"}
+        result = subprocess.run(
+            [sys.executable, "scripts/train_colbert.py", str(cfg_path)],
+            capture_output=True, text=True, cwd=".", env=env,
+        )
+        assert result.returncode == 0, result.stderr[-800:]
+        assert (tmp_path / "run" / "model.safetensors").exists()
+
+
 class TestEvaluateRetrievalCLI:
     def test_smoke_config(self):
         import json

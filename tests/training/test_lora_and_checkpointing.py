@@ -173,3 +173,73 @@ class TestStackedLoRA:
         merged = merge_lora(params, lora, alpha=2, rank=2)
         delta = np.asarray(merged["model"]["language_model"]["layers"]["layer"]["self_attn"]["q_proj"]["kernel"])
         assert np.abs(delta).sum() > 0 and not np.allclose(delta[0], delta[1])
+
+
+class TestLoraTargetsPerFamily:
+    """The DEFAULT pattern must adapt the LM projections AND the retrieval
+    head for every family naming convention — idefics3 names its head
+    "linear" (reference ColIdefics3) and ModernBERT's MLP is Wi/Wo."""
+
+    def test_idefics3_targets(self):
+        from colpali_tpu.models.idefics3 import ColIdefics3, Idefics3Config
+
+        cfg = Idefics3Config.from_hf_dicts(
+            vision=dict(hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+                        num_attention_heads=4, image_size=32, patch_size=8),
+            text=dict(vocab_size=64, hidden_size=48, intermediate_size=96,
+                      num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2),
+            scale_factor=2, image_token_id=3,
+        ) if hasattr(Idefics3Config, "from_hf_dicts") else Idefics3Config.from_hf_config({
+            "vision_config": dict(hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+                                  num_attention_heads=4, image_size=32, patch_size=8,
+                                  num_channels=3),
+            "text_config": dict(vocab_size=64, hidden_size=48, intermediate_size=96,
+                                num_hidden_layers=1, num_attention_heads=4,
+                                num_key_value_heads=2, rope_theta=100000.0,
+                                rms_norm_eps=1e-6),
+            "scale_factor": 2,
+            "image_token_id": 3,
+        })
+        model = ColIdefics3(cfg, dim=8)
+        n_img = cfg.image_seq_len
+        ids = np.full((1, n_img + 2), 5, np.int32)
+        ids[:, :n_img] = 3
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(ids), jnp.ones_like(jnp.asarray(ids)),
+            jnp.zeros((1, 1, 32, 32, 3), jnp.float32),
+        )["params"]
+        lora = init_lora_params(params, jax.random.PRNGKey(1), rank=2)
+        assert any("text_model" in k and "q_proj" in k for k in lora)
+        assert any(k.endswith("head/linear/kernel") for k in lora)  # the head adapts
+        assert not any("vision_model" in k for k in lora)
+
+    def test_modernvbert_targets(self):
+        from colpali_tpu.models.configs import SiglipVisionConfig
+        from colpali_tpu.models.modernvbert import (
+            ColModernVBert,
+            ModernBertTextConfig,
+            ModernVBertConfig,
+        )
+
+        cfg = ModernVBertConfig(
+            vision=SiglipVisionConfig(hidden_size=16, intermediate_size=32, num_hidden_layers=1,
+                                      num_attention_heads=2, image_size=16, patch_size=4),
+            text=ModernBertTextConfig(vocab_size=64, hidden_size=24, intermediate_size=32,
+                                      num_hidden_layers=2, num_attention_heads=2, local_attention=4),
+            pixel_shuffle_factor=2,
+            additional_vocab_size=8,
+            image_token_id=60,
+        )
+        model = ColModernVBert(cfg, dim=8)
+        n_img = cfg.image_seq_len
+        ids = np.full((1, n_img + 2), 5, np.int32)
+        ids[:, :n_img] = 60
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(ids), jnp.ones_like(jnp.asarray(ids)),
+            jnp.zeros((1, 1, 16, 16, 3), jnp.float32),
+        )["params"]
+        lora = init_lora_params(params, jax.random.PRNGKey(1), rank=2)
+        assert any("text_model" in k and "q_proj" in k for k in lora)
+        assert any("text_model" in k and ("/Wi/" in k or "/Wo/" in k) for k in lora)
+        assert any("custom_text_proj" in k for k in lora)
+        assert not any("vision_model" in k for k in lora)

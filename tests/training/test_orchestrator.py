@@ -202,6 +202,127 @@ class TestOrchestrator:
         trainer.train()  # advances the step
         assert trainer.evaluate() is not first  # new step -> fresh eval
 
+    def test_peft_lora_full_loop(self, setup):
+        """peft=LoraSpec trains ONLY rank-r adapters (reference peft_config,
+        colmodel_training.py:21-71): base frozen, optimizer state tiny,
+        save() exports merged ready-to-serve weights."""
+        import jax
+
+        from colpali_tpu.training.lora import LoraSpec, count_params, merge_lora
+
+        ds, model, params, outdir = setup
+        spec = LoraSpec(rank=2, alpha=2.0, dropout=0.1)
+        config = ColModelTrainingConfig(
+            model=model,
+            params=params,
+            processor=FakeProcessor(),
+            loss_func=ColbertLoss(temperature=0.1),
+            train_datasets=[ds],
+            output_dir=outdir,
+            global_batch_size=4,
+            num_epochs=1,
+            train=TrainConfig(learning_rate=1e-2, warmup_steps=0),
+            peft=spec,
+        )
+        trainer = ColModelTraining(config)
+        # state.params is the adapter tree, a small fraction of the base
+        assert count_params(trainer.state.params) < 0.3 * count_params(params)
+        before = jax.device_get(trainer.state.params)
+        summary = trainer.train()
+        assert summary["final_step"] == 4
+        assert all(np.isfinite(m["loss"]) for m in trainer.metrics_history)
+        after = jax.device_get(trainer.state.params)
+        # adapters moved; base unchanged
+        moved = [
+            float(np.abs(np.asarray(a) - np.asarray(b)).max())
+            for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after))
+        ]
+        assert max(moved) > 0
+        base_now = jax.device_get(trainer.base_params)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(base_now)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # save() writes the MERGED weights
+        trainer.save()
+        assert os.path.exists(os.path.join(outdir, "model.safetensors"))
+        from colpali_tpu.core.hf_loader import load_colpali_params
+
+        restored = load_colpali_params(outdir)
+        expected = jax.device_get(
+            merge_lora(trainer.base_params, trainer.state.params, alpha=2.0, rank=2)
+        )
+        for (pa, a), (pb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(expected), key=lambda t: str(t[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(restored), key=lambda t: str(t[0])),
+        ):
+            assert str(pa) == str(pb)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+    def test_peft_lora_resume_and_eval(self, setup):
+        """Checkpoints under peft hold the adapter tree: resume restores the
+        step and adapters; the eval path merges without dropout."""
+        from colpali_tpu.training.lora import LoraSpec
+
+        ds, model, params, outdir = setup
+        rng = np.random.default_rng(4)
+        eval_corpus = Corpus([{"doc": rng.normal(size=(28, 28, 3)).astype(np.float32)} for _ in range(2)])
+        eval_ds = ColPaliEngineDataset(
+            [{"query": f"eval q {i}", "pos_target": [i]} for i in range(2)], corpus=eval_corpus
+        )
+        base = dict(
+            model=model,
+            params=params,
+            processor=FakeProcessor(),
+            loss_func=ColbertLoss(temperature=0.1),
+            train_datasets=[ds],
+            eval_dataset=eval_ds,
+            output_dir=outdir,
+            global_batch_size=4,
+            train=TrainConfig(learning_rate=1e-3, warmup_steps=0),
+            save_steps=1,
+            max_steps=2,
+            eval_steps=2,
+            peft=LoraSpec(rank=2, alpha=2.0, dropout=0.0),
+        )
+        t1 = ColModelTraining(ColModelTrainingConfig(**base))
+        summary = t1.train()
+        assert np.isfinite(summary["eval_loss"])  # peft eval path ran at step 2
+        t1.ckpt.close()
+        resumed = ColModelTraining(
+            ColModelTrainingConfig(**{**base, "resume_from_checkpoint": True, "max_steps": 3})
+        )
+        assert int(resumed.state.step) == 2
+        assert resumed.train()["final_step"] == 3
+
+    def test_peft_lora_sharded(self, setup):
+        """peft over a (data, model) mesh: base sharded by TP rules, adapter
+        state replicated; the step runs and the loss is finite."""
+        import jax
+        from jax.sharding import Mesh
+
+        from colpali_tpu.training.lora import LoraSpec
+
+        ds, model, params, outdir = setup
+        devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+        mesh = Mesh(devs, ("data", "model"))
+        config = ColModelTrainingConfig(
+            model=model,
+            params=params,
+            processor=FakeProcessor(),
+            loss_func=ColbertLoss(temperature=0.1),
+            train_datasets=[ds],
+            output_dir=outdir,
+            global_batch_size=4,
+            num_epochs=1,
+            max_steps=2,
+            mesh=mesh,
+            train=TrainConfig(learning_rate=1e-3, warmup_steps=0),
+            peft=LoraSpec(rank=2, alpha=2.0, dropout=0.1),
+        )
+        trainer = ColModelTraining(config)
+        summary = trainer.train()
+        assert summary["final_step"] == 2
+        assert all(np.isfinite(m["loss"]) for m in trainer.metrics_history)
+
     def test_resume_from_checkpoint(self, setup):
         ds, model, params, outdir = setup
         base = dict(
