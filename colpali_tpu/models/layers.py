@@ -264,13 +264,19 @@ class Attention(nn.Module):
         if flash is None:
             # auto: any padding-mask/causal/full attention (no CUSTOM additive
             # bias), bf16 compute, single real TPU device, and a sequence
-            # where the _FLASH_BLOCK padding tax is small (block-multiple, or
-            # long enough that the pad fraction is bounded; short query
-            # forwards would pay 512/s extra attention FLOPs for nothing)
+            # where the _FLASH_BLOCK padding tax stays under 15%. Measured
+            # boundaries, both directions: the old block-multiple-or->=2048
+            # rule silently dropped the 1496-patch (384-token-cap) vision
+            # stack to the einsum path (534 vs 663 pages/min at 768); a 35%
+            # threshold then flipped the 383-token TEXT stack onto flash
+            # (pad to 512 = 34% tax) and LOST to the fused einsum at that
+            # length (417 pages/min) — short-seq logits fit comfortably and
+            # the einsum path fuses better than a mostly-padding kernel.
+            pad_tax = ((-s) % _FLASH_BLOCK) / s
             flash = (
                 attn_bias is None
                 and self.dtype == jnp.bfloat16
-                and (s % _FLASH_BLOCK == 0 or s >= 2048)
+                and pad_tax <= 0.15
                 and _flash_available()
             )
         if flash:

@@ -127,21 +127,29 @@ def _save_word_tokenizer(out_dir: str, image_token_id: int) -> None:
     words = (
         "what is the chip used in iphone 12 ? price of when was released "
         "describe image . user assistant a an and for to with document page "
-        "report table figure total revenue chart data summary results"
+        "report table figure total revenue chart data summary results find "
+        "quarterly 0 1 2 3 4 5 6 7 8 9 10 11"
     ).split()
     vocab = {"<pad>": 0, "<unk>": 1}
     for w in words:
         vocab[w] = len(vocab)
+    # NON-COLLIDING pinned ids (an earlier version pinned <row_6_col_6> onto
+    # <image>'s id — duplicate ids make the tokenizers library silently
+    # renumber <image>, the processor then emits an id the model's
+    # image_token_id never matches, and image features are never merged:
+    # every page embeds identically and the gate's ranking half is vacuous).
     specials = {
-        "<fake_token_around_image>": 49189,
-        "<image>": image_token_id,
         "<global-img>": 49152,
-        "<|im_start|>": 49153,
-        "<end_of_utterance>": 49154,
+        "<fake_token_around_image>": 49189,
+        "<image>": image_token_id,  # 49190, as in the real checkpoint
+        "<end_of_utterance>": 49191,
+        "<|im_start|>": 49192,
     }
     for r in range(1, 7):
         for c in range(1, 7):
-            specials[f"<row_{r}_col_{c}>"] = 49154 + (r - 1) * 6 + c
+            specials[f"<row_{r}_col_{c}>"] = 49153 + (r - 1) * 6 + (c - 1)  # 49153..49188
+    assert len(set(specials.values())) == len(specials)
+    assert not set(specials.values()) & set(vocab.values())
     vocab.update(specials)
     tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
     tok.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
@@ -249,6 +257,90 @@ def _load_torch_oracle(family: str, ckpt: str):
 
 
 # --------------------------------------------------------------------------
+# in-env contrastive fine-tune (makes the gate's ranking check non-trivial)
+# --------------------------------------------------------------------------
+
+def finetune_checkpoint(args) -> None:
+    """Train the checkpoint for a few in-env contrastive steps on the
+    synthetic pages/queries, then export back to a NEW HF-layout checkpoint
+    dir. Under random weights every page scores near-identically (the
+    ranking half of the gate is vacuous — RESULTS.md caveat); a trained
+    checkpoint separates the pages, so running the gate on the exported dir
+    exercises train -> HF export -> production reload -> torch oracle with a
+    non-trivial ranking comparison."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from colpali_tpu.core.hf_export import export_colidefics3_state_dict
+    from colpali_tpu.losses import ColbertLoss
+
+    if args.family != "colidefics3":
+        raise SystemExit("--finetune currently supports colidefics3")
+    model, params, processor = _load_flax(args.family, args.checkpoint, jnp.float32)
+    # rebuild with remat: the full-scale fp32 train step (18 tiles x 1024
+    # SigLIP patches, full backward + Adam) exceeds one chip's HBM without
+    # rematerialization
+    from colpali_tpu.models.idefics3 import ColIdefics3
+
+    model = ColIdefics3(model.config, dim=128, dtype=jnp.float32,
+                        param_dtype=jnp.float32, scan_layers=True, remat=True)
+    from colpali_tpu.core.hf_loader import stack_layer_params
+
+    params = stack_layer_params(params)
+    pages = _make_pages(args.pages)
+    # the SAME query construction the gate uses, so training teaches the
+    # query_i <-> page_i association the gate then ranks on
+    queries = (QUERIES + [f"find document page {i} quarterly report" for i in range(len(pages))])[
+        : len(pages)
+    ]
+    doc_batch = {k: jnp.asarray(v) for k, v in processor.process_images(pages).items()}
+    q_batch = {k: jnp.asarray(v) for k, v in processor.process_queries(queries).items()}
+    # smooth max: at real-model scale with random weights, the hard MaxSim
+    # max is won by the PROMPT tokens (identical across pages) for every
+    # query token, so the image-token gradient is exactly zero and the loss
+    # freezes at log(B). The smooth-max objective (the reference's
+    # use_smooth_max knob) passes gradient through all doc tokens; the gate
+    # itself still scores with the hard MaxSim.
+    loss_fn = ColbertLoss(temperature=0.05, use_smooth_max=True, tau=0.1)
+    tx = optax.adam(args.finetune_lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss(p):
+            d = model.apply({"params": p}, **doc_batch)
+            q = model.apply({"params": p}, **q_batch)
+            return loss_fn(q, d)
+
+        val, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, val
+
+    for i in range(args.finetune):
+        params, opt_state, val = step(params, opt_state)
+        if i % 5 == 0 or i == args.finetune - 1:
+            print(f"[finetune] step {i}: loss {float(val):.4f}", flush=True)
+
+    out_dir = args.finetune_out
+    os.makedirs(out_dir, exist_ok=True)
+    state = export_colidefics3_state_dict(jax.device_get(params))
+    from safetensors.numpy import save_file
+
+    save_file(
+        {k: np.ascontiguousarray(v) for k, v in state.items()},
+        os.path.join(out_dir, "model.safetensors"),
+        metadata={"format": "pt"},
+    )
+    import shutil
+
+    for fn in os.listdir(args.checkpoint):
+        if fn.endswith(".json") and fn != "model.safetensors":
+            shutil.copy(os.path.join(args.checkpoint, fn), os.path.join(out_dir, fn))
+    print(f"[finetune] exported trained checkpoint to {out_dir}", flush=True)
+
+
+# --------------------------------------------------------------------------
 # embedding + comparison
 # --------------------------------------------------------------------------
 
@@ -283,6 +375,16 @@ def _make_pages(n: int, size=(640, 480)) -> list:
 
 def _embed_flax(model, params, processor, images, queries, batch_size=4):
     import jax.numpy as jnp
+
+    # guard against processor/model image-token-id skew (the failure mode is
+    # silent: merge_image_embeddings no-ops and every page embeds the same)
+    model_img_id = getattr(getattr(model, "config", None), "image_token_id", None)
+    proc_img_id = getattr(processor, "image_token_id", None)
+    if model_img_id is not None and proc_img_id is not None and model_img_id != proc_img_id:
+        raise SystemExit(
+            f"image_token_id mismatch: processor tokenizes <image> to {proc_img_id} "
+            f"but the model merges at {model_img_id} — image features would be dropped"
+        )
 
     def run(batch):
         return np.asarray(
@@ -347,7 +449,18 @@ def main():
     parser.add_argument("--out", help="append a markdown report here")
     parser.add_argument("--make-synth", nargs=2, metavar=("KIND", "DIR"),
                         help="write a random-weight real-dims checkpoint and exit")
+    parser.add_argument("--finetune", type=int, default=0, metavar="STEPS",
+                        help="contrastively fine-tune the checkpoint in-env for"
+                             " STEPS, export to --finetune-out, and exit")
+    parser.add_argument("--finetune-out", help="output dir for --finetune")
+    parser.add_argument("--finetune-lr", type=float, default=3e-5)
     args = parser.parse_args()
+
+    if args.finetune:
+        if not (args.checkpoint and args.finetune_out):
+            raise SystemExit("--finetune needs a checkpoint dir and --finetune-out")
+        finetune_checkpoint(args)
+        return
 
     if args.make_synth:
         kind, out_dir = args.make_synth

@@ -50,3 +50,29 @@ def test_gate_passes_on_tiny_synth(tiny_ckpt, tmp_path):
     assert payload["ndcg@5_delta"] <= 0.1
     assert payload["ranking_agreement@5"] >= 0.0
     assert report.exists() and "validate_checkpoint" in report.read_text()
+
+
+def test_finetuned_gate_is_diagonal_dominant(tiny_ckpt, tmp_path):
+    """--finetune -> export -> gate: after a few in-env contrastive steps the
+    score matrix must be diagonal-dominant in BOTH frameworks (non-trivial
+    ranking agreement). This catches silent image-path breaks — e.g. a
+    processor/model image_token_id skew means pages can't be told apart, the
+    loss can't fall below log(B), and dominance never emerges."""
+    env = {"PYTHONPATH": "", "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin"}
+    trained = tmp_path / "trained"
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), str(tiny_ckpt), "--finetune", "60",
+         "--finetune-out", str(trained), "--finetune-lr", "1e-3", "--pages", "6"],
+        capture_output=True, text=True, cwd=str(REPO), timeout=900, env={**env},
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert (trained / "model.safetensors").exists()
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), str(trained), "--pages", "6"],
+        capture_output=True, text=True, cwd=str(REPO), timeout=900, env={**env},
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    payload = json.loads(r.stdout[r.stdout.index("{") : r.stdout.rindex("}") + 1])
+    assert payload["flax_diag_dominant"] and payload["torch_diag_dominant"]
+    assert payload["ndcg@5_delta"] <= 0.1
+    assert payload["ranking_agreement@5"] == 1.0
