@@ -81,15 +81,31 @@ def rope_cos_sin(
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
     """Apply rotary embedding, rotate-half convention.
 
-    x: ``(B, S, H, Dh)``; cos/sin: ``(B, S, Dh)``.
+    x: ``(B, S, H, Dh)``; cos/sin: ``(B, S, Dh)`` where the second half
+    duplicates the first (every table builder in this repo emits
+    ``concat([f, f], -1)`` — rope_cos_sin, mrope_cos_sin,
+    interleaved_mrope_cos_sin, the vision towers).
+
+    Computed over HALF tables: out = concat(x1*c - x2*s, x2*c + x1*s).
+    Value-identical to ``x*cos + rotate_half(x)*sin`` (same elementwise ops
+    per element), but the naive form materializes rotate_half's concat as a
+    full upcast copy before the multiply — measured +3.3 ms/layer on the
+    ColQwen2 vision block (perf/attn_module_probe.py); this form reads x
+    once and writes the output once.
+
+    The multiply runs in x's own dtype (HF's apply_rotary_pos_emb casts
+    cos/sin to the query dtype, i.e. bf16 math at bf16 runtime; tables are
+    still generated in fp32). For fp32/f64 inputs this is identical to the
+    old fp32-upcast path — the f64-exact parity suite is unaffected; at
+    bf16 it saves another 0.8 ms/layer (perf/attn_module_probe2.py) and the
+    rounding is the same order as the bf16 activations themselves.
     """
-    up = upcast_dtype(x.dtype)
-    cos = cos[:, :, None, :].astype(up)
-    sin = sin[:, :, None, :].astype(up)
-    xf = x.astype(up)
     half = x.shape[-1] // 2
-    rotated = jnp.concatenate([-xf[..., half:], xf[..., :half]], axis=-1)
-    return (xf * cos + rotated * sin).astype(x.dtype)
+    c = cos[:, :, None, :half].astype(x.dtype)
+    s = sin[:, :, None, :half].astype(x.dtype)
+    x1 = x[..., :half]
+    x2 = x[..., half:]
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
 
 
 def make_attention_bias(attention_mask: jnp.ndarray, causal: bool, dtype: Dtype = jnp.float32) -> jnp.ndarray:
@@ -166,14 +182,13 @@ def flash_attention_padded(
         v = jnp.repeat(v, rep, axis=2)
     d_pad = (-d) % 128
     s_pad = (-s) % _FLASH_BLOCK
-    if d_pad:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, d_pad)))
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, d_pad)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, d_pad)))
-    if s_pad:
-        q = jnp.pad(q, ((0, 0), (0, s_pad), (0, 0), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, s_pad), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, s_pad), (0, 0), (0, 0)))
+    if d_pad or s_pad:
+        # ONE pad op per tensor: separate d-pad + s-pad calls materialize
+        # two full copies each (measured in perf/attn_module_probe.py)
+        spec = ((0, 0), (0, s_pad), (0, 0), (0, d_pad))
+        q = jnp.pad(q, spec)
+        k = jnp.pad(k, spec)
+        v = jnp.pad(v, spec)
     seg = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, s_pad)), constant_values=-2)
     qt = q.transpose(0, 2, 1, 3)  # (B, H, S, D)
     kt = k.transpose(0, 2, 1, 3)
