@@ -135,8 +135,9 @@ def run_e2e(args, t0):
         from colpali_tpu.models.qwen2_vl import ColQwen2, Qwen2VLConfig
         from colpali_tpu.processors.qwen2_vl import ColQwen2Processor
 
-        # reference recipe: 768 visual tokens max (processing_colqwen2.py:58-61)
-        processor = ColQwen2Processor(_BenchTokenizer(), max_num_visual_tokens=768)
+        # reference recipe: 768 visual tokens max (processing_colqwen2.py:58-61);
+        # --cap overrides (the 384 budget is the measured throughput sweet spot)
+        processor = ColQwen2Processor(_BenchTokenizer(), max_num_visual_tokens=args.cap)
         model = ColQwen2(Qwen2VLConfig(), dim=128, dtype=jnp.bfloat16,
                          param_dtype=jnp.bfloat16, scan_layers=args.scan)
         keys = ("input_ids", "attention_mask", "pixel_values", "patch_mask",
@@ -153,7 +154,7 @@ def run_e2e(args, t0):
                 head_dim=128, mrope_section=(16, 24, 24),
             )
         )
-        processor = ColQwen2_5Processor(_BenchTokenizer(), max_num_visual_tokens=768)
+        processor = ColQwen2_5Processor(_BenchTokenizer(), max_num_visual_tokens=args.cap)
         model = ColQwen2_5(config, dim=128, dtype=jnp.bfloat16,
                            param_dtype=jnp.bfloat16, scan_layers=args.scan)
         keys = ("input_ids", "attention_mask", "pixel_values", "patch_mask",
@@ -293,6 +294,8 @@ def main():
     parser.add_argument("--e2e", action="store_true", help="full pipeline: PIL -> processor -> forward -> host")
     parser.add_argument("--e2e-batches", type=int, default=12)
     parser.add_argument("--e2e-chunk", type=int, default=1, help="forward batches per device dispatch (lax.map)")
+    parser.add_argument("--cap", type=int, default=768,
+                        help="max visual tokens for the e2e processor (reference default 768)")
     parser.add_argument("--host-resize", action="store_true",
                         help="smart_resize on host pre-upload (4x fewer bytes over the link)")
     parser.add_argument("--workers", type=int, default=1,
