@@ -10,11 +10,15 @@ numerics-faithful.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+import functools
 from typing import Callable, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 Dtype = jnp.dtype
 
@@ -136,14 +140,104 @@ _FLASH_BLOCK = 512
 def _flash_available() -> bool:
     """Flash path auto-eligibility: a single real TPU device. Multi-device
     runs keep the XLA path — a pallas_call is opaque to GSPMD, so under a
-    tensor-parallel mesh it would force replication instead of sharding
-    (serve/embed pipelines are single-chip-per-replica; sharded training
-    wants the partitionable einsum path)."""
+    tensor-parallel mesh it would force replication instead of sharding —
+    UNLESS the caller declares the mesh via :func:`flash_mesh`, which routes
+    attention through a ``shard_map`` so each chip runs the fused kernel on
+    its local (batch, heads) shard (see :func:`flash_attention_sharded`)."""
     try:
         devs = jax.devices()
     except RuntimeError:
         return False
     return len(devs) == 1 and devs[0].platform == "tpu"
+
+
+# (mesh, batch_axis, model_axis) declared by the training/serving driver so
+# Attention can shard_map the flash kernel instead of falling back to einsum.
+_FLASH_MESH_CTX: contextvars.ContextVar = contextvars.ContextVar(
+    "colpali_tpu_flash_mesh", default=None
+)
+
+
+@contextlib.contextmanager
+def flash_mesh(mesh, batch_axis: str = "data", model_axis: str = "model"):
+    """Declare the active device mesh for flash attention.
+
+    A ``pallas_call`` is opaque to GSPMD: under a (data, model) mesh the
+    stock flash kernel would force its operands replicated. But attention is
+    embarrassingly parallel over (batch, heads) — exactly the axes the
+    DP x megatron-TP layout shards — so inside this context ``Attention``
+    wraps the kernel in ``jax.shard_map`` with q/k/v sharded
+    ``P(batch_axis, None, model_axis, None)``: each chip runs the fused
+    kernel on its local shard, zero collectives, and the surrounding
+    row-parallel o_proj psum is unchanged. The context must be active while
+    the step function is TRACED (wrap the body passed to ``jax.jit``, as
+    ``training.trainer.shard_train_step`` does), since eligibility is a
+    trace-time decision.
+    """
+    tok = _FLASH_MESH_CTX.set((mesh, batch_axis, model_axis))
+    try:
+        yield
+    finally:
+        _FLASH_MESH_CTX.reset(tok)
+
+
+def _flash_mesh_ok(ctx, batch: int, heads: int, kv_heads: int, require_tpu: bool = True) -> bool:
+    """shard_map flash eligibility: every mesh axis must divide its operand
+    axis (batch over data, q AND kv heads over model) and — for the auto
+    path — the mesh must be real TPU chips (the stock kernel has no
+    interpret mode; CPU test meshes monkeypatch `_flash_kernel_call`)."""
+    mesh, batch_axis, model_axis = ctx
+    if require_tpu and any(d.platform != "tpu" for d in mesh.devices.flat):
+        return False
+    dsz = dict(mesh.shape).get(batch_axis, 1)
+    msz = dict(mesh.shape).get(model_axis, 1)
+    return batch % dsz == 0 and heads % msz == 0 and kv_heads % msz == 0
+
+
+def flash_attention_sharded(
+    q: jnp.ndarray,  # (B, S, H, D) post-rope, GLOBAL arrays
+    k: jnp.ndarray,  # (B, S, Hkv, D)
+    v: jnp.ndarray,  # (B, S, Hkv, D)
+    mask: jnp.ndarray,  # (B, S) validity or segment ids
+    scale: float,
+    causal: bool,
+    ctx,
+) -> jnp.ndarray:
+    """Flash attention under a (data, model) mesh: ``shard_map`` the padded
+    kernel with batch over the data axis and heads over the model axis.
+
+    Per-shard semantics are exactly :func:`flash_attention_padded` — the
+    GQA repeat happens INSIDE the shard (local ``H/m // Hkv/m`` preserves the
+    group ratio), the seq/head-dim padding is shard-local, and segment ids
+    replicate over model. Sequence stays unsharded: attention mixes tokens,
+    so the sequence axis is the one place sharding would need collectives.
+    """
+    mesh, batch_axis, model_axis = ctx
+    ba = batch_axis if batch_axis in mesh.shape else None
+    ma = model_axis if model_axis in mesh.shape else None
+    spec = P(ba, None, ma, None)
+    fn = functools.partial(flash_attention_padded, scale=scale, causal=causal)
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, P(ba, None)),
+        out_specs=spec,
+        check_vma=False,
+    )(q, k, v, mask)
+
+
+def _flash_kernel_call(qt, kt, vt, seg, scale, causal, sizes):
+    """The innermost stock-kernel dispatch, isolated so CPU-mesh tests can
+    monkeypatch it (the stock TPU kernel has no interpret mode)."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as _fa
+
+    return _fa.flash_attention(
+        qt, kt, vt,
+        segment_ids=_fa.SegmentIds(q=seg, kv=seg),
+        causal=causal,
+        sm_scale=scale,
+        block_sizes=sizes,
+    )
 
 
 def flash_attention_padded(
@@ -174,7 +268,7 @@ def flash_attention_padded(
     """
     from jax.experimental.pallas.ops.tpu import flash_attention as _fa
 
-    b, s, h, d = q.shape
+    b, s, h, d = q.shape  # noqa: F841 (b kept for readability)
     hkv = k.shape[2]
     if hkv != h:
         rep = h // hkv
@@ -200,13 +294,7 @@ def flash_attention_padded(
         block_k_dkv=blk, block_q_dkv=blk,
         block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
     )
-    out = _fa.flash_attention(
-        qt, kt, vt,
-        segment_ids=_fa.SegmentIds(q=seg, kv=seg),
-        causal=causal,
-        sm_scale=scale,
-        block_sizes=sizes,
-    )
+    out = _flash_kernel_call(qt, kt, vt, seg, scale, causal, sizes)
     out = out.transpose(0, 2, 1, 3)  # (B, S, H, D)
     return out[:, :s, :, :d]
 
@@ -276,6 +364,7 @@ class Attention(nn.Module):
             k = apply_rope(k, cos, sin)
 
         flash = self.use_flash
+        mesh_ctx = _FLASH_MESH_CTX.get()
         if flash is None:
             # auto: any padding-mask/causal/full attention (no CUSTOM additive
             # bias), bf16 compute, single real TPU device, and a sequence
@@ -288,17 +377,30 @@ class Attention(nn.Module):
             # length (417 pages/min) — short-seq logits fit comfortably and
             # the einsum path fuses better than a mostly-padding kernel.
             pad_tax = ((-s) % _FLASH_BLOCK) / s
+            avail = (
+                _flash_mesh_ok(mesh_ctx, b, self.num_heads, kv_heads)
+                if mesh_ctx is not None
+                else _flash_available()
+            )
             flash = (
                 attn_bias is None
                 and self.dtype == jnp.bfloat16
                 and pad_tax <= 0.15
-                and _flash_available()
+                and avail
             )
         if flash:
             seg = segments if segments is not None else mask
             if seg is None:
                 seg = jnp.ones((b, s), jnp.int32)
-            out = flash_attention_padded(q, k, v, seg, scale, causal=causal)
+            if mesh_ctx is not None:
+                if not _flash_mesh_ok(mesh_ctx, b, self.num_heads, kv_heads, require_tpu=False):
+                    raise ValueError(
+                        f"flash_mesh axes must divide batch={b}, heads={self.num_heads}, "
+                        f"kv_heads={kv_heads} (mesh shape {dict(mesh_ctx[0].shape)})"
+                    )
+                out = flash_attention_sharded(q, k, v, seg, scale, causal, mesh_ctx)
+            else:
+                out = flash_attention_padded(q, k, v, seg, scale, causal=causal)
             out = out.reshape(b, s, self.num_heads * self.head_dim)
             o_bias = self.use_bias if self.out_bias is None else self.out_bias
             return dense(self.out_dim or model_dim, "o_proj", o_bias)(out.astype(self.dtype))

@@ -27,6 +27,7 @@ import optax
 from flax.training import train_state
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from colpali_tpu.models.layers import flash_mesh
 from colpali_tpu.parallel.sharding import DEFAULT_TP_RULES, batch_sharding, tree_shardings
 
 Batch = Dict[str, jnp.ndarray]
@@ -226,8 +227,14 @@ def shard_train_step(
     state_shardings = tree_shardings(state, mesh, rules)
     b_sharding = batch_sharding(mesh)
 
+    def traced(state, batch):
+        # flash eligibility is a trace-time decision: declare the mesh so
+        # attention can shard_map the fused kernel (layers.flash_mesh)
+        with flash_mesh(mesh):
+            return train_step(state, batch)
+
     jitted = jax.jit(
-        train_step,
+        traced,
         in_shardings=(state_shardings, b_sharding),
         out_shardings=(state_shardings, NamedSharding(mesh, P())),
         donate_argnums=(0,),
@@ -255,8 +262,12 @@ def shard_peft_train_step(
     base_shardings = tree_shardings(base_params, mesh, rules)
     b_sharding = batch_sharding(mesh)
 
+    def traced(state, batch, base_params):
+        with flash_mesh(mesh):
+            return train_step(state, batch, base_params)
+
     jitted = jax.jit(
-        train_step,
+        traced,
         in_shardings=(state_shardings, b_sharding, base_shardings),
         out_shardings=(state_shardings, NamedSharding(mesh, P())),
         donate_argnums=(0,),
