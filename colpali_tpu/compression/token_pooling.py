@@ -146,6 +146,131 @@ def _ward_pool(
     return np.stack(pooled_rows, axis=0), cluster_id_to_indices
 
 
+def kmeans_pool_padded(
+    embeddings,  # (B, T, D) jnp array, zero rows where mask == 0
+    mask,  # (B, T) 0/1 token validity
+    pool_factor: int,
+    iters: int = 10,
+):
+    """Fully on-device token pooling: batched spherical k-means under jit.
+
+    The TPU-native alternative to :class:`HierarchicalTokenPooler`: same
+    cluster-count rule (``k_i = max(n_i // pool_factor, 1)`` per doc, same as
+    reference hierarchical_token_pooling.py:118-123) and the same
+    aggregation (per-cluster mean, re-L2-normalized), but the clustering is
+    batched k-means on unit-norm tokens (cosine similarity) instead of
+    host scipy Ward — static shapes, no host round trip, runs inside the
+    embed -> pool -> index ingestion pipeline (``DeviceIndexBuilder``)
+    entirely on device.
+
+    Centroids init at a deterministic stride over each doc's valid tokens
+    (distinct whenever ``n_i >= k_i``); empty clusters keep their previous
+    centroid; clusters ``j >= k_i`` are masked out of assignment and
+    reported invalid in ``cluster_mask``.
+
+    Returns ``(pooled (B, K, D), cluster_mask (B, K), assignments (B, T))``
+    with ``K = max(T // pool_factor, 1)``; ``assignments`` are final cluster
+    ids for valid tokens (junk where ``mask == 0``).
+    """
+    import jax.numpy as jnp
+
+    if pool_factor == 1:
+        return embeddings, mask.astype(bool), jnp.broadcast_to(
+            jnp.arange(embeddings.shape[1])[None], mask.shape
+        )
+    e = jnp.asarray(embeddings, jnp.float32)
+    m = jnp.asarray(mask, jnp.float32)
+    _, t, _ = e.shape
+    k = max(t // pool_factor, 1)
+
+    n = jnp.sum(m, axis=1)  # (B,) valid tokens
+    k_i = jnp.maximum((n // pool_factor).astype(jnp.int32), 1)  # (B,)
+    # valid tokens first (stable), so strided init indexes real tokens
+    order = jnp.argsort(-m, axis=1, stable=True)
+    e_sorted = jnp.take_along_axis(e, order[..., None], axis=1)
+    j = jnp.arange(k)[None, :]
+    init_idx = jnp.clip(
+        (j * n[:, None].astype(jnp.int32)) // k_i[:, None],
+        0,
+        jnp.maximum(n[:, None].astype(jnp.int32) - 1, 0),
+    )
+    centroids = jnp.take_along_axis(e_sorted, init_idx[..., None], axis=1)  # (B,K,D)
+    cluster_mask = j < k_i[:, None]  # (B,K)
+    neg = jnp.finfo(jnp.float32).min
+
+    def assign_to(c):
+        sim = jnp.einsum("btd,bkd->btk", e, c)
+        sim = jnp.where(cluster_mask[:, None, :], sim, neg)
+        return jnp.argmax(sim, axis=-1)  # (B,T)
+
+    def step(c, _):
+        onehot = jax.nn.one_hot(assign_to(c), k, dtype=jnp.float32) * m[..., None]
+        sums = jnp.einsum("btk,btd->bkd", onehot, e)
+        counts = jnp.sum(onehot, axis=1)[..., None]  # (B,K,1)
+        mean = sums / jnp.maximum(counts, 1.0)
+        norm = jnp.linalg.norm(mean, axis=-1, keepdims=True)
+        newc = jnp.where(counts > 0, mean / jnp.maximum(norm, 1e-12), c)
+        return newc, ()
+
+    centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
+    pooled = jnp.where(cluster_mask[..., None], centroids, 0.0)
+    return pooled.astype(embeddings.dtype), cluster_mask, assign_to(centroids)
+
+
+class KMeansTokenPooler(BaseTokenPooler):
+    """Device-resident k-means pooler with the reference container API.
+
+    Drop-in where :class:`HierarchicalTokenPooler` is used offline, and the
+    only option when pooling must stay on device (sharded ingestion, inside
+    jit). The whole batch pools in ONE padded device call."""
+
+    def __init__(self, iters: int = 10):
+        self.iters = iters
+
+    def _pool_embeddings_impl(
+        self,
+        embeddings: List[Array],
+        pool_factor: int,
+        num_workers: Optional[int] = None,
+    ):
+        import jax.numpy as jnp
+
+        lens = [e.shape[0] for e in embeddings]
+        if any(n == 1 for n in lens):
+            raise ValueError("The input tensor must have more than one token.")
+        padded = pad_sequences(embeddings)  # (B, L, D) right-pad
+        t = padded.shape[1]
+        mask = np.zeros(padded.shape[:2], np.float32)
+        for i, n in enumerate(lens):
+            mask[i, :n] = 1.0
+        # K must cover the longest doc's cluster count
+        factor = max(pool_factor, 1)
+        if t // factor < max(max(n // factor, 1) for n in lens):
+            t_pad = factor * max(max(n // factor, 1) for n in lens)
+            padded = np.concatenate(
+                [padded, np.zeros((padded.shape[0], t_pad - t, padded.shape[2]), padded.dtype)], 1
+            )
+            mask = np.concatenate([mask, np.zeros((mask.shape[0], t_pad - t), np.float32)], 1)
+        pooled, cmask, assign = jax.jit(
+            kmeans_pool_padded, static_argnames=("pool_factor", "iters")
+        )(jnp.asarray(padded), jnp.asarray(mask), pool_factor=factor, iters=self.iters)
+        pooled, cmask, assign = (np.asarray(x) for x in (pooled, cmask, assign))
+
+        out: List[Array] = []
+        maps: List[Dict[int, Tuple[Array]]] = []
+        for i, n in enumerate(lens):
+            if pool_factor == 1:
+                out.append(np.asarray(embeddings[i]))
+                maps.append({0: (np.arange(n),)})
+                continue
+            ki = int(cmask[i].sum())
+            out.append(pooled[i, :ki])
+            maps.append(
+                {cid: (np.where(assign[i, :n] == cid)[0],) for cid in range(ki)}
+            )
+        return out, maps
+
+
 class LambdaTokenPooler(BaseTokenPooler):
     """Pool each 2D embedding with a user-supplied function
     (reference lambda_token_pooling.py:9-89)."""

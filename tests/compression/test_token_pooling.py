@@ -98,3 +98,98 @@ class TestLambdaTokenPooler:
         out = pooler.pool_embeddings(embs)
         assert out[0].shape == (1, 4)
         np.testing.assert_allclose(out[0], embs[0].mean(axis=0, keepdims=True), rtol=1e-6)
+
+
+class TestKMeansTokenPooler:
+    """Device k-means pooler: container parity with the hierarchical pooler,
+    plus the jittable padded path."""
+
+    def _pooler(self):
+        from colpali_tpu.compression import KMeansTokenPooler
+
+        return KMeansTokenPooler()
+
+    def test_pool_factor_1_is_identity(self, sample_embedding):
+        out = self._pooler().pool_embeddings([sample_embedding], pool_factor=1)
+        np.testing.assert_array_equal(out[0], sample_embedding)
+
+    def test_cluster_count_and_unit_norm(self, sample_embedding):
+        out = self._pooler().pool_embeddings([sample_embedding], pool_factor=2)
+        assert out[0].shape == (3, 3)  # max(6 // 2, 1) clusters
+        np.testing.assert_allclose(np.linalg.norm(out[0], axis=-1), 1.0, rtol=1e-5)
+
+    def test_similar_tokens_cluster_together(self, sample_embedding):
+        out = self._pooler().pool_embeddings(
+            [sample_embedding], pool_factor=2, return_dict=True
+        )
+        maps = out.cluster_id_to_indices[0]
+        clusters = [set(v[0].tolist()) for v in maps.values()]
+        assert set.union(*clusters) == {0, 1, 2, 3, 4, 5}  # every token assigned
+        assert any({0, 1} <= c for c in clusters)
+        assert any({2, 3} <= c for c in clusters)
+
+    def test_ragged_batch_cluster_rule(self):
+        rng = np.random.default_rng(0)
+        embs = [rng.normal(size=(n, 8)).astype(np.float32) for n in (10, 21, 5)]
+        embs = [e / np.linalg.norm(e, axis=-1, keepdims=True) for e in embs]
+        out = self._pooler().pool_embeddings(embs, pool_factor=3)
+        # reference rule: k_i = max(n_i // factor, 1)
+        assert [o.shape[0] for o in out] == [3, 7, 1]
+
+    def test_single_token_raises(self):
+        with pytest.raises(ValueError, match="more than one token"):
+            self._pooler().pool_embeddings([np.ones((1, 4), np.float32)], pool_factor=2)
+
+    def test_padded_3d_roundtrip(self):
+        rng = np.random.default_rng(1)
+        embs = [rng.normal(size=(n, 8)).astype(np.float32) for n in (12, 8)]
+        embs = [e / np.linalg.norm(e, axis=-1, keepdims=True) for e in embs]
+        padded = pad_sequences(embs, padding_side="left")
+        out = self._pooler().pool_embeddings(
+            padded, padding=True, padding_side="left", pool_factor=2
+        )
+        assert out.shape[0] == 2 and out.shape[1] == 6  # max k_i, re-padded
+
+    def test_padded_device_path_jits_and_masks(self):
+        import jax
+        import jax.numpy as jnp
+
+        from colpali_tpu.compression import kmeans_pool_padded
+
+        rng = np.random.default_rng(2)
+        e = rng.normal(size=(4, 24, 16)).astype(np.float32)
+        e /= np.linalg.norm(e, axis=-1, keepdims=True)
+        mask = np.ones((4, 24), np.float32)
+        mask[1, 18:] = 0  # n=18 -> k_i = 6
+        mask[3, 4:] = 0   # n=4  -> k_i = 1
+        e *= mask[..., None]
+        fn = jax.jit(kmeans_pool_padded, static_argnames=("pool_factor", "iters"))
+        pooled, cmask, assign = fn(jnp.asarray(e), jnp.asarray(mask), pool_factor=3)
+        pooled, cmask, assign = map(np.asarray, (pooled, cmask, assign))
+        assert pooled.shape == (4, 8, 16)  # K = 24 // 3
+        assert cmask.sum(1).tolist() == [8, 6, 8, 1]
+        # invalid clusters are zeroed; valid ones unit-norm
+        norms = np.linalg.norm(pooled, axis=-1)
+        np.testing.assert_allclose(norms[cmask], 1.0, rtol=1e-5)
+        np.testing.assert_allclose(norms[~cmask], 0.0, atol=1e-7)
+        # assignments of valid tokens stay inside each doc's valid clusters
+        for i in range(4):
+            valid = mask[i] > 0
+            assert assign[i, valid].max() < cmask[i].sum()
+
+    def test_recovers_planted_clusters_like_ward(self):
+        """On well-separated groups both algorithms find the same partition."""
+        rng = np.random.default_rng(3)
+        centers = np.eye(4, 16, dtype=np.float32)  # 4 orthogonal directions
+        tokens = np.concatenate(
+            [c + 0.01 * rng.normal(size=(5, 16)).astype(np.float32) for c in centers]
+        )
+        tokens /= np.linalg.norm(tokens, axis=-1, keepdims=True)
+        out = self._pooler().pool_embeddings(
+            [tokens], pool_factor=5, return_dict=True
+        )
+        clusters = sorted(
+            tuple(sorted(v[0].tolist()))
+            for v in out.cluster_id_to_indices[0].values()
+        )
+        assert clusters == [tuple(range(i * 5, (i + 1) * 5)) for i in range(4)]
