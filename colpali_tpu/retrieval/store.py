@@ -737,22 +737,41 @@ class DeviceIndexBuilder:
     host RAM into the external PLAID crate.
 
     Args:
-        doc_tokens: fixed token budget per doc (inputs are padded or must
-            already fit; pool upstream — compression.token_pooling).
+        doc_tokens: fixed token budget per doc AFTER pooling (inputs are
+            padded or must already fit).
         dim: embedding dimension.
         dtype / prefilter: as in :class:`CorpusIndex`.
+        pool_factor: optional on-device token pooling during ingestion —
+            each added batch runs through
+            :func:`compression.token_pooling.kmeans_pool_padded` (batched
+            spherical k-means, the reference HierarchicalTokenPooler's
+            cluster-count rule and aggregation) before quantize/pack, so
+            embed -> pool -> index never leaves the chip. ``doc_tokens``
+            then bounds the POOLED length (``S // pool_factor``).
     """
 
     def __init__(self, doc_tokens: int, dim: int, dtype: str = "int8",
-                 prefilter: Optional[str] = None):
+                 prefilter: Optional[str] = None,
+                 pool_factor: Optional[int] = None, pool_iters: int = 10):
         self.doc_tokens = round_up(doc_tokens, 16)
         self.dim = dim
         self.dtype = dtype
         self.prefilter = prefilter
+        self.pool_factor = pool_factor
         self.num_docs = 0
         self._built = False
         self._tiles: list = []  # [(store, scales, bwords)] per packed chunk
         self._pending: list = []  # device (B, Np, D) fp32 batches < one tile
+        if pool_factor is not None and pool_factor > 1:
+            from functools import partial
+
+            from colpali_tpu.compression.token_pooling import kmeans_pool_padded
+
+            self._pool = jax.jit(
+                partial(kmeans_pool_padded, pool_factor=pool_factor, iters=pool_iters)
+            )
+        else:
+            self._pool = None
 
     def add(self, embeddings, mask=None) -> None:
         """Ingest a batch of documents.
@@ -767,6 +786,10 @@ class DeviceIndexBuilder:
                 "builder already finalized by build(); create a new "
                 "DeviceIndexBuilder (or use CorpusIndex.extend) to add more docs"
             )
+        if self._pool is not None:
+            m = (jnp.ones(embeddings.shape[:2], jnp.float32)
+                 if mask is None else mask.astype(jnp.float32))
+            embeddings, mask, _ = self._pool(embeddings, m)
         b, s, d = embeddings.shape
         if d != self.dim:
             raise ValueError(f"dim mismatch: builder {self.dim}, batch {d}")

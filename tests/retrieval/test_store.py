@@ -541,3 +541,41 @@ def test_builder_bf16_prefilter_combination():
     index = builder.build()
     np.testing.assert_array_equal(np.asarray(index._store), np.asarray(ref._store))
     np.testing.assert_array_equal(np.asarray(index._bwords), np.asarray(ref._bwords))
+
+
+class TestBuilderPooling:
+    """DeviceIndexBuilder(pool_factor=...) pools on device during ingestion."""
+
+    def test_pooled_build_matches_manual_pooling(self):
+        import jax
+        import jax.numpy as jnp
+
+        from colpali_tpu.compression import kmeans_pool_padded
+        from colpali_tpu.retrieval import DeviceIndexBuilder
+
+        rng = np.random.default_rng(5)
+        b, s, d = 12, 24, 32
+        emb = rng.normal(size=(b, s, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+        mask = np.ones((b, s), np.float32)
+        mask[3, 18:] = 0
+        emb *= mask[..., None]
+
+        pooled, cmask, _ = jax.jit(
+            kmeans_pool_padded, static_argnames=("pool_factor", "iters")
+        )(jnp.asarray(emb), jnp.asarray(mask), pool_factor=3)
+        manual = DeviceIndexBuilder(doc_tokens=8, dim=d)
+        manual.add(pooled, cmask)
+        ref = manual.build()
+
+        auto = DeviceIndexBuilder(doc_tokens=8, dim=d, pool_factor=3)
+        auto.add(jnp.asarray(emb), jnp.asarray(mask))
+        index = auto.build()
+
+        assert index.num_docs == b
+        np.testing.assert_array_equal(np.asarray(index._store), np.asarray(ref._store))
+
+        # pooled index still ranks a planted near-duplicate query first
+        q = np.asarray(pooled[7, :4], np.float32)
+        scores, ids = index.search([q], k=3)
+        assert ids[0, 0] == 7
