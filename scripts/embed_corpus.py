@@ -47,8 +47,11 @@ def main() -> None:
     parser.add_argument("output", help="output .npz (keys emb_<i> + files.json alongside)")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--pool-factor", type=int, default=1,
-                        help="hierarchical token pooling factor (3 = the reference's ~3x "
+                        help="token pooling factor (3 = the reference's ~3x "
                              "storage compression; 1 = no pooling)")
+    parser.add_argument("--pooler", choices=["ward", "kmeans"], default="ward",
+                        help="ward = reference-exact scipy hierarchical pooling (host); "
+                             "kmeans = batched on-device spherical k-means")
     parser.add_argument("--save-index", metavar="PATH.npz",
                         help="additionally build a packed CorpusIndex on device "
                              "(DeviceIndexBuilder) and persist it — serve.py boots "
@@ -81,14 +84,16 @@ def main() -> None:
                                batch_size=args.batch_size, is_images=True)
 
     if args.pool_factor > 1:
-        from colpali_tpu.compression.token_pooling import HierarchicalTokenPooler
-
-        before = sum(e.shape[0] for e in embeddings)
-        embeddings = HierarchicalTokenPooler().pool_embeddings(
-            embeddings, pool_factor=args.pool_factor
+        from colpali_tpu.compression.token_pooling import (
+            HierarchicalTokenPooler,
+            KMeansTokenPooler,
         )
+
+        pooler = KMeansTokenPooler() if args.pooler == "kmeans" else HierarchicalTokenPooler()
+        before = sum(e.shape[0] for e in embeddings)
+        embeddings = pooler.pool_embeddings(embeddings, pool_factor=args.pool_factor)
         after = sum(e.shape[0] for e in embeddings)
-        print(f"Pooled {before} -> {after} tokens (factor {args.pool_factor})")
+        print(f"Pooled {before} -> {after} tokens (factor {args.pool_factor}, {args.pooler})")
 
     np.savez(args.output, **{f"emb_{i}": e for i, e in enumerate(embeddings)})
     import json
