@@ -579,3 +579,28 @@ class TestBuilderPooling:
         q = np.asarray(pooled[7, :4], np.float32)
         scores, ids = index.search([q], k=3)
         assert ids[0, 0] == 7
+
+
+class TestBiEncoderServing:
+    """Bi-* (single-vector) retrieval rides CorpusIndex directly: a dense
+    embedding is a 1-token multi-vector doc, and MaxSim degenerates to the
+    dot product (reference score_single_vector, processing_utils.py:103-130)."""
+
+    def test_single_token_docs_rank_by_dot_product(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(11)
+        corpus = rng.normal(size=(256, 32)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+        queries = rng.normal(size=(4, 32)).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=-1, keepdims=True)
+
+        index = CorpusIndex([d[None, :] for d in corpus], dtype="bf16")
+        scores, ids = index.search([q[None, :] for q in queries], k=5)
+
+        # oracle on the bf16-rounded corpus (the store's precision)
+        corpus_bf16 = np.asarray(jnp.asarray(corpus, jnp.bfloat16), np.float32)
+        full = queries @ corpus_bf16.T
+        expect = np.argsort(-full, axis=1)[:, :5]
+        np.testing.assert_array_equal(ids, expect)
+        np.testing.assert_allclose(scores, np.take_along_axis(full, expect, 1), atol=1e-3)
