@@ -39,6 +39,10 @@ def main() -> None:
     parser.add_argument("output", help="output .jsonl with negative_passages / gold_in_top_100")
     parser.add_argument("--k", type=int, default=100)
     parser.add_argument("--multi-vector", action="store_true", help="MaxSim scoring instead of dot product")
+    parser.add_argument("--via-index", action="store_true",
+                        help="mine through a device-resident CorpusIndex (int8 + binary "
+                             "prefilter) instead of the full (Q, C) score matrix — "
+                             "required at 100k+ doc scale")
     args = parser.parse_args()
 
     from colpali_tpu.retrieval.hardneg import mine_hard_negatives
@@ -48,7 +52,17 @@ def main() -> None:
     with open(args.gold_indices) as f:
         gold = json.load(f)
 
-    results = mine_hard_negatives(qs, ds, gold, k=args.k, multi_vector=args.multi_vector)
+    if args.via_index:
+        from colpali_tpu.retrieval import CorpusIndex
+
+        docs = [np.asarray(d)[None, :] if np.asarray(d).ndim == 1 else np.asarray(d)
+                for d in ds]
+        index = CorpusIndex(docs, dtype="int8",
+                            prefilter="binary" if len(docs) >= 100_000 else None)
+        results = mine_hard_negatives(qs, None, gold, k=args.k,
+                                      multi_vector=args.multi_vector, index=index)
+    else:
+        results = mine_hard_negatives(qs, ds, gold, k=args.k, multi_vector=args.multi_vector)
     with open(args.output, "w") as f:
         for row in results:
             f.write(json.dumps(row) + "\n")

@@ -52,6 +52,33 @@ class TestHardNegativeMining:
         out = mine_hard_negatives(queries, docs, [2, 7], k=5, multi_vector=True)
         assert out[0]["gold_in_top_100"] and out[1]["gold_in_top_100"]
 
+    def test_mining_through_corpus_index(self):
+        """index= mines via the serving path without the (Q, C) matrix."""
+        from colpali_tpu.retrieval import CorpusIndex
+
+        rng = np.random.default_rng(2)
+        docs = [rng.normal(size=(6, 32)).astype(np.float32) for _ in range(140)]
+        docs = [d / np.linalg.norm(d, axis=-1, keepdims=True) for d in docs]
+        queries = [docs[5][:3].copy(), docs[77][:4].copy()]
+        gold = [5, 77]
+
+        direct = mine_hard_negatives(queries, docs, gold, k=10, multi_vector=True)
+        index = CorpusIndex(docs, dtype="bf16")
+        via_index = mine_hard_negatives(queries, None, gold, k=10,
+                                        multi_vector=True, index=index)
+        for a, b in zip(direct, via_index):
+            assert a["gold_in_top_100"] == b["gold_in_top_100"]
+            # bf16 store may swap near-ties deep in the list; the pools agree
+            assert len(set(a["negative_passages"]) & set(b["negative_passages"])) >= 7
+
+        # dense (bi-encoder) mining through a 1-token-doc index
+        dvecs = np.stack([d[0] for d in docs])
+        dq = dvecs[[5, 77]] + 0.01 * rng.normal(size=(2, 32)).astype(np.float32)
+        dense_idx = CorpusIndex([v[None, :] for v in dvecs], dtype="bf16")
+        out = mine_hard_negatives(dq, None, gold, k=10, index=dense_idx)
+        assert out[0]["gold_in_top_100"] and out[1]["gold_in_top_100"]
+        assert all(g not in r["negative_passages"] for g, r in zip(gold, out))
+
 
 class TestDummyPipelinePieces:
     def test_dummy_dataset(self):
@@ -105,6 +132,13 @@ class TestComputeHardnegsCLI:
             capture_output=True, text=True, cwd=".",
         )
         assert result.returncode == 0, result.stderr[-500:]
+        via = subprocess.run(
+            [sys.executable, "scripts/compute_hardnegs.py", str(tmp_path / "q.npz"),
+             str(tmp_path / "d.npz"), str(tmp_path / "gold.json"),
+             str(tmp_path / "negs_idx.jsonl"), "--k", "5", "--via-index"],
+            capture_output=True, text=True, cwd=".",
+        )
+        assert via.returncode == 0, via.stderr[-500:]
         rows = [json.loads(line) for line in out.read_text().splitlines()]
         assert len(rows) == 2 and all(r["gold_in_top_100"] for r in rows)
 
