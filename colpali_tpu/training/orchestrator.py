@@ -165,9 +165,14 @@ class ColModelTraining:
             return jax.device_put(batch, self.batch_sharding)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
-    def batches(self, epoch: int) -> Iterable[Dict[str, np.ndarray]]:
+    def batches(self, epoch: int, skip: int = 0) -> Iterable[Dict[str, np.ndarray]]:
+        """Per-epoch batch stream; ``skip`` drops already-consumed batches on
+        resume BEFORE collation (the sampler's schedule is deterministic per
+        epoch, so skipping replays the exact uninterrupted order)."""
         self.sampler.set_epoch(epoch)
-        for indices in self.sampler:
+        for n_batch, indices in enumerate(self.sampler):
+            if n_batch < skip:
+                continue
             yield self.collator([self._all_data[i] for i in indices])
 
     @property
@@ -242,11 +247,19 @@ class ColModelTraining:
             self.logger.log({"step": step, **eval_metrics})
             print(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in eval_metrics.items()))
 
-        for epoch in range(cfg.num_epochs):
+        # resume mid-epoch: map the restored step back to (epoch, batch)
+        # and skip consumed batches — the deterministic sampler replays the
+        # exact uninterrupted schedule (reference HF Trainer resume skips
+        # dataloader batches the same way)
+        steps_per_epoch = max(len(self.sampler), 1)
+        start_epoch = min(step // steps_per_epoch, max(cfg.num_epochs - 1, 0))
+        for epoch in range(start_epoch, cfg.num_epochs):
+            resume_skip = step - epoch * steps_per_epoch if epoch == start_epoch else 0
+            resume_skip = max(0, resume_skip)
             # collation (tokenize + image preprocessing) runs one batch ahead
             # on a daemon thread, overlapping the async device step
             extra = (self.base_params,) if self.base_params is not None else ()
-            for batch in prefetch(self.batches(epoch), buffer_size=2):
+            for batch in prefetch(self.batches(epoch, skip=resume_skip), buffer_size=2):
                 self.state, metrics = self.train_step(
                     self.state, self._device_batch(batch), *extra
                 )

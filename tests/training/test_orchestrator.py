@@ -347,3 +347,41 @@ class TestOrchestrator:
         assert int(resumed.state.step) == 2  # picked up where we left off
         summary = resumed.train()
         assert summary["final_step"] == 3
+
+
+class TestResumeDataOrder:
+    def test_resume_skips_consumed_batches(self, setup):
+        """Interrupted + resumed training consumes the SAME batch schedule as
+        an uninterrupted run (reference HF Trainer resume semantics): final
+        params must match exactly."""
+        import jax
+
+        ds, model, params, outdir = setup
+
+        def make(out, max_steps, resume=False):
+            return ColModelTraining(ColModelTrainingConfig(
+                model=model, params=params, processor=FakeProcessor(),
+                loss_func=ColbertLoss(temperature=0.1),
+                train_datasets=[ds], output_dir=out, global_batch_size=4,
+                train=TrainConfig(learning_rate=1e-3, warmup_steps=0),
+                save_steps=1, max_steps=max_steps, num_epochs=2,
+                resume_from_checkpoint=resume,
+            ))
+
+        # 16 examples / batch 4 = 4 steps per epoch; stop mid-epoch at 3
+        full = make(f"{outdir}/full", 6)
+        full.train()
+        full.ckpt.close()
+
+        part = make(f"{outdir}/part", 3)
+        part.train()
+        part.ckpt.close()
+        resumed = make(f"{outdir}/part", 6, resume=True)
+        assert int(resumed.state.step) == 3
+        resumed.train()
+        resumed.ckpt.close()
+
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            full.state.params, resumed.state.params,
+        )
