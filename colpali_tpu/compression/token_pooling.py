@@ -164,9 +164,13 @@ def kmeans_pool_padded(
     entirely on device.
 
     Centroids init at a deterministic stride over each doc's valid tokens
-    (distinct whenever ``n_i >= k_i``); empty clusters keep their previous
-    centroid; clusters ``j >= k_i`` are masked out of assignment and
-    reported invalid in ``cluster_mask``.
+    (distinct whenever ``n_i >= k_i``); during iteration empty clusters keep
+    their previous centroid; clusters ``j >= k_i`` are masked out of
+    assignment. After the last iteration the pooled rows are re-aggregated
+    HARD from the final assignment, so every valid pooled row is exactly
+    ``normalize(mean(tokens assigned to it))`` — and clusters that end
+    empty (or belong to a fully-masked doc) are reported invalid in
+    ``cluster_mask`` and zeroed (score-neutral under MaxSim).
 
     Returns ``(pooled (B, K, D), cluster_mask (B, K), assignments (B, T))``
     with ``K = max(T // pool_factor, 1)``; ``assignments`` are final cluster
@@ -203,18 +207,41 @@ def kmeans_pool_padded(
         sim = jnp.where(cluster_mask[:, None, :], sim, neg)
         return jnp.argmax(sim, axis=-1)  # (B,T)
 
-    def step(c, _):
-        onehot = jax.nn.one_hot(assign_to(c), k, dtype=jnp.float32) * m[..., None]
+    def aggregate(assign):
+        onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32) * m[..., None]
         sums = jnp.einsum("btk,btd->bkd", onehot, e)
         counts = jnp.sum(onehot, axis=1)[..., None]  # (B,K,1)
         mean = sums / jnp.maximum(counts, 1.0)
         norm = jnp.linalg.norm(mean, axis=-1, keepdims=True)
-        newc = jnp.where(counts > 0, mean / jnp.maximum(norm, 1e-12), c)
-        return newc, ()
+        return mean / jnp.maximum(norm, 1e-12), counts
+
+    def step(c, _):
+        mean, counts = aggregate(assign_to(c))
+        return jnp.where(counts > 0, mean, c), ()
 
     centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
-    pooled = jnp.where(cluster_mask[..., None], centroids, 0.0)
-    return pooled.astype(embeddings.dtype), cluster_mask, assign_to(centroids)
+    # hard final aggregation: pooled rows are exactly the renormalized means
+    # of their final assignment; clusters that end empty — or any cluster of
+    # a fully-masked doc — are invalid and zeroed
+    assign = assign_to(centroids)
+    pooled, counts = aggregate(assign)
+    cluster_mask = cluster_mask & (counts[..., 0] > 0)
+    pooled = jnp.where(cluster_mask[..., None], pooled, 0.0)
+    return pooled.astype(embeddings.dtype), cluster_mask, assign
+
+
+_kmeans_jit = None
+
+
+def _kmeans_pool_jitted(padded, mask, pool_factor: int, iters: int):
+    """Shared jitted entry (jit caches are per-wrapper: a fresh jax.jit per
+    call would retrace + recompile every invocation)."""
+    global _kmeans_jit
+    if _kmeans_jit is None:
+        _kmeans_jit = jax.jit(
+            kmeans_pool_padded, static_argnames=("pool_factor", "iters")
+        )
+    return _kmeans_jit(padded, mask, pool_factor=pool_factor, iters=iters)
 
 
 class KMeansTokenPooler(BaseTokenPooler):
@@ -222,7 +249,9 @@ class KMeansTokenPooler(BaseTokenPooler):
 
     Drop-in where :class:`HierarchicalTokenPooler` is used offline, and the
     only option when pooling must stay on device (sharded ingestion, inside
-    jit). The whole batch pools in ONE padded device call."""
+    jit). The whole batch pools in ONE padded device call. Like the Ward
+    pooler, clusters that end empty are dropped, so a doc may pool to fewer
+    than ``max(n // pool_factor, 1)`` rows."""
 
     def __init__(self, iters: int = 10):
         self.iters = iters
@@ -251,9 +280,9 @@ class KMeansTokenPooler(BaseTokenPooler):
                 [padded, np.zeros((padded.shape[0], t_pad - t, padded.shape[2]), padded.dtype)], 1
             )
             mask = np.concatenate([mask, np.zeros((mask.shape[0], t_pad - t), np.float32)], 1)
-        pooled, cmask, assign = jax.jit(
-            kmeans_pool_padded, static_argnames=("pool_factor", "iters")
-        )(jnp.asarray(padded), jnp.asarray(mask), pool_factor=factor, iters=self.iters)
+        pooled, cmask, assign = _kmeans_pool_jitted(
+            jnp.asarray(padded), jnp.asarray(mask), pool_factor=factor, iters=self.iters
+        )
         pooled, cmask, assign = (np.asarray(x) for x in (pooled, cmask, assign))
 
         out: List[Array] = []
@@ -263,10 +292,13 @@ class KMeansTokenPooler(BaseTokenPooler):
                 out.append(np.asarray(embeddings[i]))
                 maps.append({0: (np.arange(n),)})
                 continue
-            ki = int(cmask[i].sum())
-            out.append(pooled[i, :ki])
+            # empty clusters were masked invalid on device; drop + renumber
+            # (reference _ward_pool appends only non-empty clusters)
+            valid = np.where(cmask[i])[0]
+            out.append(pooled[i, valid])
             maps.append(
-                {cid: (np.where(assign[i, :n] == cid)[0],) for cid in range(ki)}
+                {new: (np.where(assign[i, :n] == orig)[0],)
+                 for new, orig in enumerate(valid)}
             )
         return out, maps
 

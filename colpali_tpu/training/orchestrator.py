@@ -250,12 +250,20 @@ class ColModelTraining:
         # resume mid-epoch: map the restored step back to (epoch, batch)
         # and skip consumed batches — the deterministic sampler replays the
         # exact uninterrupted schedule (reference HF Trainer resume skips
-        # dataloader batches the same way)
+        # dataloader batches the same way). Gated on resume_from_checkpoint:
+        # a second train() call on a finished state, or a warm-started state,
+        # must still run full epochs from the top.
         steps_per_epoch = max(len(self.sampler), 1)
-        start_epoch = min(step // steps_per_epoch, max(cfg.num_epochs - 1, 0))
+        resuming = cfg.resume_from_checkpoint and step > 0
+        start_epoch = (
+            min(step // steps_per_epoch, max(cfg.num_epochs - 1, 0)) if resuming else 0
+        )
         for epoch in range(start_epoch, cfg.num_epochs):
-            resume_skip = step - epoch * steps_per_epoch if epoch == start_epoch else 0
-            resume_skip = max(0, resume_skip)
+            resume_skip = (
+                max(0, step - epoch * steps_per_epoch)
+                if resuming and epoch == start_epoch
+                else 0
+            )
             # collation (tokenize + image preprocessing) runs one batch ahead
             # on a daemon thread, overlapping the async device step
             extra = (self.base_params,) if self.base_params is not None else ()

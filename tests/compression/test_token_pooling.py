@@ -167,15 +167,52 @@ class TestKMeansTokenPooler:
         pooled, cmask, assign = fn(jnp.asarray(e), jnp.asarray(mask), pool_factor=3)
         pooled, cmask, assign = map(np.asarray, (pooled, cmask, assign))
         assert pooled.shape == (4, 8, 16)  # K = 24 // 3
-        assert cmask.sum(1).tolist() == [8, 6, 8, 1]
+        # k_i = max(n_i // 3, 1) bounds the valid clusters (empties may drop)
+        for count, bound in zip(cmask.sum(1).tolist(), [8, 6, 8, 1]):
+            assert 0 < count <= bound
         # invalid clusters are zeroed; valid ones unit-norm
         norms = np.linalg.norm(pooled, axis=-1)
         np.testing.assert_allclose(norms[cmask], 1.0, rtol=1e-5)
         np.testing.assert_allclose(norms[~cmask], 0.0, atol=1e-7)
-        # assignments of valid tokens stay inside each doc's valid clusters
+        # contract: every valid pooled row is EXACTLY the renormalized mean
+        # of the tokens its final assignment maps to
         for i in range(4):
             valid = mask[i] > 0
-            assert assign[i, valid].max() < cmask[i].sum()
+            for cid in np.where(cmask[i])[0]:
+                members = e[i][valid & (assign[i] == cid)]
+                assert members.shape[0] > 0
+                mean = members.mean(0)
+                np.testing.assert_allclose(
+                    pooled[i, cid], mean / np.linalg.norm(mean), atol=1e-5)
+
+    def test_fully_masked_doc_yields_no_valid_clusters(self):
+        import jax
+        import jax.numpy as jnp
+
+        from colpali_tpu.compression import kmeans_pool_padded
+
+        rng = np.random.default_rng(4)
+        e = rng.normal(size=(2, 12, 8)).astype(np.float32)
+        e /= np.linalg.norm(e, axis=-1, keepdims=True)
+        mask = np.ones((2, 12), np.float32)
+        mask[1, :] = 0  # pad doc with non-zero (garbage) rows
+        fn = jax.jit(kmeans_pool_padded, static_argnames=("pool_factor", "iters"))
+        pooled, cmask, _ = fn(jnp.asarray(e), jnp.asarray(mask), pool_factor=2)
+        assert not np.asarray(cmask)[1].any()
+        np.testing.assert_allclose(np.asarray(pooled)[1], 0.0, atol=1e-7)
+
+    def test_empty_clusters_dropped_like_ward(self):
+        """Near-identical tokens collapse to one cluster; the stale init
+        centroids must NOT surface as duplicate pooled rows."""
+        base = np.ones((10, 8), np.float32)
+        tokens = base + 1e-4 * np.arange(10)[:, None]
+        tokens /= np.linalg.norm(tokens, axis=-1, keepdims=True)
+        out = self._pooler().pool_embeddings([tokens], pool_factor=2, return_dict=True)
+        pooled = out.pooled_embeddings[0]
+        maps = out.cluster_id_to_indices[0]
+        assert pooled.shape[0] == len(maps)
+        assert all(v[0].size > 0 for v in maps.values())  # no empty map entries
+        assert sum(v[0].size for v in maps.values()) == 10  # every token assigned
 
     def test_recovers_planted_clusters_like_ward(self):
         """On well-separated groups both algorithms find the same partition."""

@@ -385,3 +385,19 @@ class TestResumeDataOrder:
             lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
             full.state.params, resumed.state.params,
         )
+
+    def test_second_train_call_runs_full_epochs(self, setup):
+        """Without resume_from_checkpoint, a nonzero step must NOT skip data
+        (a repeated train() call runs its epochs from the top)."""
+        ds, model, params, outdir = setup
+        t = ColModelTraining(ColModelTrainingConfig(
+            model=model, params=params, processor=FakeProcessor(),
+            loss_func=ColbertLoss(temperature=0.1),
+            train_datasets=[ds], output_dir=f"{outdir}/twice",
+            global_batch_size=4,
+            train=TrainConfig(learning_rate=1e-3, warmup_steps=0),
+            save_steps=100, num_epochs=1,
+        ))
+        assert t.train()["final_step"] == 4  # 16 examples / batch 4
+        assert t.train()["final_step"] == 8  # second call trains again
+        t.ckpt.close()
