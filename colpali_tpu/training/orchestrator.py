@@ -182,8 +182,9 @@ class ColModelTraining:
     def evaluate(self) -> Dict[str, float]:
         """Eval pass over ``config.eval_dataset``: mean loss (the reference's
         prediction_step semantics, contrastive_trainer.py:210-225) plus
-        retrieval metrics where query i's gold document is doc i (each eval
-        pair scored against the whole eval corpus via evaluation.evaluator).
+        retrieval metrics where query i's gold documents are every eval-corpus
+        copy of its pos target (grouped by corpus doc id; each eval pair is
+        scored against the whole eval corpus via evaluation.evaluator).
 
         Efficiency (round-2 weak #6): eval batches are collated once; doc
         embeddings go straight from the eval forward into a device-side
@@ -208,6 +209,25 @@ class ColModelTraining:
                 self.collator([ds[i] for i in range(start, min(start + bs, len(ds)))])
                 for start in range(0, len(ds), bs)
             ]
+            # queries sharing a gold doc id must credit EVERY copy of it in
+            # the eval corpus (doc row j holds example j's pos target), else
+            # nDCG penalizes retrieving an identical duplicate page. Corpus
+            # doc ids give the grouping; corpus-less datasets carry raw
+            # images, so each row stays its own gold.
+            keys = []
+            for i in range(len(ds)):
+                key = ("__row__", i)
+                if getattr(ds, "corpus", None) is not None:
+                    t = ds.data[i][ds.pos_target_column_name]
+                    if isinstance(t, list) and t:
+                        t = t[0]
+                    if isinstance(t, (int, str)):
+                        key = t
+                keys.append(key)
+            groups: Dict[Any, list] = {}
+            for j, key in enumerate(keys):
+                groups.setdefault(key, []).append(j)
+            self._eval_relevance = [groups[key] for key in keys]
         extra = (self.base_params,) if self.base_params is not None else ()
         losses, q_embs, doc_outs = [], [], []
         for batch in self._eval_batches:
@@ -226,7 +246,7 @@ class ColModelTraining:
             builder.add(d, mask=jnp.asarray(mask))
         index = builder.build()
         ranked = evaluate_retrieval_from_index(
-            index, q_embs, relevance=[[i] for i in range(len(q_embs))], k_values=(1, 5)
+            index, q_embs, relevance=self._eval_relevance, k_values=(1, 5)
         )
         metrics = {"eval_loss": float(np.mean(losses))}
         metrics.update({f"eval_{k}": v for k, v in ranked.items()})

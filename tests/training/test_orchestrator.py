@@ -401,3 +401,26 @@ class TestResumeDataOrder:
         assert t.train()["final_step"] == 4  # 16 examples / batch 4
         assert t.train()["final_step"] == 8  # second call trains again
         t.ckpt.close()
+
+    def test_eval_relevance_groups_duplicate_targets(self, setup):
+        """Queries whose pos targets are the same corpus doc credit every
+        copy of it in the eval corpus (not just their own row)."""
+        ds, model, params, outdir = setup
+        rng = np.random.default_rng(2)
+        eval_corpus = Corpus([{"doc": rng.normal(size=(28, 28, 3)).astype(np.float32)}
+                              for _ in range(3)])
+        eval_ds = ColPaliEngineDataset(
+            [{"query": f"q {i}", "pos_target": [i % 3]} for i in range(6)],
+            corpus=eval_corpus,
+        )
+        trainer = ColModelTraining(ColModelTrainingConfig(
+            model=model, params=params, processor=FakeProcessor(),
+            loss_func=ColbertLoss(temperature=0.1),
+            train_datasets=[ds], eval_dataset=eval_ds, eval_batch_size=3,
+            output_dir=f"{outdir}/dupes", global_batch_size=4, num_epochs=1,
+            train=TrainConfig(learning_rate=1e-3, warmup_steps=0),
+        ))
+        metrics = trainer.evaluate()
+        trainer.ckpt.close()
+        assert np.isfinite(metrics["eval_loss"])
+        assert trainer._eval_relevance == [[0, 3], [1, 4], [2, 5]] * 2
