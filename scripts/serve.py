@@ -43,8 +43,21 @@ def load_corpus(path: str):
 
 def make_handler(index, files):
     import threading
+    import time as _time
 
     lock = threading.Lock()  # extend() mutates the index; searches race it
+    # /metrics: search-latency reservoir (last 1024 requests) + counters
+    stats_lock = threading.Lock()
+    latencies: list = []
+    counters = {"searches": 0, "queries": 0, "errors": 0}
+
+    def record(ms: float, n_queries: int) -> None:
+        with stats_lock:
+            counters["searches"] += 1
+            counters["queries"] += n_queries
+            latencies.append(ms)
+            if len(latencies) > 1024:
+                del latencies[: len(latencies) - 1024]
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code, payload):
@@ -58,6 +71,16 @@ def make_handler(index, files):
         def do_GET(self):  # noqa: N802
             if self.path == "/healthz":
                 self._json(200, {"status": "ok", "num_docs": index.num_docs})
+            elif self.path == "/metrics":
+                with stats_lock:
+                    lat = sorted(latencies)
+                    out = dict(counters, num_docs=index.num_docs)
+                if lat:
+                    q = lambda p: lat[min(len(lat) - 1, int(p * len(lat)))]  # noqa: E731
+                    out.update(search_ms_p50=round(q(0.50), 3),
+                               search_ms_p90=round(q(0.90), 3),
+                               search_ms_p99=round(q(0.99), 3))
+                self._json(200, out)
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -68,12 +91,14 @@ def make_handler(index, files):
                 if self.path == "/search":
                     qs = [np.asarray(e, np.float32) for e in payload["embeddings"]]
                     k = int(payload.get("k", 10))
+                    t0 = _time.perf_counter()
                     with lock:
                         if index.prefilter is not None:
                             cand = payload.get("candidates")
                             scores, ids = index.search(qs, k=k, candidates=int(cand) if cand else None)
                         else:
                             scores, ids = index.search(qs, k=k)
+                    record((_time.perf_counter() - t0) * 1e3, len(qs))
                     self._json(200, {
                         "doc_ids": ids.tolist(),
                         "scores": scores.tolist(),
@@ -108,6 +133,8 @@ def make_handler(index, files):
                 else:
                     self._json(404, {"error": "unknown path"})
             except Exception as exc:  # noqa: BLE001 — surface the error to the client
+                with stats_lock:
+                    counters["errors"] += 1
                 self._json(400, {"error": str(exc)})
 
         def log_message(self, fmt, *fmt_args):

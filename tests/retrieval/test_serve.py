@@ -91,3 +91,21 @@ def test_unknown_path_404(server):
         raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_metrics_reports_latency_percentiles(server):
+    url, index, docs, files = server
+    for _ in range(3):
+        _post(url, "/search", {"embeddings": [docs[0].tolist()], "k": 3})
+    with urllib.request.urlopen(url + "/metrics", timeout=30) as resp:
+        m = json.loads(resp.read())
+    assert m["searches"] >= 3 and m["queries"] >= 3
+    assert m["num_docs"] == index.num_docs
+    assert 0 < m["search_ms_p50"] <= m["search_ms_p99"]
+    # errors counter ticks on bad payloads
+    try:
+        _post(url, "/search", {"embeddings": [[0.1]]})
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    with urllib.request.urlopen(url + "/metrics", timeout=30) as resp:
+        assert json.loads(resp.read())["errors"] >= 1
