@@ -284,6 +284,96 @@ def run_e2e(args, t0):
     )
 
 
+def run_query_latency(args, t0):
+    """Query-encode latency: the OTHER half of the serving SLA.
+
+    Pages are embedded offline; at query time the user pays
+    text-encode + MaxSim search. This measures the text-only forward at the
+    ViDoRe query budget (~32 tokens incl. the 10 augmentation tokens,
+    reference processing_utils.py:55-91) for B=1 (latency) and B=8/32
+    (throughput): per-dispatch wall latency over the tunnel AND the in-jit
+    chained device time (select-dependency loop — see PERF.md methodology).
+    At B=1 a 2B bf16 decoder is weight-bound: ~4 GB / 819 GB/s ≈ 5 ms floor.
+    """
+    s = 32
+    if args.model == "colqwen2":
+        from colpali_tpu.models.qwen2_vl import ColQwen2, Qwen2VLConfig
+
+        config = Qwen2VLConfig()
+        model = ColQwen2(config, dim=128, dtype=jnp.bfloat16,
+                         param_dtype=jnp.bfloat16, scan_layers=args.scan)
+
+        def make_inputs(b):
+            rng = np.random.default_rng(0)
+            return dict(
+                input_ids=jnp.asarray(rng.integers(5, 1000, size=(b, s)), jnp.int32),
+                attention_mask=jnp.ones((b, s), jnp.int32),
+                position_ids=jnp.asarray(np.tile(np.arange(s), (3, b, 1)).astype(np.int64)),
+            )
+    elif args.model == "colpali":
+        from colpali_tpu.models.configs import PaliGemmaConfig
+        from colpali_tpu.models.paligemma import ColPali
+
+        config = PaliGemmaConfig()
+        model = ColPali(config, dim=128, dtype=jnp.bfloat16,
+                        param_dtype=jnp.bfloat16, scan_layers=args.scan)
+
+        def make_inputs(b):
+            rng = np.random.default_rng(0)
+            return dict(
+                input_ids=jnp.asarray(rng.integers(5, 1000, size=(b, s)), jnp.int32),
+                attention_mask=jnp.ones((b, s), jnp.int32),
+            )
+    else:
+        raise SystemExit(f"--query-latency supports colqwen2/colpali, not {args.model}")
+
+    inputs1 = make_inputs(1)
+    print(f"[{time.time()-t0:6.1f}s] init params on device...", flush=True)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), **inputs1))()
+
+    for b in (1, 8, 32):
+        inputs = make_inputs(b)
+        fwd = jax.jit(lambda p, batch: model.apply(p, **batch))
+        np.asarray(fwd(params, inputs))  # compile
+        lat = []
+        for _ in range(16):
+            t1 = time.perf_counter()
+            np.asarray(fwd(params, inputs))
+            lat.append((time.perf_counter() - t1) * 1e3)
+        p50 = float(np.median(lat))
+
+        # true device time: chain iters inside one jit with a runtime-false
+        # select dependency (anything algebraic gets folded + hoisted)
+        def chained(p, batch, n):
+            ids0 = batch["input_ids"]
+
+            def step(carry, _):
+                ids = jnp.where(carry > 1e30, jnp.zeros_like(ids0), ids0)
+                out = model.apply(p, **{**batch, "input_ids": ids})
+                return carry + jnp.sum(out.astype(jnp.float32)), ()
+
+            c, _ = jax.lax.scan(step, jnp.float32(0), None, length=n)
+            return c
+
+        times = {}
+        for n in (2, 10):
+            jc = jax.jit(lambda p, batch, n=n: chained(p, batch, n))
+            np.asarray(jc(params, inputs))
+            ts = [0.0] * 3
+            for i in range(3):
+                t1 = time.perf_counter()
+                np.asarray(jc(params, inputs))
+                ts[i] = (time.perf_counter() - t1) * 1e3
+            times[n] = min(ts)
+        dev = (times[10] - times[2]) / 8
+        print(
+            f"RESULT query-encode {args.model}: B={b:2d} S={s} "
+            f"p50 {p50:6.1f} ms/dispatch (tunnel) | device {dev:6.2f} ms/batch "
+            f"= {dev/b:5.2f} ms/query",
+            flush=True,
+        )
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="colqwen2", choices=["colqwen2", "colqwen2_5", "colpali", "colsmol"])
@@ -300,8 +390,13 @@ def main():
                         help="smart_resize on host pre-upload (4x fewer bytes over the link)")
     parser.add_argument("--workers", type=int, default=1,
                         help="parallel preprocess+upload staging threads")
+    parser.add_argument("--query-latency", action="store_true",
+                        help="text-only query-encode latency (B=1/8/32, 32 tokens)")
     args = parser.parse_args()
 
+    if args.query_latency:
+        run_query_latency(args, time.time())
+        return
     if args.e2e:
         run_e2e(args, time.time())
         return
