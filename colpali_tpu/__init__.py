@@ -8,4 +8,5 @@ TPU-first: static bucketed shapes, MXU-sized kernels, SPMD sharding over
 
 __version__ = "0.1.0"
 
+from colpali_tpu.auto import load_retriever  # noqa: F401
 from colpali_tpu.ops.maxsim import score_multi_vector, score_single_vector  # noqa: F401

@@ -1,0 +1,132 @@
+"""One-call checkpoint loading: the ``from_pretrained`` UX for this zoo.
+
+Reference users write ``ColQwen2.from_pretrained("vidore/colqwen2-v1.0")``
+and HF Auto machinery resolves class + config + processor. Here the same
+call is :func:`load_retriever`: read the checkpoint's ``config.json``,
+detect the family from ``model_type`` / ``architectures``, build the flax
+config via the family's ``from_hf_config``, convert the weights through the
+production loader rules, and construct the processor from the checkpoint's
+tokenizer files.
+
+    model, params, processor = colpali_tpu.load_retriever("/ckpts/colqwen2-v1.0")
+    emb = model.apply(params, **to_jnp(processor.process_images(images)))
+
+Local checkpoint directories only (HF-format: safetensors + config.json +
+tokenizer) — this framework performs no hub downloads.
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+
+# family -> (model cls, config cls, processor cls, hf_loader fn, default head dim,
+#            processor kwargs, matching config.json model_type values,
+#            matching architecture substrings)
+_REGISTRY: Dict[str, Tuple] = {
+    "colpali": ("models.paligemma.ColPali", "models.configs.PaliGemmaConfig",
+                "processors.colpali.ColPaliProcessor", "load_colpali_params",
+                128, {}, ("paligemma",), ("colpali", "paligemma")),
+    "colqwen2": ("models.qwen2_vl.ColQwen2", "models.qwen2_vl.Qwen2VLConfig",
+                 "processors.qwen2_vl.ColQwen2Processor", "load_colqwen2_params",
+                 128, {"max_num_visual_tokens": 768}, ("qwen2_vl",), ("colqwen2", "qwen2vl")),
+    "colqwen2_5": ("models.qwen2_5_vl.ColQwen2_5", "models.qwen2_5_vl.Qwen25VLConfig",
+                   "processors.qwen2_5_vl.ColQwen2_5Processor", "load_colqwen25_params",
+                   128, {"max_num_visual_tokens": 768}, ("qwen2_5_vl",), ("colqwen2_5", "qwen2_5vl")),
+    "colqwen3": ("models.qwen3_vl.ColQwen3", "models.qwen3_vl.Qwen3VLConfig",
+                 "processors.qwen3_vl.ColQwen3Processor", "load_colqwen3_params",
+                 320, {"max_num_visual_tokens": 768}, ("qwen3_vl", "qwen3_vl_moe"), ("colqwen3",)),
+    "colqwen3_5": ("models.qwen3_5.ColQwen3_5", "models.qwen3_5.Qwen35VLConfig",
+                   "processors.qwen3_vl.ColQwen3_5Processor", "load_colqwen35_params",
+                   128, {"max_num_visual_tokens": 768}, ("qwen3_5", "qwen3_5_vl"), ("colqwen3_5",)),
+    "colqwen_omni": ("models.qwen_omni.ColQwen2_5Omni", "models.qwen_omni.QwenOmniConfig",
+                     "processors.qwen_omni.ColQwen2_5OmniProcessor", "load_colqwen_omni_params",
+                     128, {}, ("qwen2_5_omni", "qwen2_5_omni_thinker"), ("omni",)),
+    "colgemma3": ("models.gemma3.ColGemma3", "models.gemma3.Gemma3Config",
+                  "processors.gemma3.ColGemma3Processor", "load_colgemma3_params",
+                  128, {}, ("gemma3",), ("colgemma",)),
+    "colidefics3": ("models.idefics3.ColIdefics3", "models.idefics3.Idefics3Config",
+                    "processors.idefics3.ColIdefics3Processor", "load_colidefics3_params",
+                    128, {}, ("idefics3",), ("colidefics3", "colsmol")),
+    "colmodernvbert": ("models.modernvbert.ColModernVBert", "models.modernvbert.ModernVBertConfig",
+                       "processors.modernvbert.ColModernVBertProcessor", "load_colmodernvbert_params",
+                       128, {}, ("modernvbert",), ("modernvbert",)),
+}
+
+
+def _resolve(dotted: str):
+    mod, _, attr = f"colpali_tpu.{dotted}".rpartition(".")
+    return getattr(importlib.import_module(mod), attr)
+
+
+def detect_family(hf_config: Dict[str, Any]) -> str:
+    """Map a checkpoint config.json onto a registry family."""
+    model_type = str(hf_config.get("model_type", "")).lower()
+    archs = " ".join(hf_config.get("architectures", []) or []).lower()
+    for family, entry in _REGISTRY.items():
+        if model_type in entry[6]:
+            return family
+    for family, entry in _REGISTRY.items():
+        if any(s in archs for s in entry[7]):
+            return family
+    raise ValueError(
+        f"cannot detect a colpali_tpu family from model_type={model_type!r} "
+        f"architectures={archs!r}; pass family= explicitly "
+        f"(one of {sorted(_REGISTRY)})"
+    )
+
+
+def load_retriever(
+    checkpoint_dir: str,
+    family: Optional[str] = None,
+    dtype: Any = jnp.bfloat16,
+    param_dtype: Any = None,
+    dim: Optional[int] = None,
+    scan_layers: bool = False,
+    strict: bool = True,
+    processor_kwargs: Optional[Dict[str, Any]] = None,
+    **model_kwargs,
+):
+    """Load (model, params, processor) from a local HF-format checkpoint.
+
+    Args:
+        checkpoint_dir: directory with safetensors + config.json + tokenizer.
+        family: registry key (see ``colpali_tpu.auto._REGISTRY``); detected
+            from config.json when omitted.
+        dtype / param_dtype: compute / parameter dtypes (bf16 serving
+            default; param_dtype follows dtype when None).
+        dim: projection head dim override (family default otherwise —
+            reference dims: 128 everywhere, 320 for ColQwen3).
+        scan_layers: build the scan-over-layers variant (params are
+            stacked via ``hf_loader.stack_layer_params`` automatically).
+        strict: forwarded to the weight-conversion loader.
+        processor_kwargs: extra processor constructor args (merged over the
+            family defaults, e.g. ``max_num_visual_tokens``).
+        **model_kwargs: forwarded to the flax module constructor.
+    """
+    from colpali_tpu.core import hf_loader
+
+    hf_cfg = hf_loader.load_hf_config(checkpoint_dir)
+    family = family or detect_family(hf_cfg)
+    if family not in _REGISTRY:
+        raise ValueError(f"unknown family {family!r}; one of {sorted(_REGISTRY)}")
+    model_path, config_path, proc_path, loader_name, default_dim, proc_defaults, _, _ = _REGISTRY[family]
+
+    config = _resolve(config_path).from_hf_config(hf_cfg)
+    model = _resolve(model_path)(
+        config,
+        dim=dim or hf_cfg.get("embedding_dim") or default_dim,
+        dtype=dtype,
+        param_dtype=param_dtype or dtype,
+        scan_layers=scan_layers,
+        **model_kwargs,
+    )
+    params = getattr(hf_loader, loader_name)(checkpoint_dir, strict=strict)
+    if scan_layers:
+        params = hf_loader.stack_layer_params(params)
+    processor = _resolve(proc_path).from_pretrained(
+        checkpoint_dir, **{**proc_defaults, **(processor_kwargs or {})}
+    )
+    return model, {"params": params} if "params" not in params else params, processor

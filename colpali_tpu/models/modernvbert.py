@@ -26,7 +26,7 @@ Components and their specs:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Mapping, Optional
+from typing import Any, Dict, Mapping, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -101,6 +101,23 @@ class ModernVBertConfig:
     def image_seq_len(self) -> int:
         side = self.vision.image_size // self.vision.patch_size
         return (side // self.pixel_shuffle_factor) ** 2
+
+    @classmethod
+    def from_hf_config(cls, cfg: Mapping[str, Any]) -> "ModernVBertConfig":
+        """Build from a checkpoint config.json. The reference assembles its
+        config from backbone model NAMES (configuration_modernvbert.py:67-135);
+        a saved checkpoint carries the resolved vision_config/text_config
+        dicts, which map directly onto the sub-configs here. Absent keys keep
+        the published ModernVBERT-base defaults."""
+        kwargs: Dict[str, Any] = {}
+        if "vision_config" in cfg:
+            kwargs["vision"] = SiglipVisionConfig.from_hf_config(cfg["vision_config"])
+        if "text_config" in cfg:
+            kwargs["text"] = ModernBertTextConfig.from_hf_config(cfg["text_config"])
+        for key in ("pixel_shuffle_factor", "additional_vocab_size", "image_token_id"):
+            if key in cfg:
+                kwargs[key] = cfg[key]
+        return cls(**kwargs)
 
 
 class DecoupledEmbed(nn.Module):

@@ -76,3 +76,37 @@ def test_finetuned_gate_is_diagonal_dominant(tiny_ckpt, tmp_path):
     assert payload["flax_diag_dominant"] and payload["torch_diag_dominant"]
     assert payload["ndcg@5_delta"] <= 0.1
     assert payload["ranking_agreement@5"] == 1.0
+
+
+def test_auto_loader_detects_and_loads(tiny_ckpt):
+    """colpali_tpu.load_retriever: family auto-detection from config.json +
+    one-call model/params/processor construction + a working forward."""
+    import numpy as np
+
+    from colpali_tpu import load_retriever
+    from colpali_tpu.auto import detect_family
+
+    with open(tiny_ckpt / "config.json") as f:
+        assert detect_family(json.load(f)) == "colidefics3"
+
+    import jax.numpy as jnp
+
+    model, variables, processor = load_retriever(str(tiny_ckpt), dtype=jnp.float32)
+    batch = processor.process_images(
+        [np.zeros((64, 48, 3), np.uint8), np.full((40, 64, 3), 128, np.uint8)]
+    )
+    emb = model.apply(
+        variables,
+        jnp.asarray(batch["input_ids"]),
+        jnp.asarray(batch["attention_mask"]),
+        jnp.asarray(batch["pixel_values"]),
+    )
+    assert emb.shape[0] == 2 and emb.shape[-1] == 128
+    assert np.isfinite(np.asarray(emb, np.float32)).all()
+
+
+def test_auto_loader_unknown_family_raises(tmp_path):
+    from colpali_tpu.auto import detect_family
+
+    with pytest.raises(ValueError, match="cannot detect"):
+        detect_family({"model_type": "bert", "architectures": ["BertModel"]})
