@@ -22,26 +22,16 @@ import os
 
 import numpy as np
 
-FAMILIES = {
-    "colpali": ("colpali_tpu.models.ColPali", "colpali_tpu.models.PaliGemmaConfig",
-                "colpali_tpu.processors.ColPaliProcessor", "load_colpali_params"),
-    "colqwen2": ("colpali_tpu.models.ColQwen2", "colpali_tpu.models.Qwen2VLConfig",
-                 "colpali_tpu.processors.ColQwen2Processor", "load_colqwen2_params"),
-    "colqwen2_5": ("colpali_tpu.models.ColQwen2_5", "colpali_tpu.models.Qwen25VLConfig",
-                   "colpali_tpu.processors.ColQwen2_5Processor", "load_colqwen25_params"),
-}
+def _families():
+    from colpali_tpu.auto import _REGISTRY
 
-
-def _resolve(path):
-    import importlib
-
-    mod, _, attr = path.rpartition(".")
-    return getattr(importlib.import_module(mod), attr)
+    return sorted(_REGISTRY) + ["auto"]
 
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("family", choices=sorted(FAMILIES))
+    parser.add_argument("family", choices=_families(),
+                        help="model family, or 'auto' to detect from config.json")
     parser.add_argument("checkpoint_dir")
     parser.add_argument("image_dir")
     parser.add_argument("output", help="output .npz (keys emb_<i> + files.json alongside)")
@@ -63,24 +53,20 @@ def main() -> None:
                         help="include the binary sign-sketch prefilter in --save-index")
     args = parser.parse_args()
 
-    import jax.numpy as jnp
     from PIL import Image
 
-    from colpali_tpu.core import hf_loader
+    from colpali_tpu.auto import load_retriever
     from colpali_tpu.evaluation.evaluator import embed_dataset
 
-    model_path, config_path, proc_path, loader_name = FAMILIES[args.family]
-    config_cls = _resolve(config_path)
-    config = config_cls.from_hf_config(hf_loader.load_hf_config(args.checkpoint_dir))
-    model = _resolve(model_path)(config, dtype=jnp.bfloat16)
-    params = getattr(hf_loader, loader_name)(args.checkpoint_dir)
-    processor = _resolve(proc_path).from_pretrained(args.checkpoint_dir)
+    model, variables, processor = load_retriever(
+        args.checkpoint_dir, family=None if args.family == "auto" else args.family
+    )
 
     files = sorted(
         f for f in os.listdir(args.image_dir) if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))
     )
     images = [Image.open(os.path.join(args.image_dir, f)) for f in files]
-    embeddings = embed_dataset(model.apply, {"params": params}, processor, images,
+    embeddings = embed_dataset(model.apply, variables, processor, images,
                                batch_size=args.batch_size, is_images=True)
 
     if args.pool_factor > 1:
@@ -103,6 +89,8 @@ def main() -> None:
     print(f"Embedded {len(files)} pages -> {args.output}")
 
     if args.save_index:
+        import jax.numpy as jnp
+
         from colpali_tpu.retrieval import DeviceIndexBuilder
         from colpali_tpu.utils.tensor_utils import pad_sequences
 

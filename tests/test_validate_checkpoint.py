@@ -110,3 +110,39 @@ def test_auto_loader_unknown_family_raises(tmp_path):
 
     with pytest.raises(ValueError, match="cannot detect"):
         detect_family({"model_type": "bert", "architectures": ["BertModel"]})
+
+
+def test_embed_corpus_cli_auto_family(tiny_ckpt, tmp_path):
+    """scripts/embed_corpus.py end-to-end on a real checkpoint layout:
+    auto family detection -> embed pages -> pooled -> packed index."""
+    import numpy as np
+    from PIL import Image
+
+    img_dir = tmp_path / "pages"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, size=(48, 40, 3), dtype=np.uint8)).save(
+            img_dir / f"page{i}.png"
+        )
+    out = tmp_path / "emb.npz"
+    idx = tmp_path / "index.npz"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "embed_corpus.py"), "auto",
+         str(tiny_ckpt), str(img_dir), str(out), "--batch-size", "2",
+         "--pool-factor", "2", "--pooler", "kmeans", "--save-index", str(idx)],
+        capture_output=True, text=True, cwd=str(REPO), timeout=600,
+        env={"PYTHONPATH": "", "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin"},
+    )
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    data = np.load(out)
+    assert len(data.files) == 3
+    assert all(data[k].shape[-1] == 128 for k in data.files)
+    assert idx.exists()
+
+    from colpali_tpu.retrieval import CorpusIndex
+
+    index = CorpusIndex.load(str(idx))
+    assert index.num_docs == 3
+    scores, ids = index.search([data["emb_0"]], k=2)
+    assert ids.shape == (1, 2)
