@@ -119,6 +119,115 @@ def make_synth_colsmol(out_dir: str, seed: int = 0, tiny: bool = False) -> None:
     print(f"synthetic colSmol-256M checkpoint ({n_params/1e6:.0f}M params) -> {out_dir}")
 
 
+def make_synth_colqwen2(out_dir: str, seed: int = 0) -> None:
+    """Random-weight checkpoint in the REAL ColQwen2 HF layout, at tiny dims.
+
+    Generated through the production EXPORT path (hf_export round-trips the
+    loader rules), so safetensors keys/shapes are exactly what
+    ``load_colqwen2_params`` consumes — plus a config.json/ tokenizer/
+    preprocessor_config the auto-loader and processor bootstrap from. Small
+    pinned special ids (collision-free; see _save_word_tokenizer's warning)
+    keep the embedding table tiny."""
+    import jax
+    import jax.numpy as jnp
+
+    from colpali_tpu.core.hf_export import export_colqwen2_state_dict
+    from colpali_tpu.models.qwen2_vl import (
+        ColQwen2,
+        Qwen2TextConfig,
+        Qwen2VLConfig,
+        Qwen2VLVisionConfig,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    vision = dict(depth=2, embed_dim=64, num_heads=4, mlp_ratio=2.0, hidden_size=48,
+                  patch_size=14, temporal_patch_size=2, spatial_merge_size=2,
+                  in_channels=3, hidden_act="quick_gelu")
+    text = dict(vocab_size=128, hidden_size=48, intermediate_size=96,
+                num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+                head_dim=16, rope_theta=1e6, rms_norm_eps=1e-6,
+                mrope_section=(2, 3, 3), attention_bias=True)
+    config = Qwen2VLConfig(
+        vision=Qwen2VLVisionConfig(**vision),
+        text=Qwen2TextConfig(**text),
+        image_token_id=5, vision_start_token_id=3, video_token_id=6,
+    )
+    model = ColQwen2(config, dim=128, dtype=jnp.float32, param_dtype=jnp.float32)
+    n_merged = 4
+    s = n_merged + 4
+    ids = np.full((1, s), 10, np.int32)
+    ids[:, 1:1 + n_merged] = config.image_token_id
+    params = model.init(
+        jax.random.PRNGKey(seed),
+        input_ids=jnp.asarray(ids),
+        attention_mask=jnp.ones((1, s), jnp.int32),
+        pixel_values=jnp.zeros((1, 16, config.vision.patch_dim), jnp.float32),
+        vision_hpos=jnp.asarray(np.tile(np.arange(16) // 4, (1, 1)).astype(np.int32)),
+        vision_wpos=jnp.asarray(np.tile(np.arange(16) % 4, (1, 1)).astype(np.int32)),
+        patch_mask=jnp.ones((1, 16), bool),
+        position_ids=jnp.asarray(np.tile(np.arange(s), (3, 1, 1)).astype(np.int64)),
+    )["params"]
+    state = export_colqwen2_state_dict(jax.device_get(params))
+    from safetensors.numpy import save_file
+
+    save_file({k: np.ascontiguousarray(v) for k, v in state.items()},
+              os.path.join(out_dir, "model.safetensors"), metadata={"format": "pt"})
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump({
+            "model_type": "qwen2_vl", "architectures": ["ColQwen2"],
+            "vision_config": vision,
+            **{k: v for k, v in text.items() if k != "mrope_section"},
+            "rope_scaling": {"type": "mrope", "mrope_section": [2, 3, 3]},
+            "image_token_id": 5, "vision_start_token_id": 3, "video_token_id": 6,
+        }, f)
+    with open(os.path.join(out_dir, "preprocessor_config.json"), "w") as f:
+        json.dump({
+            "patch_size": 14, "merge_size": 2, "temporal_patch_size": 2,
+            "size": {"shortest_edge": 56 * 56, "longest_edge": 64 * 28 * 28},
+            "image_mean": [0.48145466, 0.4578275, 0.40821073],
+            "image_std": [0.26862954, 0.26130258, 0.27577711],
+        }, f)
+    _save_qwen2_word_tokenizer(out_dir)
+    n_params = sum(v.size for v in state.values())
+    print(f"synthetic ColQwen2 checkpoint ({n_params/1e6:.1f}M params) -> {out_dir}")
+
+
+def _save_qwen2_word_tokenizer(out_dir: str) -> None:
+    """Offline word tokenizer with Qwen2-VL's special TOKENS at small pinned
+    ids matching the synth config (collision-free — duplicates make the
+    tokenizers library silently renumber, which desyncs image merging)."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    specials = {
+        "<|endoftext|>": 0, "<|im_start|>": 1, "<|im_end|>": 2,
+        "<|vision_start|>": 3, "<|vision_end|>": 4, "<|image_pad|>": 5,
+        "<|video_pad|>": 6,
+    }
+    vocab = {"<unk>": 7}
+    words = (
+        "user Describe the image. Query: what is chip used in iphone 12 ? "
+        "price of when was released a an and for to with document page report "
+        "table figure total revenue chart data summary results find quarterly "
+        "0 1 2 3 4 5 6 7 8 9 10 11"
+    ).split()
+    for w in words:
+        vocab.setdefault(w, 7 + len(vocab))
+    assert not set(specials.values()) & set(vocab.values())
+    vocab.update(specials)
+    assert max(vocab.values()) < 128  # inside the synth embedding table
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
+    from transformers import PreTrainedTokenizerFast
+
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok,
+        pad_token="<|endoftext|>",
+        unk_token="<unk>",
+        additional_special_tokens=list(specials),
+    )
+    fast.save_pretrained(out_dir)
+
+
 def _save_word_tokenizer(out_dir: str, image_token_id: int) -> None:
     """Offline word-level tokenizer with the Idefics3 special tokens pinned
     to their real ids (no network; AutoTokenizer-loadable)."""
@@ -464,9 +573,14 @@ def main():
 
     if args.make_synth:
         kind, out_dir = args.make_synth
-        if kind not in ("colsmol", "colsmol-tiny"):
-            raise SystemExit("only --make-synth colsmol|colsmol-tiny is supported")
-        make_synth_colsmol(out_dir, tiny=kind.endswith("tiny"))
+        if kind in ("colsmol", "colsmol-tiny"):
+            make_synth_colsmol(out_dir, tiny=kind.endswith("tiny"))
+        elif kind == "colqwen2-tiny":
+            make_synth_colqwen2(out_dir)
+        else:
+            raise SystemExit(
+                "only --make-synth colsmol|colsmol-tiny|colqwen2-tiny is supported"
+            )
         return
     if not args.checkpoint:
         raise SystemExit("checkpoint dir required (or --make-synth)")

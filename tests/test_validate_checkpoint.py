@@ -146,3 +146,48 @@ def test_embed_corpus_cli_auto_family(tiny_ckpt, tmp_path):
     assert index.num_docs == 3
     scores, ids = index.search([data["emb_0"]], k=2)
     assert ids.shape == (1, 2)
+
+
+@pytest.fixture(scope="module")
+def tiny_qwen2_ckpt(tmp_path_factory):
+    out = tmp_path_factory.mktemp("synth") / "colqwen2-tiny"
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), "--make-synth", "colqwen2-tiny", str(out)],
+        capture_output=True, text=True, cwd=str(REPO), timeout=300,
+        env={"PYTHONPATH": "", "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return out
+
+
+def test_qwen2_synth_checkpoint_loads_and_scores(tiny_qwen2_ckpt):
+    """Second family through the synth-checkpoint path: qwen2-vl layout
+    (fused qkv, conv3d patch embed, smart_resize processor) survives
+    export -> loader -> auto-detection -> forward, including scan_layers
+    param stacking."""
+    import numpy as np
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from colpali_tpu import load_retriever
+    from colpali_tpu.auto import detect_family
+
+    with open(tiny_qwen2_ckpt / "config.json") as f:
+        assert detect_family(json.load(f)) == "colqwen2"
+
+    keys = ("input_ids", "attention_mask", "pixel_values", "patch_mask",
+            "vision_hpos", "vision_wpos", "position_ids", "rope_index")
+    rng = np.random.default_rng(0)
+    imgs = [Image.fromarray(rng.integers(0, 255, size=(112, 84, 3), dtype=np.uint8))
+            for _ in range(2)]
+
+    outs = []
+    for scan in (False, True):
+        model, variables, proc = load_retriever(
+            str(tiny_qwen2_ckpt), dtype=jnp.float32, scan_layers=scan)
+        b = proc.process_images(imgs)
+        emb = model.apply(variables, **{k: jnp.asarray(v) for k, v in b.items() if k in keys})
+        outs.append(np.asarray(emb, np.float32))
+        assert emb.shape[0] == 2 and emb.shape[-1] == 128
+        assert np.isfinite(outs[-1]).all() and outs[-1].std() > 0.01
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=2e-5)
