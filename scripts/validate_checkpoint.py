@@ -143,10 +143,12 @@ def make_synth_colqwen2(out_dir: str, seed: int = 0) -> None:
     vision = dict(depth=2, embed_dim=64, num_heads=4, mlp_ratio=2.0, hidden_size=48,
                   patch_size=14, temporal_patch_size=2, spatial_merge_size=2,
                   in_channels=3, hidden_act="quick_gelu")
+    # head_dim MUST be hidden//heads: HF Qwen2VLConfig has no head_dim field
+    # (the torch oracle would build 12-wide heads against 16-wide weights)
     text = dict(vocab_size=128, hidden_size=48, intermediate_size=96,
                 num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
-                head_dim=16, rope_theta=1e6, rms_norm_eps=1e-6,
-                mrope_section=(2, 3, 3), attention_bias=True)
+                head_dim=12, rope_theta=1e6, rms_norm_eps=1e-6,
+                mrope_section=(2, 2, 2), attention_bias=True)
     config = Qwen2VLConfig(
         vision=Qwen2VLVisionConfig(**vision),
         text=Qwen2TextConfig(**text),
@@ -176,8 +178,8 @@ def make_synth_colqwen2(out_dir: str, seed: int = 0) -> None:
         json.dump({
             "model_type": "qwen2_vl", "architectures": ["ColQwen2"],
             "vision_config": vision,
-            **{k: v for k, v in text.items() if k != "mrope_section"},
-            "rope_scaling": {"type": "mrope", "mrope_section": [2, 3, 3]},
+            **{k: v for k, v in text.items() if k not in ("mrope_section", "head_dim")},
+            "rope_scaling": {"type": "mrope", "mrope_section": [2, 2, 2]},
             "image_token_id": 5, "vision_start_token_id": 3, "video_token_id": 6,
         }, f)
     with open(os.path.join(out_dir, "preprocessor_config.json"), "w") as f:
@@ -337,8 +339,39 @@ def _load_torch_oracle(family: str, ckpt: str):
     import transformers
     from safetensors.torch import load_file
 
+    if family == "colqwen2":
+        cfg = transformers.Qwen2VLConfig.from_pretrained(ckpt)
+
+        class TorchColQwen2(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.model = transformers.Qwen2VLModel(cfg)
+                self.custom_text_proj = torch.nn.Linear(cfg.hidden_size, 128)
+
+            def forward(self, input_ids=None, attention_mask=None,
+                        pixel_values=None, image_grid_thw=None, **_):
+                hidden = self.model(
+                    input_ids=input_ids, attention_mask=attention_mask,
+                    pixel_values=pixel_values, image_grid_thw=image_grid_thw,
+                ).last_hidden_state
+                proj = self.custom_text_proj(hidden)
+                proj = proj / proj.norm(dim=-1, keepdim=True)
+                return proj * attention_mask.unsqueeze(-1)
+
+        model = TorchColQwen2().eval()
+        state = {}
+        for fn in os.listdir(ckpt):
+            if fn.endswith(".safetensors"):
+                state.update(load_file(os.path.join(ckpt, fn)))
+        missing, unexpected = model.load_state_dict(state, strict=False)
+        real_missing = [k for k in missing if "rotary_emb" not in k]
+        if real_missing or unexpected:
+            raise SystemExit(
+                f"oracle load mismatch: missing={real_missing[:5]} unexpected={unexpected[:5]}")
+        return model, "reconstructed"
+
     if family != "colidefics3":
-        raise SystemExit("oracle reconstruction currently supports colidefics3")
+        raise SystemExit("oracle reconstruction currently supports colidefics3/colqwen2")
     cfg = transformers.Idefics3Config.from_pretrained(ckpt)
 
     class TorchColIdefics3(torch.nn.Module):
@@ -496,10 +529,10 @@ def _embed_flax(model, params, processor, images, queries, batch_size=4):
         )
 
     def run(batch):
-        return np.asarray(
-            model.apply({"params": params}, **{k: jnp.asarray(v) for k, v in batch.items()}),
-            np.float32,
-        )
+        # image_grid_thw is torch-oracle metadata; flax models take the
+        # padded per-image layout (patch_mask/hpos/wpos/position_ids)
+        feed = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_grid_thw"}
+        return np.asarray(model.apply({"params": params}, **feed), np.float32)
 
     doc_embs, doc_masks = [], []
     for i in range(0, len(images), batch_size):
@@ -518,6 +551,20 @@ def _embed_torch(model, processor, images, queries, batch_size=2):
     import torch
 
     def run(batch):
+        if "image_grid_thw" in batch and "pixel_values" in batch:
+            # qwen2 dynamic resolution: torch takes CONCATENATED unpadded
+            # patches + grids and computes M-RoPE internally
+            pv = np.asarray(batch["pixel_values"])
+            pm = np.asarray(batch["patch_mask"]).astype(bool)
+            flat = np.concatenate([pv[i][pm[i]] for i in range(pv.shape[0])])
+            tensors = {
+                "input_ids": torch.tensor(np.asarray(batch["input_ids"])),
+                "attention_mask": torch.tensor(np.asarray(batch["attention_mask"])),
+                "pixel_values": torch.tensor(flat, dtype=torch.float32),
+                "image_grid_thw": torch.tensor(np.asarray(batch["image_grid_thw"])),
+            }
+            with torch.no_grad():
+                return model(**tensors).numpy()
         tensors = {}
         for k, v in batch.items():
             v = np.asarray(v)
@@ -526,7 +573,8 @@ def _embed_torch(model, processor, images, queries, batch_size=2):
                 if v.ndim == 5:
                     v = v.transpose(0, 1, 4, 2, 3)
                 tensors[k] = torch.tensor(v, dtype=torch.float32)
-            elif k in ("tile_mask", "patch_mask"):
+            elif k in ("tile_mask", "patch_mask", "position_ids", "rope_index",
+                       "vision_hpos", "vision_wpos", "image_grid_thw"):
                 tensors["pixel_attention_mask" if k == "tile_mask" else k] = None
             else:
                 tensors[k] = torch.tensor(v)

@@ -191,3 +191,20 @@ def test_qwen2_synth_checkpoint_loads_and_scores(tiny_qwen2_ckpt):
         assert emb.shape[0] == 2 and emb.shape[-1] == 128
         assert np.isfinite(outs[-1]).all() and outs[-1].std() > 0.01
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=2e-5)
+
+
+def test_gate_passes_on_qwen2_synth(tiny_qwen2_ckpt, tmp_path):
+    """Full quality gate for the dynamic-resolution family: flax serving
+    dtype vs the reconstructed torch Qwen2-VL oracle on the same pages."""
+    report = tmp_path / "q2_report.md"
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), str(tiny_qwen2_ckpt), "--family", "colqwen2",
+         "--pages", "3", "--out", str(report)],
+        capture_output=True, text=True, cwd=str(REPO), timeout=600,
+        env={"PYTHONPATH": "", "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin"},
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "PASS" in r.stdout
+    payload = json.loads(r.stdout[r.stdout.index("{") : r.stdout.rindex("}") + 1])
+    assert payload["ndcg@5_delta"] <= 0.1
+    assert payload["oracle"] in ("reconstructed", "colpali_engine")
