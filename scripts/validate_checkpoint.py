@@ -194,6 +194,99 @@ def make_synth_colqwen2(out_dir: str, seed: int = 0) -> None:
     print(f"synthetic ColQwen2 checkpoint ({n_params/1e6:.1f}M params) -> {out_dir}")
 
 
+def make_synth_colpali(out_dir: str, seed: int = 0) -> None:
+    """Random-weight checkpoint in the REAL ColPali HF layout at tiny dims
+    (SigLIP tower + Gemma decoder + projector), generated through the
+    round-trip-tested export path like the colqwen2 synth."""
+    import jax
+    import jax.numpy as jnp
+
+    from colpali_tpu.core.hf_export import export_colpali_state_dict
+    from colpali_tpu.models.configs import (
+        GemmaConfig,
+        PaliGemmaConfig,
+        SiglipVisionConfig,
+    )
+    from colpali_tpu.models.paligemma import ColPali
+
+    os.makedirs(out_dir, exist_ok=True)
+    vision = dict(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                  num_attention_heads=4, image_size=28, patch_size=14)
+    text = dict(vocab_size=128, hidden_size=32, intermediate_size=64,
+                num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+                head_dim=8, rope_theta=10000.0, rms_norm_eps=1e-6)
+    config = PaliGemmaConfig(
+        vision=SiglipVisionConfig(**vision),
+        text=GemmaConfig(**text),
+        projection_dim=32,
+        image_token_index=4,
+    )
+    model = ColPali(config, dim=128, dtype=jnp.float32, param_dtype=jnp.float32)
+    n_img = config.vision.num_patches  # 4
+    ids = np.concatenate([np.full((1, n_img), 4, np.int32),
+                          np.full((1, 4), 10, np.int32)], axis=1)
+    params = model.init(
+        jax.random.PRNGKey(seed),
+        jnp.asarray(ids),
+        jnp.ones_like(jnp.asarray(ids)),
+        jnp.zeros((1, 28, 28, 3), jnp.float32),
+    )["params"]
+    state = export_colpali_state_dict(jax.device_get(params))
+    from safetensors.numpy import save_file
+
+    save_file({k: np.ascontiguousarray(v) for k, v in state.items()},
+              os.path.join(out_dir, "model.safetensors"), metadata={"format": "pt"})
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump({
+            "model_type": "paligemma", "architectures": ["ColPali"],
+            # vision_use_head=False: PaliGemma never runs SigLIP's pooling
+            # head (real checkpoints ship without those weights too)
+            "vision_config": {**vision, "projection_dim": 32, "vision_use_head": False},
+            "text_config": text,
+            "projection_dim": 32,
+            "image_token_index": 4,
+        }, f)
+    with open(os.path.join(out_dir, "preprocessor_config.json"), "w") as f:
+        json.dump({
+            "size": {"height": 28, "width": 28},
+            "image_mean": [0.5, 0.5, 0.5],
+            "image_std": [0.5, 0.5, 0.5],
+        }, f)
+    _save_paligemma_word_tokenizer(out_dir)
+    n_params = sum(v.size for v in state.values())
+    print(f"synthetic ColPali checkpoint ({n_params/1e6:.1f}M params) -> {out_dir}")
+
+
+def _save_paligemma_word_tokenizer(out_dir: str) -> None:
+    """Offline word tokenizer with PaliGemma's special tokens at small
+    pinned ids matching the synth config (collision-free)."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    specials = {"<pad>": 0, "<eos>": 1, "<bos>": 2, "<unk>": 3, "<image>": 4}
+    vocab = {}
+    words = (
+        "user Describe the image. Query: what is chip used in iphone 12 ? "
+        "price of when was released a an and for to with document page report "
+        "table figure total revenue chart data summary results find quarterly "
+        "0 1 2 3 4 5 6 7 8 9 10 11"
+    ).split()
+    for w in words:
+        vocab.setdefault(w, 5 + len(vocab))
+    assert not set(specials.values()) & set(vocab.values())
+    vocab.update(specials)
+    assert max(vocab.values()) < 128
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
+    from transformers import PreTrainedTokenizerFast
+
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok,
+        pad_token="<pad>", unk_token="<unk>", bos_token="<bos>", eos_token="<eos>",
+        additional_special_tokens=["<image>"],
+    )
+    fast.save_pretrained(out_dir)
+
+
 def _save_qwen2_word_tokenizer(out_dir: str) -> None:
     """Offline word tokenizer with Qwen2-VL's special TOKENS at small pinned
     ids matching the synth config (collision-free — duplicates make the
@@ -370,8 +463,42 @@ def _load_torch_oracle(family: str, ckpt: str):
                 f"oracle load mismatch: missing={real_missing[:5]} unexpected={unexpected[:5]}")
         return model, "reconstructed"
 
+    if family == "colpali":
+        cfg = transformers.PaliGemmaConfig.from_pretrained(ckpt)
+
+        class TorchColPali(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                # base Model (no LM head): submodule names line up with the
+                # exported layout (model.vision_tower / model.language_model
+                # / model.multi_modal_projector + custom_text_proj)
+                self.model = transformers.PaliGemmaModel(cfg)
+                self.custom_text_proj = torch.nn.Linear(cfg.text_config.hidden_size, 128)
+
+            def forward(self, input_ids=None, attention_mask=None, pixel_values=None, **_):
+                hidden = self.model(
+                    input_ids=input_ids, attention_mask=attention_mask,
+                    pixel_values=pixel_values,
+                ).last_hidden_state
+                proj = self.custom_text_proj(hidden)
+                proj = proj / proj.norm(dim=-1, keepdim=True)
+                return proj * attention_mask.unsqueeze(-1)
+
+        model = TorchColPali().eval()
+        state = {}
+        for fn in os.listdir(ckpt):
+            if fn.endswith(".safetensors"):
+                state.update(load_file(os.path.join(ckpt, fn)))
+        missing, unexpected = model.load_state_dict(state, strict=False)
+        real_missing = [k for k in missing if "rotary_emb" not in k and "lm_head" not in k]
+        if real_missing or unexpected:
+            raise SystemExit(
+                f"oracle load mismatch: missing={real_missing[:5]} unexpected={unexpected[:5]}")
+        return model, "reconstructed"
+
     if family != "colidefics3":
-        raise SystemExit("oracle reconstruction currently supports colidefics3/colqwen2")
+        raise SystemExit(
+            "oracle reconstruction currently supports colidefics3/colqwen2/colpali")
     cfg = transformers.Idefics3Config.from_pretrained(ckpt)
 
     class TorchColIdefics3(torch.nn.Module):
@@ -569,9 +696,12 @@ def _embed_torch(model, processor, images, queries, batch_size=2):
         for k, v in batch.items():
             v = np.asarray(v)
             if k == "pixel_values":
-                # flax layout (B, T, S, S, 3) -> torch (B, T, 3, S, S)
+                # flax layout (B, T, S, S, 3) -> torch (B, T, 3, S, S);
+                # 4D fixed-resolution (B, H, W, 3) -> (B, 3, H, W)
                 if v.ndim == 5:
                     v = v.transpose(0, 1, 4, 2, 3)
+                elif v.ndim == 4:
+                    v = v.transpose(0, 3, 1, 2)
                 tensors[k] = torch.tensor(v, dtype=torch.float32)
             elif k in ("tile_mask", "patch_mask", "position_ids", "rope_index",
                        "vision_hpos", "vision_wpos", "image_grid_thw"):
@@ -625,9 +755,11 @@ def main():
             make_synth_colsmol(out_dir, tiny=kind.endswith("tiny"))
         elif kind == "colqwen2-tiny":
             make_synth_colqwen2(out_dir)
+        elif kind == "colpali-tiny":
+            make_synth_colpali(out_dir)
         else:
             raise SystemExit(
-                "only --make-synth colsmol|colsmol-tiny|colqwen2-tiny is supported"
+                "only --make-synth colsmol|colsmol-tiny|colqwen2-tiny|colpali-tiny is supported"
             )
         return
     if not args.checkpoint:

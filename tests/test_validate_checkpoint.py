@@ -208,3 +208,37 @@ def test_gate_passes_on_qwen2_synth(tiny_qwen2_ckpt, tmp_path):
     payload = json.loads(r.stdout[r.stdout.index("{") : r.stdout.rindex("}") + 1])
     assert payload["ndcg@5_delta"] <= 0.1
     assert payload["oracle"] in ("reconstructed", "colpali_engine")
+
+
+@pytest.fixture(scope="module")
+def tiny_pali_ckpt(tmp_path_factory):
+    out = tmp_path_factory.mktemp("synth") / "colpali-tiny"
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), "--make-synth", "colpali-tiny", str(out)],
+        capture_output=True, text=True, cwd=str(REPO), timeout=300,
+        env={"PYTHONPATH": "", "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return out
+
+
+def test_gate_passes_on_colpali_synth(tiny_pali_ckpt, tmp_path):
+    """Flagship fixed-resolution family through the gate: flax serving
+    dtype vs the reconstructed torch PaliGemma oracle."""
+    report = tmp_path / "pali_report.md"
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), str(tiny_pali_ckpt), "--family", "colpali",
+         "--pages", "3", "--out", str(report)],
+        capture_output=True, text=True, cwd=str(REPO), timeout=600,
+        env={"PYTHONPATH": "", "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin"},
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "PASS" in r.stdout
+    payload = json.loads(r.stdout[r.stdout.index("{") : r.stdout.rindex("}") + 1])
+    assert payload["ndcg@5_delta"] <= 0.1
+
+    # the auto-loader also resolves this family from its config.json
+    from colpali_tpu.auto import detect_family
+
+    with open(tiny_pali_ckpt / "config.json") as f:
+        assert detect_family(json.load(f)) == "colpali"
