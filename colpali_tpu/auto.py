@@ -40,10 +40,12 @@ _REGISTRY: Dict[str, Tuple] = {
                  320, {"max_num_visual_tokens": 768}, ("qwen3_vl", "qwen3_vl_moe"), ("colqwen3",)),
     "colqwen3_5": ("models.qwen3_5.ColQwen3_5", "models.qwen3_5.Qwen35VLConfig",
                    "processors.qwen3_vl.ColQwen3_5Processor", "load_colqwen35_params",
-                   128, {"max_num_visual_tokens": 768}, ("qwen3_5", "qwen3_5_vl"), ("colqwen3_5",)),
+                   128, {"max_num_visual_tokens": 768}, ("qwen3_5", "qwen3_5_vl"),
+                   ("colqwen3_5",)),
     "colqwen_omni": ("models.qwen_omni.ColQwen2_5Omni", "models.qwen_omni.QwenOmniConfig",
                      "processors.qwen_omni.ColQwen2_5OmniProcessor", "load_colqwen_omni_params",
-                     128, {}, ("qwen2_5_omni", "qwen2_5_omni_thinker"), ("omni",)),
+                     128, {}, ("qwen2_5_omni", "qwen2_5_omni_thinker"),
+                     ("colqwen2_5omni", "omni")),
     "colgemma3": ("models.gemma3.ColGemma3", "models.gemma3.Gemma3Config",
                   "processors.gemma3.ColGemma3Processor", "load_colgemma3_params",
                   128, {}, ("gemma3",), ("colgemma",)),
@@ -68,9 +70,16 @@ def detect_family(hf_config: Dict[str, Any]) -> str:
     for family, entry in _REGISTRY.items():
         if model_type in entry[6]:
             return family
-    for family, entry in _REGISTRY.items():
-        if any(s in archs for s in entry[7]):
-            return family
+    # architecture fallback: LONGEST matching substring wins, else
+    # "colqwen2" would shadow "colqwen2_5" / "colqwen2_5omni"
+    best = max(
+        ((family, s) for family, entry in _REGISTRY.items()
+         for s in entry[7] if s in archs),
+        key=lambda fs: len(fs[1]),
+        default=None,
+    )
+    if best is not None:
+        return best[0]
     raise ValueError(
         f"cannot detect a colpali_tpu family from model_type={model_type!r} "
         f"architectures={archs!r}; pass family= explicitly "
@@ -99,8 +108,10 @@ def load_retriever(
             default; param_dtype follows dtype when None).
         dim: projection head dim override (family default otherwise —
             reference dims: 128 everywhere, 320 for ColQwen3).
-        scan_layers: build the scan-over-layers variant (params are
-            stacked via ``hf_loader.stack_layer_params`` automatically).
+        scan_layers: build the scan-over-layers variant (params stacked via
+            ``hf_loader.stack_layer_params``; the colqwen3_5 hybrid uses
+            ``group_hybrid_params`` — its per-layer trees differ within a
+            pattern period).
         strict: forwarded to the weight-conversion loader.
         processor_kwargs: extra processor constructor args (merged over the
             family defaults, e.g. ``max_num_visual_tokens``).
@@ -125,7 +136,13 @@ def load_retriever(
     )
     params = getattr(hf_loader, loader_name)(checkpoint_dir, strict=strict)
     if scan_layers:
-        params = hf_loader.stack_layer_params(params)
+        if family == "colqwen3_5":
+            # the hybrid stack scans over PATTERN PERIODS (per-layer trees
+            # differ within a period): plain stacking would mis-stack
+            params = hf_loader.group_hybrid_params(
+                params, config.text.full_attention_interval)
+        else:
+            params = hf_loader.stack_layer_params(params)
     processor = _resolve(proc_path).from_pretrained(
         checkpoint_dir, **{**proc_defaults, **(processor_kwargs or {})}
     )

@@ -219,10 +219,14 @@ class ColModelTraining:
                 key = ("__row__", i)
                 if getattr(ds, "corpus", None) is not None:
                     t = ds.data[i][ds.pos_target_column_name]
-                    if isinstance(t, list) and t:
-                        t = t[0]
-                    if isinstance(t, (int, str)):
-                        key = t
+                    # multi-pos examples keep row identity: the collator
+                    # embeds a RANDOM member (collator rng.choice), so a
+                    # group key from pos[0] could credit a row holding a
+                    # different doc. Single-pos ids (incl. numpy ints) group.
+                    if isinstance(t, (list, tuple)):
+                        t = t[0] if len(t) == 1 else None
+                    if isinstance(t, (int, str, np.integer)):
+                        key = int(t) if isinstance(t, np.integer) else t
                 keys.append(key)
             groups: Dict[Any, list] = {}
             for j, key in enumerate(keys):

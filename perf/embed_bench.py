@@ -296,12 +296,10 @@ def run_query_latency(args, t0):
     At B=1 a 2B bf16 decoder is weight-bound: ~4 GB / 819 GB/s ≈ 5 ms floor.
     """
     s = 32
+    # reuse the bench's model builders (real 2B/3B configs); vision inputs
+    # are discarded — queries are text-only
     if args.model == "colqwen2":
-        from colpali_tpu.models.qwen2_vl import ColQwen2, Qwen2VLConfig
-
-        config = Qwen2VLConfig()
-        model = ColQwen2(config, dim=128, dtype=jnp.bfloat16,
-                         param_dtype=jnp.bfloat16, scan_layers=args.scan)
+        model, _ = build_colqwen2(1, 16, text_tokens=4, scan=args.scan)
 
         def make_inputs(b):
             rng = np.random.default_rng(0)
@@ -311,12 +309,7 @@ def run_query_latency(args, t0):
                 position_ids=jnp.asarray(np.tile(np.arange(s), (3, b, 1)).astype(np.int64)),
             )
     elif args.model == "colpali":
-        from colpali_tpu.models.configs import PaliGemmaConfig
-        from colpali_tpu.models.paligemma import ColPali
-
-        config = PaliGemmaConfig()
-        model = ColPali(config, dim=128, dtype=jnp.bfloat16,
-                        param_dtype=jnp.bfloat16, scan_layers=args.scan)
+        model, _ = build_colpali(1, scan=args.scan)
 
         def make_inputs(b):
             rng = np.random.default_rng(0)

@@ -257,70 +257,59 @@ def make_synth_colpali(out_dir: str, seed: int = 0) -> None:
     print(f"synthetic ColPali checkpoint ({n_params/1e6:.1f}M params) -> {out_dir}")
 
 
-def _save_paligemma_word_tokenizer(out_dir: str) -> None:
-    """Offline word tokenizer with PaliGemma's special tokens at small
-    pinned ids matching the synth config (collision-free)."""
+_SYNTH_WORDS = (
+    "user Describe the image. Query: what is chip used in iphone 12 ? "
+    "price of when was released a an and for to with document page report "
+    "table figure total revenue chart data summary results find quarterly "
+    "0 1 2 3 4 5 6 7 8 9 10 11"
+)
+
+
+def _save_synth_word_tokenizer(out_dir: str, specials: dict, tok_kwargs: dict,
+                               vocab_limit: int = 128) -> None:
+    """Offline word tokenizer with PINNED special-token ids plus shared
+    filler words above them. Ids must be collision-free — duplicates make
+    the tokenizers library silently renumber, which desyncs the processor's
+    image token from the model's merge id (see colsmol tokenizer warning).
+    ``specials`` must include '<unk>'."""
     from tokenizers import Tokenizer, models, pre_tokenizers
 
-    specials = {"<pad>": 0, "<eos>": 1, "<bos>": 2, "<unk>": 3, "<image>": 4}
-    vocab = {}
-    words = (
-        "user Describe the image. Query: what is chip used in iphone 12 ? "
-        "price of when was released a an and for to with document page report "
-        "table figure total revenue chart data summary results find quarterly "
-        "0 1 2 3 4 5 6 7 8 9 10 11"
-    ).split()
-    for w in words:
-        vocab.setdefault(w, 5 + len(vocab))
-    assert not set(specials.values()) & set(vocab.values())
-    vocab.update(specials)
-    assert max(vocab.values()) < 128
+    vocab = dict(specials)
+    next_id = max(vocab.values()) + 1
+    for w in _SYNTH_WORDS.split():
+        if w not in vocab:
+            vocab[w] = next_id
+            next_id += 1
+    assert len(set(vocab.values())) == len(vocab)
+    assert max(vocab.values()) < vocab_limit  # inside the synth embed table
     tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
     tok.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
     from transformers import PreTrainedTokenizerFast
 
-    fast = PreTrainedTokenizerFast(
-        tokenizer_object=tok,
-        pad_token="<pad>", unk_token="<unk>", bos_token="<bos>", eos_token="<eos>",
-        additional_special_tokens=["<image>"],
-    )
+    fast = PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="<unk>", **tok_kwargs)
     fast.save_pretrained(out_dir)
+
+
+def _save_paligemma_word_tokenizer(out_dir: str) -> None:
+    _save_synth_word_tokenizer(
+        out_dir,
+        {"<pad>": 0, "<eos>": 1, "<bos>": 2, "<unk>": 3, "<image>": 4},
+        dict(pad_token="<pad>", bos_token="<bos>", eos_token="<eos>",
+             additional_special_tokens=["<image>"]),
+    )
 
 
 def _save_qwen2_word_tokenizer(out_dir: str) -> None:
-    """Offline word tokenizer with Qwen2-VL's special TOKENS at small pinned
-    ids matching the synth config (collision-free — duplicates make the
-    tokenizers library silently renumber, which desyncs image merging)."""
-    from tokenizers import Tokenizer, models, pre_tokenizers
-
     specials = {
         "<|endoftext|>": 0, "<|im_start|>": 1, "<|im_end|>": 2,
         "<|vision_start|>": 3, "<|vision_end|>": 4, "<|image_pad|>": 5,
-        "<|video_pad|>": 6,
+        "<|video_pad|>": 6, "<unk>": 7,
     }
-    vocab = {"<unk>": 7}
-    words = (
-        "user Describe the image. Query: what is chip used in iphone 12 ? "
-        "price of when was released a an and for to with document page report "
-        "table figure total revenue chart data summary results find quarterly "
-        "0 1 2 3 4 5 6 7 8 9 10 11"
-    ).split()
-    for w in words:
-        vocab.setdefault(w, 7 + len(vocab))
-    assert not set(specials.values()) & set(vocab.values())
-    vocab.update(specials)
-    assert max(vocab.values()) < 128  # inside the synth embedding table
-    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
-    tok.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
-    from transformers import PreTrainedTokenizerFast
-
-    fast = PreTrainedTokenizerFast(
-        tokenizer_object=tok,
-        pad_token="<|endoftext|>",
-        unk_token="<unk>",
-        additional_special_tokens=list(specials),
+    _save_synth_word_tokenizer(
+        out_dir, specials,
+        dict(pad_token="<|endoftext|>",
+             additional_special_tokens=[t for t in specials if t != "<unk>"]),
     )
-    fast.save_pretrained(out_dir)
 
 
 def _save_word_tokenizer(out_dir: str, image_token_id: int) -> None:
@@ -373,35 +362,15 @@ def _save_word_tokenizer(out_dir: str, image_token_id: int) -> None:
 # --------------------------------------------------------------------------
 
 def _load_flax(family: str, ckpt: str, dtype):
-    from colpali_tpu.core import hf_loader
+    """One-call load through the production auto-loader (colpali_tpu.auto —
+    same registry the library exposes; keeps the gate and the library's
+    from_pretrained path from drifting apart)."""
+    from colpali_tpu.auto import load_retriever
 
-    if family == "colidefics3":
-        from colpali_tpu.models.idefics3 import ColIdefics3, Idefics3Config
-        from colpali_tpu.processors.idefics3 import ColIdefics3Processor
-
-        config = Idefics3Config.from_hf_config(hf_loader.load_hf_config(ckpt))
-        model = ColIdefics3(config, dim=128, dtype=dtype, param_dtype=dtype)
-        params = hf_loader.load_colidefics3_params(ckpt)
-        processor = ColIdefics3Processor.from_pretrained(ckpt)
-    elif family == "colpali":
-        from colpali_tpu.models import ColPali, PaliGemmaConfig
-        from colpali_tpu.processors import ColPaliProcessor
-
-        config = PaliGemmaConfig.from_hf_config(hf_loader.load_hf_config(ckpt))
-        model = ColPali(config, dim=128, dtype=dtype, param_dtype=dtype)
-        params = hf_loader.load_colpali_params(ckpt)
-        processor = ColPaliProcessor.from_pretrained(ckpt)
-    elif family == "colqwen2":
-        from colpali_tpu.models import ColQwen2, Qwen2VLConfig
-        from colpali_tpu.processors import ColQwen2Processor
-
-        config = Qwen2VLConfig.from_hf_config(hf_loader.load_hf_config(ckpt))
-        model = ColQwen2(config, dim=128, dtype=dtype, param_dtype=dtype)
-        params = hf_loader.load_colqwen2_params(ckpt)
-        processor = ColQwen2Processor.from_pretrained(ckpt, max_num_visual_tokens=768)
-    else:
-        raise SystemExit(f"unsupported --family {family}")
-    return model, params, processor
+    model, variables, processor = load_retriever(
+        ckpt, family=family, dtype=dtype, param_dtype=dtype
+    )
+    return model, variables["params"], processor
 
 
 def _load_torch_oracle(family: str, ckpt: str):
