@@ -510,29 +510,34 @@ def finetune_checkpoint(args) -> None:
     import jax.numpy as jnp
     import optax
 
-    from colpali_tpu.core.hf_export import export_colidefics3_state_dict
+    from colpali_tpu.auto import load_retriever
+    from colpali_tpu.core import hf_export
     from colpali_tpu.losses import ColbertLoss
 
-    if args.family != "colidefics3":
-        raise SystemExit("--finetune currently supports colidefics3")
-    model, params, processor = _load_flax(args.family, args.checkpoint, jnp.float32)
-    # rebuild with remat: the full-scale fp32 train step (18 tiles x 1024
-    # SigLIP patches, full backward + Adam) exceeds one chip's HBM without
-    # rematerialization
-    from colpali_tpu.models.idefics3 import ColIdefics3
-
-    model = ColIdefics3(model.config, dim=128, dtype=jnp.float32,
-                        param_dtype=jnp.float32, scan_layers=True, remat=True)
-    from colpali_tpu.core.hf_loader import stack_layer_params
-
-    params = stack_layer_params(params)
+    exporters = {
+        "colidefics3": hf_export.export_colidefics3_state_dict,
+        "colqwen2": hf_export.export_colqwen2_state_dict,
+        "colpali": hf_export.export_colpali_state_dict,
+    }
+    if args.family not in exporters:
+        raise SystemExit(f"--finetune supports {sorted(exporters)}")
+    export_fn = exporters[args.family]
+    # scan+remat: the full-scale fp32 train step (e.g. colSmol's 18 tiles x
+    # 1024 SigLIP patches, full backward + Adam) exceeds one chip's HBM
+    # without rematerialization
+    model, variables, processor = load_retriever(
+        args.checkpoint, family=args.family, dtype=jnp.float32,
+        param_dtype=jnp.float32, scan_layers=True, remat=True,
+    )
+    params = variables["params"]
     pages = _make_pages(args.pages)
     # the SAME query construction the gate uses, so training teaches the
     # query_i <-> page_i association the gate then ranks on
     queries = (QUERIES + [f"find document page {i} quarterly report" for i in range(len(pages))])[
         : len(pages)
     ]
-    doc_batch = {k: jnp.asarray(v) for k, v in processor.process_images(pages).items()}
+    doc_batch = {k: jnp.asarray(v) for k, v in processor.process_images(pages).items()
+                 if k != "image_grid_thw"}  # torch-oracle metadata, not a model input
     q_batch = {k: jnp.asarray(v) for k, v in processor.process_queries(queries).items()}
     # smooth max: at real-model scale with random weights, the hard MaxSim
     # max is won by the PROMPT tokens (identical across pages) for every
@@ -562,7 +567,7 @@ def finetune_checkpoint(args) -> None:
 
     out_dir = args.finetune_out
     os.makedirs(out_dir, exist_ok=True)
-    state = export_colidefics3_state_dict(jax.device_get(params))
+    state = export_fn(jax.device_get(params))
     from safetensors.numpy import save_file
 
     save_file(

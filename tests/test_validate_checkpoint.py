@@ -242,3 +242,28 @@ def test_gate_passes_on_colpali_synth(tiny_pali_ckpt, tmp_path):
 
     with open(tiny_pali_ckpt / "config.json") as f:
         assert detect_family(json.load(f)) == "colpali"
+
+
+def test_finetuned_qwen2_gate_is_diagonal_dominant(tiny_qwen2_ckpt, tmp_path):
+    """The generalized --finetune path on the dynamic-resolution family:
+    train a few contrastive steps, export through export_colqwen2_state_dict,
+    reload through the production loader, and require non-trivial ranking
+    agreement with the torch oracle."""
+    env = {"PYTHONPATH": "", "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin"}
+    trained = tmp_path / "trained_q2"
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), str(tiny_qwen2_ckpt), "--family", "colqwen2",
+         "--finetune", "30", "--finetune-out", str(trained),
+         "--finetune-lr", "1e-3", "--pages", "4"],
+        capture_output=True, text=True, cwd=str(REPO), timeout=900, env={**env},
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), str(trained), "--family", "colqwen2", "--pages", "4"],
+        capture_output=True, text=True, cwd=str(REPO), timeout=900, env={**env},
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    payload = json.loads(r.stdout[r.stdout.index("{") : r.stdout.rindex("}") + 1])
+    assert payload["flax_diag_dominant"] and payload["torch_diag_dominant"]
+    assert payload["ndcg@5_delta"] <= 0.1
+    assert payload["ranking_agreement@5"] == 1.0
