@@ -226,6 +226,34 @@ def flash_attention_sharded(
     )(q, k, v, mask)
 
 
+def flash_auto_ok(batch: int, seq_len: int, heads: int, kv_heads: int, dtype) -> bool:
+    """Attention's flash auto-rule, exposed for towers that prebuild the
+    einsum-fallback biases ONCE when flash won't run (a segment bias built
+    inside a scanned block is re-materialized every layer)."""
+    ctx = _FLASH_MESH_CTX.get()
+    pad_tax = ((-seq_len) % _FLASH_BLOCK) / seq_len
+    avail = (
+        _flash_mesh_ok(ctx, batch, heads, kv_heads)
+        if ctx is not None
+        else _flash_available()
+    )
+    return dtype == jnp.bfloat16 and pad_tax <= 0.15 and avail
+
+
+def segment_bias(segments: jnp.ndarray, causal: bool = False) -> jnp.ndarray:
+    """(B, S) segment ids -> (B, 1, S, S) additive fp32 bias (attend iff ids
+    match) — the einsum-path equivalent of the flash kernel's SegmentIds."""
+    s = segments.shape[1]
+    neg = jnp.finfo(jnp.float32).min
+    same = segments[:, None, :, None] == segments[:, None, None, :]
+    bias = jnp.where(same, 0.0, neg).astype(jnp.float32)
+    if causal:
+        qi = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        ki = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        bias = jnp.maximum(bias + jnp.where(ki <= qi, 0.0, neg)[None, None], neg)
+    return bias
+
+
 def _flash_kernel_call(qt, kt, vt, seg, scale, causal, sizes):
     """The innermost stock-kernel dispatch, isolated so CPU-mesh tests can
     monkeypatch it (the stock TPU kernel has no interpret mode)."""
@@ -376,19 +404,17 @@ class Attention(nn.Module):
             # (pad to 512 = 34% tax) and LOST to the fused einsum at that
             # length (417 pages/min) — short-seq logits fit comfortably and
             # the einsum path fuses better than a mostly-padding kernel.
-            pad_tax = ((-s) % _FLASH_BLOCK) / s
-            avail = (
-                _flash_mesh_ok(mesh_ctx, b, self.num_heads, kv_heads)
-                if mesh_ctx is not None
-                else _flash_available()
-            )
-            flash = (
-                attn_bias is None
-                and self.dtype == jnp.bfloat16
-                and pad_tax <= 0.15
-                and avail
+            flash = attn_bias is None and flash_auto_ok(
+                b, s, self.num_heads, kv_heads, self.dtype
             )
         if flash:
+            if attn_bias is not None:
+                raise ValueError(
+                    "use_flash=True cannot honor a custom additive attn_bias "
+                    "(the kernel only supports segment/causal masking) — pass "
+                    "mask/segments, or leave use_flash unset so the auto rule "
+                    "routes biased attention to the einsum path"
+                )
             seg = segments if segments is not None else mask
             if seg is None:
                 seg = jnp.ones((b, s), jnp.int32)
@@ -406,17 +432,13 @@ class Attention(nn.Module):
             return dense(self.out_dim or model_dim, "o_proj", o_bias)(out.astype(self.dtype))
         if attn_bias is None and segments is not None:
             # segment-equality mask (windowed attention): attend iff ids match
-            neg = jnp.finfo(jnp.float32).min
-            same = segments[:, None, :, None] == segments[:, None, None, :]
-            attn_bias = jnp.where(same, 0.0, neg).astype(jnp.float32)
-            if causal:
-                qi = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-                ki = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-                attn_bias = jnp.maximum(
-                    attn_bias + jnp.where(ki <= qi, 0.0, neg)[None, None], neg
-                )
+            attn_bias = segment_bias(segments, causal=causal)
         elif attn_bias is None and mask is not None:
             attn_bias = make_attention_bias(mask.astype(jnp.int32), causal=causal)
+        elif attn_bias is None and causal:
+            # causal-only (no padding mask): the flash path honors `causal`,
+            # so the einsum fallback must too or semantics differ per backend
+            attn_bias = make_attention_bias(jnp.ones((b, s), jnp.int32), causal=True)
 
         groups = self.num_heads // kv_heads
         qg = q.reshape(b, s, kv_heads, groups, self.head_dim)

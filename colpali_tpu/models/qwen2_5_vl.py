@@ -32,7 +32,9 @@ from colpali_tpu.models.layers import (
     Attention,
     Dtype,
     RMSNorm,
+    flash_auto_ok,
     make_attention_bias,
+    segment_bias,
 )
 from colpali_tpu.models.qwen2_vl import Qwen2Decoder, Qwen2TextConfig
 
@@ -117,8 +119,18 @@ class Qwen25VisionBlock(nn.Module):
         # iff ids match): full attention = validity ids (valid=1, pad=-1),
         # windowed = per-patch window ids (pad=-1). Passing ids instead of a
         # prebuilt (B,1,P,P) bias lets Attention route to the fused flash
-        # kernel on TPU — windowed varlen attention costs nothing extra there.
-        segments = jnp.where(jnp.asarray(is_full), seg_full, seg_window)
+        # kernel on TPU — windowed varlen attention costs nothing extra
+        # there. When flash is OFF the tower passes PREBUILT (B,1,P,P)
+        # biases instead (ndim 4): a bias built inside a scanned block is
+        # re-materialized every layer, ~P^2 fp32 per block.
+        selected = jnp.where(
+            jnp.asarray(is_full)[..., None, None, None] if seg_full.ndim == 4
+            else jnp.asarray(is_full),
+            seg_full, seg_window,
+        )
+        attn_kwargs = (
+            {"attn_bias": selected} if seg_full.ndim == 4 else {"segments": selected}
+        )
         residual = x
         h = RMSNorm(eps=1e-6, add_unit_offset=False, param_dtype=self.param_dtype, name="norm1")(x)
         h = Attention(
@@ -129,7 +141,7 @@ class Qwen25VisionBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="attn",
-        )(h, rope=rope, segments=segments)
+        )(h, rope=rope, **attn_kwargs)
         x = residual + h
         residual = x
         h = RMSNorm(eps=1e-6, add_unit_offset=False, param_dtype=self.param_dtype, name="norm2")(x)
@@ -196,6 +208,14 @@ class Qwen25VisionTower(nn.Module):
         # layers attend within a window (window_id >= 0, pad=-1)
         seg_full = jnp.where(patch_mask, 1, -1).astype(jnp.int32)
         seg_window = window_id.astype(jnp.int32)
+        b, p = seg_full.shape
+        if not flash_auto_ok(b, p, cfg.num_heads, cfg.num_heads, self.dtype):
+            # flash won't run (pad tax / dtype / platform): prebuild BOTH
+            # (B,1,P,P) einsum biases ONCE here instead of letting each
+            # block derive one from ids — inside a scanned stack that
+            # derivation re-materializes ~P^2 fp32 per layer
+            seg_full = segment_bias(seg_full)
+            seg_window = segment_bias(seg_window)
 
         flags = jnp.asarray([i in cfg.fullatt_block_indexes for i in range(cfg.depth)])
         block_kwargs = dict(config=cfg, dtype=self.dtype, param_dtype=self.param_dtype)

@@ -80,8 +80,12 @@ def _split_resize_normalize(
     """
     b, h0, w0, _ = batch.shape
     x = batch.transpose(0, 3, 1, 2).reshape(b * 3, h0, w0).astype(jnp.float32)
-    if (h0, w0) != (h1, w1):
+    # PER-AXIS guards: the longest-edge resize can change exactly one axis
+    # (e.g. 2000x2049 -> 2000x2048), and the unchanged axis carries a (1,1)
+    # placeholder matrix that must not reach an einsum
+    if h0 != h1:
         x = jnp.einsum("Hh,bhw->bHw", mh1, x)
+    if w0 != w1:
         x = jnp.einsum("Ww,bhw->bhW", mw1, x)
     tiles = []
     for (r0, r1, c0, c1), (mh, mw) in zip(crop_bounds, crop_mats):

@@ -142,3 +142,19 @@ class TestDeviceTilePath:
         )
         for key in ("input_ids", "tile_mask"):
             np.testing.assert_array_equal(np.asarray(dev[key]), host[key])
+
+
+    def test_device_pixels_single_axis_resize(self, processor):
+        """Longest-edge resize that changes exactly ONE dimension (64x65 ->
+        64x64 at longest_edge=64): the unchanged axis carries a (1,1)
+        placeholder interpolation matrix that must not reach an einsum."""
+        from colpali_tpu.processors.idefics3 import resized_dimensions
+
+        assert resized_dimensions(64, 65, 64) == (64, 64)  # the trigger shape
+        rng = np.random.default_rng(9)
+        imgs = [rng.integers(0, 255, (64, 65, 3), np.uint8)]
+        host = processor.process_images(imgs)
+        dev = processor.process_images(imgs, device_pixels=True)
+        np.testing.assert_allclose(
+            np.asarray(dev["pixel_values"]), host["pixel_values"], atol=1e-4
+        )
