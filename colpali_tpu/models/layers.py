@@ -181,6 +181,56 @@ def flash_mesh(mesh, batch_axis: str = "data", model_axis: str = "model"):
         _FLASH_MESH_CTX.reset(tok)
 
 
+# w8a8 serving mode: when set, Attention/GatedMLP/MLP route their large
+# projections through ops.quant_dense.int8_dot_general (int8 MXU, measured
+# 2.08x bf16 raw / 1.67x with dequant — perf/int8_matmul_probe.py). The op
+# self-gates by shape, so small glue (the 128-d retrieval head, patch
+# embeds under 512) stays exact.
+_QUANT_CTX: contextvars.ContextVar = contextvars.ContextVar(
+    "colpali_tpu_quant_dense", default=False
+)
+
+
+@contextlib.contextmanager
+def quantized_acts(enable: bool = True):
+    """Enable the dynamic w8a8 path for Dense projections inside this context.
+
+    Like :func:`flash_mesh`, this is a TRACE-time decision: the context must
+    be active while the forward is traced (wrap the first call of the jitted
+    function, or the ``jax.jit`` call site for AOT lowering). A function
+    already compiled outside the context keeps its exact bf16 program.
+
+    CAVEAT (pinned by tests/ops/test_quant_dense.py): JAX's jaxpr trace
+    cache is keyed on the *underlying function's identity* — even two
+    separate ``jax.jit`` wrappers of the same function share it, so jitting
+    the same ``fn`` once outside and once inside the context silently serves
+    the first program to both. When toggling modes, give each mode its own
+    function object: build the forward through a fresh closure per mode
+    (what `load_retriever`-style factories do naturally), or thread an
+    explicit ``quantized`` static argument instead of relying on the
+    context alone.
+
+    Intended for serving/embedding forwards. Training keeps bf16: the
+    straight-through estimator questions and per-step weight re-quantization
+    are not worth it for LoRA fine-tunes whose base weights are frozen.
+    """
+    tok = _QUANT_CTX.set(enable)
+    try:
+        yield
+    finally:
+        _QUANT_CTX.reset(tok)
+
+
+def dense_dot_general():
+    """The ``dot_general`` override for nn.Dense under the active quant
+    policy (None = default exact path)."""
+    if _QUANT_CTX.get():
+        from colpali_tpu.ops.quant_dense import int8_dot_general
+
+        return int8_dot_general
+    return None
+
+
 def _flash_mesh_ok(ctx, batch: int, heads: int, kv_heads: int, require_tpu: bool = True) -> bool:
     """shard_map flash eligibility: every mesh axis must divide its operand
     axis (batch over data, q AND kv heads over model) and — for the auto
@@ -371,7 +421,8 @@ class Attention(nn.Module):
         kv_heads = self.num_kv_heads or self.num_heads
         scale = self.scale if self.scale is not None else self.head_dim**-0.5
         dense = lambda feats, name, bias: nn.Dense(  # noqa: E731
-            feats, use_bias=bias, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+            feats, use_bias=bias, dtype=self.dtype, param_dtype=self.param_dtype,
+            dot_general=dense_dot_general(), name=name
         )
 
         q = dense(self.num_heads * self.head_dim, "q_proj", self.use_bias)(x).reshape(
@@ -498,7 +549,8 @@ class GatedMLP(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dense = lambda feats, name: nn.Dense(  # noqa: E731
-            feats, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+            feats, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
+            dot_general=dense_dot_general(), name=name
         )
         gate = dense(self.intermediate_size, "gate_proj")(x)
         up = dense(self.intermediate_size, "up_proj")(x)
@@ -516,9 +568,12 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.Dense(self.intermediate_size, dtype=self.dtype, param_dtype=self.param_dtype, name="fc1")(x)
+        dg = dense_dot_general()
+        h = nn.Dense(self.intermediate_size, dtype=self.dtype, param_dtype=self.param_dtype,
+                     dot_general=dg, name="fc1")(x)
         h = ACTIVATIONS[self.activation](h)
-        return nn.Dense(x.shape[-1], dtype=self.dtype, param_dtype=self.param_dtype, name="fc2")(h)
+        return nn.Dense(x.shape[-1], dtype=self.dtype, param_dtype=self.param_dtype,
+                        dot_general=dg, name="fc2")(h)
 
 
 def scanned_stack(

@@ -35,6 +35,7 @@ from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_em
 from colpali_tpu.models.configs import DenseHeadConfig, SiglipVisionConfig
 from colpali_tpu.models.idefics3 import pixel_shuffle
 from colpali_tpu.models.layers import (
+    dense_dot_general,
     ACTIVATIONS,
     Attention,
     Dtype,
@@ -187,11 +188,12 @@ class ModernBertLayer(nn.Module):
         x = residual + h
         residual = x
         h = ln("mlp_norm")(x)
+        dg = dense_dot_general()
         wi = nn.Dense(2 * cfg.intermediate_size, use_bias=cfg.mlp_bias, dtype=self.dtype,
-                      param_dtype=self.param_dtype, name="Wi")(h)
+                      param_dtype=self.param_dtype, dot_general=dg, name="Wi")(h)
         inp, gate = jnp.split(wi, 2, axis=-1)
         h = nn.Dense(cfg.hidden_size, use_bias=cfg.mlp_bias, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="Wo")(ACTIVATIONS[cfg.hidden_activation](inp) * gate)
+                     param_dtype=self.param_dtype, dot_general=dg, name="Wo")(ACTIVATIONS[cfg.hidden_activation](inp) * gate)
         return residual + h
 
 
@@ -259,7 +261,8 @@ class ModernVBertModel(nn.Module):
         self.vision_model = SiglipVisionTower(cfg.vision, dtype=self.dtype, param_dtype=self.param_dtype,
                                               scan_layers=self.scan_layers, remat=self.remat)
         self.modality_projection = nn.Dense(
-            cfg.text.hidden_size, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype
+            cfg.text.hidden_size, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
+            dot_general=dense_dot_general(),
         )
         self.embeddings = DecoupledEmbed(
             cfg.text.vocab_size, cfg.additional_vocab_size, cfg.text.hidden_size,

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_embeddings
 from colpali_tpu.models.configs import DenseHeadConfig
 from colpali_tpu.models.layers import (
+    dense_dot_general,
     Dtype,
     GatedMLP,
     RMSNorm,
@@ -267,9 +268,10 @@ class GatedDeltaNet(nn.Module):
         x = x * attention_mask[..., None].astype(x.dtype)
 
         qkvz = nn.Dense(2 * key_dim + 2 * value_dim, use_bias=False, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="in_proj_qkvz")(x)
+                        param_dtype=self.param_dtype, dot_general=dense_dot_general(),
+                        name="in_proj_qkvz")(x)
         ba = nn.Dense(2 * hv, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
-                      name="in_proj_ba")(x)
+                      dot_general=dense_dot_general(), name="in_proj_ba")(x)
 
         # interleaved per-k-head layout (HF fix_query_key_value_ordering)
         qkvz = qkvz.reshape(b, s, hk, 2 * dk + 2 * rep * dv)
@@ -321,7 +323,8 @@ class GatedDeltaNet(nn.Module):
         normed = (w.astype(up) * normed) * nn.silu(z.astype(jnp.float32))
         out = normed.astype(self.dtype).reshape(b, s, value_dim)
         return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="out_proj")(out)
+                        param_dtype=self.param_dtype, dot_general=dense_dot_general(),
+                        name="out_proj")(out)
 
 
 class GatedAttention(nn.Module):
@@ -338,7 +341,8 @@ class GatedAttention(nn.Module):
         b, s, _ = x.shape
         nh, kvh, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
         dense = lambda feats, name: nn.Dense(  # noqa: E731
-            feats, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+            feats, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
+            dot_general=dense_dot_general(), name=name
         )
         qg = dense(nh * d * 2, "q_proj")(x).reshape(b, s, nh, 2 * d)
         q, gate = qg[..., :d], qg[..., d:]

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_embeddings
 from colpali_tpu.models.configs import DenseHeadConfig
 from colpali_tpu.models.layers import (
+    dense_dot_general,
     ACTIVATIONS,
     Attention,
     Dtype,
@@ -213,10 +214,10 @@ class Qwen3VisionPatchMerger(nn.Module):
             x = ln(x)
             x = x.reshape(b, p // merge, merge * cfg.hidden_size)
         x = nn.Dense(merge * cfg.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="linear_fc1")(x)
+                     dot_general=dense_dot_general(), name="linear_fc1")(x)
         x = ACTIVATIONS["gelu"](x)
         return nn.Dense(cfg.out_hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="linear_fc2")(x)
+                        dot_general=dense_dot_general(), name="linear_fc2")(x)
 
 
 class Qwen3VisionBlock(nn.Module):
@@ -244,11 +245,12 @@ class Qwen3VisionBlock(nn.Module):
         x = residual + h
         residual = x
         h = ln("norm2")(x)
+        dg = dense_dot_general()
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="linear_fc1")(h)
+                     dot_general=dg, name="linear_fc1")(h)
         h = ACTIVATIONS[cfg.hidden_act](h)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="linear_fc2")(h)
+                     dot_general=dg, name="linear_fc2")(h)
         return residual + h
 
 
@@ -269,7 +271,7 @@ class Qwen3VisionTower(nn.Module):
     def __call__(self, patches, hpos, wpos, patch_mask, pos_idx, pos_weight):
         cfg = self.config
         x = nn.Dense(cfg.hidden_size, use_bias=True, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="patch_embed")(patches.astype(self.dtype))
+                     dot_general=dense_dot_general(), name="patch_embed")(patches.astype(self.dtype))
 
         # bilinear-interpolated learned position embeddings (host indices)
         table = nn.Embed(cfg.num_position_embeddings, cfg.hidden_size, dtype=self.dtype,

@@ -1,0 +1,112 @@
+"""Dynamic w8a8 matmul path for serving forwards.
+
+The v5e MXU runs int8 x int8 -> int32 at ~2x the bf16 FLOP rate (measured
+2.08x raw / 1.67x with the dequant epilogue at the ColQwen2 vision-MLP
+shape — ``perf/int8_matmul_probe.py``). For the compute-bound embed
+forward (SURVEY §3.3: the ViT + LM matmuls dominate), quantizing the big
+projections roughly halves their MXU time at a small, measured accuracy
+cost. The reference has no quantized inference path (its corpus-side
+compression is token pooling only, README.md:225); this is a TPU-native
+capability on top of parity.
+
+Scheme — standard dynamic symmetric w8a8:
+
+- activations: one absmax scale per token row (computed on the fly, so no
+  calibration set is needed),
+- weights: one absmax scale per output channel (re-quantized from the bf16
+  params at trace time inside the jit; XLA folds or fuses the per-column
+  reduce + rescale, and its cost is two passes over W — noise next to the
+  matmul at serving batch geometry),
+- int8 x int8 -> int32 ``lax.dot_general`` (the native MXU path), then one
+  fused rescale ``acc * s_act * s_w`` back to the compute dtype.
+
+:func:`int8_dot_general` is shape-self-gating: contractions that are too
+small to win on the MXU (either dim < :data:`MIN_QUANT_DIM`), non-2D
+weights, or non-matmul dimension numbers fall through to the exact
+``lax.dot_general`` — so callers can install it unconditionally via
+``nn.Dense(dot_general=...)`` and only the FLOP-carrying projections
+quantize. The 128-d ``custom_text_proj`` head and other small glue stay
+exact by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Below this contraction/output width the int8 path can't win (the MXU tile
+# is 128x128 and the rescale epilogue dominates); small projections also
+# carry the most per-channel information (e.g. the 128-d retrieval head).
+MIN_QUANT_DIM = 512
+
+
+def _quantize_rows(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row (last-axis) symmetric int8: ``(..., K)`` -> int8 + fp32 scale."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _quantize_cols(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-column (output-channel) symmetric int8: ``(K, N)`` -> int8 + (1, N) fp32 scale."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=0, keepdims=True)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def int8_dot_general(
+    lhs: jnp.ndarray,
+    rhs: jnp.ndarray,
+    dimension_numbers: Any,
+    precision: Optional[Any] = None,
+    preferred_element_type: Optional[Any] = None,
+) -> jnp.ndarray:
+    """``lax.dot_general`` drop-in that runs eligible matmuls as w8a8 int8.
+
+    Eligible = the ``nn.Dense`` pattern (contract lhs last dim with rhs dim
+    0, no batch dims, 2D rhs) with both the contraction dim K and output
+    dim N >= :data:`MIN_QUANT_DIM`, and a float lhs. Anything else falls
+    through to the exact dot so this function is safe as a blanket
+    ``dot_general`` override.
+    """
+    (lc, rc), (lb, rb) = dimension_numbers
+    eligible = (
+        not tuple(lb)
+        and not tuple(rb)
+        and tuple(lc) == (lhs.ndim - 1,)
+        and tuple(rc) == (0,)
+        and rhs.ndim == 2
+        and jnp.issubdtype(lhs.dtype, jnp.floating)
+        and jnp.issubdtype(rhs.dtype, jnp.floating)
+        and rhs.shape[0] >= MIN_QUANT_DIM
+        and rhs.shape[1] >= MIN_QUANT_DIM
+    )
+    if not eligible:
+        return lax.dot_general(
+            lhs, rhs, dimension_numbers, precision=precision,
+            preferred_element_type=preferred_element_type,
+        )
+    out_dtype = preferred_element_type or jnp.promote_types(lhs.dtype, rhs.dtype)
+    ql, sl = _quantize_rows(lhs)
+    qr, sr = _quantize_cols(rhs)
+    acc = lax.dot_general(
+        ql, qr, dimension_numbers, preferred_element_type=jnp.int32
+    )
+    return (acc.astype(jnp.float32) * sl * sr).astype(out_dtype)
+
+
+def quantization_error(x: jnp.ndarray, w: jnp.ndarray) -> float:
+    """Relative L2 error of the w8a8 dot vs the fp32 dot (diagnostics)."""
+    dn = (((x.ndim - 1,), (0,)), ((), ()))
+    exact = lax.dot_general(x.astype(jnp.float32), w.astype(jnp.float32), dn)
+    quant = int8_dot_general(x, w, dn, preferred_element_type=jnp.float32)
+    num = jnp.linalg.norm(quant - exact)
+    den = jnp.maximum(jnp.linalg.norm(exact), 1e-20)
+    return float(num / den)

@@ -22,11 +22,24 @@ Usage: python perf/embed_bench.py [--model colqwen2|colpali] [--batch 8] [--e2e]
 from __future__ import annotations
 
 import argparse
+import contextlib
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def quant_ctx(args):
+    """--quant: trace the forward under the dynamic w8a8 policy (the big
+    projections run int8 on the MXU; small glue like the 128-d head stays
+    exact — ops/quant_dense.py). Trace-time switch, so it wraps the first
+    (compiling) call of each jitted forward."""
+    if getattr(args, "quant", False):
+        from colpali_tpu.models.layers import quantized_acts
+
+        return quantized_acts()
+    return contextlib.nullcontext()
 
 
 def build_colqwen2(batch: int, patches: int, text_tokens: int, scan: bool = False):
@@ -254,7 +267,8 @@ def run_e2e(args, t0):
             return jax.lax.map(lambda b: model.apply(params, **b), stacked)
 
     print(f"[{time.time()-t0:6.1f}s] compiling forward...", flush=True)
-    np.asarray(apply_many(params, warm))
+    with quant_ctx(args):
+        np.asarray(apply_many(params, warm))
     print(f"[{time.time()-t0:6.1f}s] compiled; running e2e...", flush=True)
 
     # --- ingestion rate: embeddings STAY on device (the production embed ->
@@ -385,6 +399,8 @@ def main():
                         help="parallel preprocess+upload staging threads")
     parser.add_argument("--query-latency", action="store_true",
                         help="text-only query-encode latency (B=1/8/32, 32 tokens)")
+    parser.add_argument("--quant", action="store_true",
+                        help="dynamic w8a8 serving mode (int8 MXU projections)")
     args = parser.parse_args()
 
     if args.query_latency:
@@ -418,7 +434,8 @@ def main():
     # with lax.map changes nothing).
     fwd = jax.jit(lambda p, b_: model.apply(p, **b_))
     print(f"[{time.time()-t0:6.1f}s] compiling forward...", flush=True)
-    np.asarray(fwd(params, inputs))
+    with quant_ctx(args):
+        np.asarray(fwd(params, inputs))
     print(f"[{time.time()-t0:6.1f}s] compiled; timing...", flush=True)
     times = []
     for _ in range(3):
