@@ -96,6 +96,7 @@ def load_retriever(
     scan_layers: bool = False,
     strict: bool = True,
     processor_kwargs: Optional[Dict[str, Any]] = None,
+    quantize: bool = False,
     **model_kwargs,
 ):
     """Load (model, params, processor) from a local HF-format checkpoint.
@@ -115,6 +116,12 @@ def load_retriever(
         strict: forwarded to the weight-conversion loader.
         processor_kwargs: extra processor constructor args (merged over the
             family defaults, e.g. ``max_num_visual_tokens``).
+        quantize: store eligible Dense kernels as int8 (w8 static serving
+            mode, ``ops.quant_dense.quantize_params``): ~half the weight HBM
+            footprint/traffic — measured 2.3x faster B=1 query encode and
+            1.37x faster ColPali-3B page embedding (docs/PERF.md). The
+            128-d head and small glue stay exact; embedding cosine vs exact
+            is 0.99997 at 2B scale.
         **model_kwargs: forwarded to the flax module constructor.
     """
     from colpali_tpu.core import hf_loader
@@ -146,4 +153,10 @@ def load_retriever(
     processor = _resolve(proc_path).from_pretrained(
         checkpoint_dir, **{**proc_defaults, **(processor_kwargs or {})}
     )
-    return model, {"params": params} if "params" not in params else params, processor
+    variables = {"params": params} if "params" not in params else params
+    if quantize:
+        from colpali_tpu.ops.quant_dense import quantize_params
+
+        qp, qc = quantize_params(variables["params"])
+        variables = {**variables, "params": qp, "quant": qc}
+    return model, variables, processor

@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from colpali_tpu.models.configs import DenseHeadConfig
-from colpali_tpu.models.layers import Dtype, l2_normalize
+from colpali_tpu.models.layers import Dtype, QDense, l2_normalize
 
 
 def merge_image_embeddings(
@@ -58,7 +58,7 @@ class MultiVectorHead(nn.Module):
         attention_mask: jnp.ndarray,
         image_token_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        proj = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name=self.proj_name)(
+        proj = QDense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name=self.proj_name)(
             hidden_states
         )
         proj = l2_normalize(proj, eps=self.norm_eps)
@@ -98,7 +98,7 @@ class DenseHead(nn.Module):
             raise ValueError(f"Unknown pooling strategy: {cfg.pooling_strategy}")
 
         if cfg.projection_dim is not None:
-            pooled = nn.Dense(cfg.projection_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj")(
+            pooled = QDense(cfg.projection_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj")(
                 pooled
             )
         if cfg.embedding_dim is not None:

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_embeddings
 from colpali_tpu.models.configs import DenseHeadConfig
-from colpali_tpu.models.layers import Dtype, make_attention_bias, dense_dot_general
+from colpali_tpu.models.layers import Dtype, QDense, make_attention_bias
 from colpali_tpu.models.qwen2_vl import Qwen2Decoder, Qwen2TextConfig
 from colpali_tpu.models.siglip import SiglipEncoderLayer
 
@@ -182,9 +182,8 @@ class Idefics3Backbone(nn.Module):
         cfg = self.config
         self.vision_model = Idefics3VisionTower(cfg.vision, dtype=self.dtype, param_dtype=self.param_dtype,
                                                 scan_layers=self.scan_layers, remat=self.remat)
-        self.modality_projection = nn.Dense(
+        self.modality_projection = QDense(
             cfg.text.hidden_size, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
-            dot_general=dense_dot_general(),
         )
         self.text_model = Qwen2Decoder(cfg.text, dtype=self.dtype, param_dtype=self.param_dtype,
                                        scan_layers=self.scan_layers, remat=self.remat)

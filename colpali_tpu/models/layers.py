@@ -231,6 +231,58 @@ def dense_dot_general():
     return None
 
 
+class QDense(nn.Module):
+    """``nn.Dense`` with the serving quantization policy built in.
+
+    The param tree is IDENTICAL to ``nn.Dense`` (``kernel``/``bias``, same
+    initializers and ``param_dtype``), so checkpoints, loaders, and export
+    are unaffected. Three execution modes, decided per call:
+
+    - **stored int8**: the ``kernel`` leaf handed to ``apply`` is int8
+      (produced offline by :func:`colpali_tpu.ops.quant_dense.quantize_params`)
+      — matmul via :func:`stored_int8_apply` against the ``quant``
+      collection's per-output-channel scale. No per-step weight quantize
+      pass, and weight HBM traffic halves (int8 reads vs bf16).
+    - **dynamic w8a8**: traced inside :func:`quantized_acts` —
+      ``int8_dot_general`` (self-gating by shape; weights re-quantize
+      in-jit).
+    - **exact** (default): plain ``lax.dot_general`` in ``dtype``.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features), self.param_dtype
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        if kernel.dtype == jnp.int8:
+            from colpali_tpu.ops.quant_dense import stored_int8_apply
+
+            scale = self.get_variable("quant", "kernel_scale")
+            if scale is None:
+                raise ValueError(
+                    f"{self.name}: int8 kernel but no 'quant' collection — pass "
+                    "model.apply({'params': qp, 'quant': qc}, ...) with both trees "
+                    "from ops.quant_dense.quantize_params()."
+                )
+            out_dtype = self.dtype or jnp.float32
+            y = stored_int8_apply(x, kernel, scale, out_dtype)
+            return y + bias.astype(out_dtype) if bias is not None else y
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        dg = dense_dot_general() or jax.lax.dot_general
+        y = dg(x, kernel, (((x.ndim - 1,), (0,)), ((), ())))
+        return y + bias if bias is not None else y
+
+
 def _flash_mesh_ok(ctx, batch: int, heads: int, kv_heads: int, require_tpu: bool = True) -> bool:
     """shard_map flash eligibility: every mesh axis must divide its operand
     axis (batch over data, q AND kv heads over model) and — for the auto
@@ -420,9 +472,8 @@ class Attention(nn.Module):
         b, s, model_dim = x.shape
         kv_heads = self.num_kv_heads or self.num_heads
         scale = self.scale if self.scale is not None else self.head_dim**-0.5
-        dense = lambda feats, name, bias: nn.Dense(  # noqa: E731
-            feats, use_bias=bias, dtype=self.dtype, param_dtype=self.param_dtype,
-            dot_general=dense_dot_general(), name=name
+        dense = lambda feats, name, bias: QDense(  # noqa: E731
+            feats, use_bias=bias, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
 
         q = dense(self.num_heads * self.head_dim, "q_proj", self.use_bias)(x).reshape(
@@ -548,9 +599,8 @@ class GatedMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        dense = lambda feats, name: nn.Dense(  # noqa: E731
-            feats, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
-            dot_general=dense_dot_general(), name=name
+        dense = lambda feats, name: QDense(  # noqa: E731
+            feats, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
         gate = dense(self.intermediate_size, "gate_proj")(x)
         up = dense(self.intermediate_size, "up_proj")(x)
@@ -568,12 +618,9 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        dg = dense_dot_general()
-        h = nn.Dense(self.intermediate_size, dtype=self.dtype, param_dtype=self.param_dtype,
-                     dot_general=dg, name="fc1")(x)
+        h = QDense(self.intermediate_size, dtype=self.dtype, param_dtype=self.param_dtype, name="fc1")(x)
         h = ACTIVATIONS[self.activation](h)
-        return nn.Dense(x.shape[-1], dtype=self.dtype, param_dtype=self.param_dtype,
-                        dot_general=dg, name="fc2")(h)
+        return QDense(x.shape[-1], dtype=self.dtype, param_dtype=self.param_dtype, name="fc2")(h)
 
 
 def scanned_stack(
@@ -615,7 +662,9 @@ def scanned_stack(
 
     return nn.scan(
         Body,
-        variable_axes={"params": 0},
+        # 'quant' = stored-int8 kernel scales (ops/quant_dense.quantize_params):
+        # stacked per layer like the params they mirror; absent -> ignored.
+        variable_axes={"params": 0, "quant": 0},
         split_rngs={"params": True},
         length=num_layers,
         in_axes=tuple(0 if i < scanned_args else nn.broadcast for i in range(num_args)),

@@ -35,7 +35,7 @@ from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_em
 from colpali_tpu.models.configs import DenseHeadConfig, SiglipVisionConfig
 from colpali_tpu.models.idefics3 import pixel_shuffle
 from colpali_tpu.models.layers import (
-    dense_dot_general,
+    QDense,
     ACTIVATIONS,
     Attention,
     Dtype,
@@ -188,12 +188,11 @@ class ModernBertLayer(nn.Module):
         x = residual + h
         residual = x
         h = ln("mlp_norm")(x)
-        dg = dense_dot_general()
-        wi = nn.Dense(2 * cfg.intermediate_size, use_bias=cfg.mlp_bias, dtype=self.dtype,
-                      param_dtype=self.param_dtype, dot_general=dg, name="Wi")(h)
+        wi = QDense(2 * cfg.intermediate_size, use_bias=cfg.mlp_bias, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="Wi")(h)
         inp, gate = jnp.split(wi, 2, axis=-1)
-        h = nn.Dense(cfg.hidden_size, use_bias=cfg.mlp_bias, dtype=self.dtype,
-                     param_dtype=self.param_dtype, dot_general=dg, name="Wo")(ACTIVATIONS[cfg.hidden_activation](inp) * gate)
+        h = QDense(cfg.hidden_size, use_bias=cfg.mlp_bias, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="Wo")(ACTIVATIONS[cfg.hidden_activation](inp) * gate)
         return residual + h
 
 
@@ -260,9 +259,8 @@ class ModernVBertModel(nn.Module):
         cfg = self.config
         self.vision_model = SiglipVisionTower(cfg.vision, dtype=self.dtype, param_dtype=self.param_dtype,
                                               scan_layers=self.scan_layers, remat=self.remat)
-        self.modality_projection = nn.Dense(
+        self.modality_projection = QDense(
             cfg.text.hidden_size, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
-            dot_general=dense_dot_general(),
         )
         self.embeddings = DecoupledEmbed(
             cfg.text.vocab_size, cfg.additional_vocab_size, cfg.text.hidden_size,
@@ -360,13 +358,13 @@ class ModernVBertForMaskedLM(nn.Module):
         cfg = self.config
         self.model = ModernVBertModel(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
                                       scan_layers=self.scan_layers, remat=self.remat)
-        self.head_dense = nn.Dense(cfg.text.hidden_size, use_bias=False, dtype=self.dtype,
+        self.head_dense = QDense(cfg.text.hidden_size, use_bias=False, dtype=self.dtype,
                                    param_dtype=self.param_dtype)
         self.head_norm = nn.LayerNorm(epsilon=cfg.text.norm_eps, use_bias=False, dtype=self.dtype,
                                       param_dtype=self.param_dtype)
-        self.decoder = nn.Dense(cfg.text.vocab_size, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.decoder = QDense(cfg.text.vocab_size, dtype=self.dtype, param_dtype=self.param_dtype)
         if cfg.additional_vocab_size > 0:
-            self.additional_fc = nn.Dense(cfg.additional_vocab_size, use_bias=False, dtype=self.dtype,
+            self.additional_fc = QDense(cfg.additional_vocab_size, use_bias=False, dtype=self.dtype,
                                           param_dtype=self.param_dtype)
 
     def __call__(self, input_ids, attention_mask, pixel_values=None, tile_mask=None):

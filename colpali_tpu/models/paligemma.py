@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_embeddings
 from colpali_tpu.models.configs import DenseHeadConfig, PaliGemmaConfig
 from colpali_tpu.models.gemma import GemmaDecoder
-from colpali_tpu.models.layers import Dtype, dense_dot_general
+from colpali_tpu.models.layers import Dtype, QDense
 from colpali_tpu.models.siglip import SiglipVisionTower
 
 
@@ -41,9 +41,8 @@ class PaliGemmaBackbone(nn.Module):
         cfg = self.config
         self.vision_tower = SiglipVisionTower(cfg.vision, dtype=self.dtype, param_dtype=self.param_dtype,
                                               scan_layers=self.scan_layers, remat=self.remat)
-        self.multi_modal_projector = nn.Dense(
+        self.multi_modal_projector = QDense(
             cfg.projection_dim, dtype=self.dtype, param_dtype=self.param_dtype,
-            dot_general=dense_dot_general(),
         )
         self.language_model = GemmaDecoder(cfg.text, dtype=self.dtype, param_dtype=self.param_dtype,
                                            scan_layers=self.scan_layers, remat=self.remat)

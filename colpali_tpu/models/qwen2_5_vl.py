@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_embeddings
 from colpali_tpu.models.configs import DenseHeadConfig
 from colpali_tpu.models.layers import (
-    dense_dot_general,
+    QDense,
     ACTIVATIONS,
     Attention,
     Dtype,
@@ -167,9 +167,8 @@ class BiasedGatedMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        dense = lambda feats, name: nn.Dense(  # noqa: E731
-            feats, use_bias=True, dtype=self.dtype, param_dtype=self.param_dtype,
-            dot_general=dense_dot_general(), name=name
+        dense = lambda feats, name: QDense(  # noqa: E731
+            feats, use_bias=True, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
         gate = dense(self.intermediate_size, "gate_proj")(x)
         up = dense(self.intermediate_size, "up_proj")(x)
@@ -192,9 +191,8 @@ class Qwen25VisionTower(nn.Module):
     @nn.compact
     def __call__(self, patches, hpos, wpos, patch_mask, window_id):
         cfg = self.config
-        x = nn.Dense(
-            cfg.hidden_size, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
-            dot_general=dense_dot_general(), name="patch_embed",
+        x = QDense(
+            cfg.hidden_size, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name="patch_embed",
         )(patches.astype(self.dtype))
 
         freq_dim = cfg.head_dim // 4
@@ -237,14 +235,12 @@ class Qwen25VisionTower(nn.Module):
         b, p, _ = x.shape
         x = RMSNorm(eps=1e-6, add_unit_offset=False, param_dtype=self.param_dtype, name="ln_q")(x)
         x = x.reshape(b, p // merge, merge * cfg.hidden_size)
-        x = nn.Dense(
-            merge * cfg.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
-            dot_general=dense_dot_general(), name="merger_fc1"
+        x = QDense(
+            merge * cfg.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype, name="merger_fc1"
         )(x)
         x = ACTIVATIONS["gelu"](x)
-        return nn.Dense(
-            cfg.out_hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
-            dot_general=dense_dot_general(), name="merger_fc2"
+        return QDense(
+            cfg.out_hidden_size, dtype=self.dtype, param_dtype=self.param_dtype, name="merger_fc2"
         )(x)
 
 

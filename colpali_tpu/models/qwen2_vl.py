@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_embeddings
 from colpali_tpu.models.configs import DenseHeadConfig
 from colpali_tpu.models.layers import (
-    dense_dot_general,
+    QDense,
     ACTIVATIONS,
     Attention,
     Dtype,
@@ -165,10 +165,9 @@ class Qwen2VisionBlock(nn.Module):
         residual = x
         h = ln("norm2")(x)
         hidden_dim = int(cfg.embed_dim * cfg.mlp_ratio)
-        dg = dense_dot_general()
-        h = nn.Dense(hidden_dim, dtype=self.dtype, param_dtype=self.param_dtype, dot_general=dg, name="fc1")(h)
+        h = QDense(hidden_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="fc1")(h)
         h = ACTIVATIONS[cfg.hidden_act](h)
-        h = nn.Dense(cfg.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype, dot_general=dg, name="fc2")(h)
+        h = QDense(cfg.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="fc2")(h)
         return residual + h
 
 
@@ -193,9 +192,8 @@ class Qwen2VisionTower(nn.Module):
     @nn.compact
     def __call__(self, patches, hpos, wpos, patch_mask):
         cfg = self.config
-        x = nn.Dense(
-            cfg.embed_dim, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
-            dot_general=dense_dot_general(), name="patch_embed"
+        x = QDense(
+            cfg.embed_dim, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name="patch_embed"
         )(patches.astype(self.dtype))
 
         # 2D rotary phases: half the (half-)head rotates with h, half with w
@@ -228,13 +226,11 @@ class Qwen2VisionTower(nn.Module):
         b, p, _ = x.shape
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name="ln_q")(x)
         x = x.reshape(b, p // merge, merge * cfg.embed_dim)
-        x = nn.Dense(
-            merge * cfg.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
-            dot_general=dense_dot_general(), name="merger_fc1"
+        x = QDense(
+            merge * cfg.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="merger_fc1"
         )(x)
         x = ACTIVATIONS["gelu"](x)
-        return nn.Dense(cfg.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
-                        dot_general=dense_dot_general(), name="merger_fc2")(x)
+        return QDense(cfg.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype, name="merger_fc2")(x)
 
 
 def mrope_cos_sin(

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_embeddings
 from colpali_tpu.models.configs import DenseHeadConfig
 from colpali_tpu.models.layers import (
-    dense_dot_general,
+    QDense,
     Dtype,
     GatedMLP,
     RMSNorm,
@@ -267,11 +267,10 @@ class GatedDeltaNet(nn.Module):
         # zero out padding tokens (HF apply_mask_to_padding_states)
         x = x * attention_mask[..., None].astype(x.dtype)
 
-        qkvz = nn.Dense(2 * key_dim + 2 * value_dim, use_bias=False, dtype=self.dtype,
-                        param_dtype=self.param_dtype, dot_general=dense_dot_general(),
+        qkvz = QDense(2 * key_dim + 2 * value_dim, use_bias=False, dtype=self.dtype,
+                        param_dtype=self.param_dtype,
                         name="in_proj_qkvz")(x)
-        ba = nn.Dense(2 * hv, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
-                      dot_general=dense_dot_general(), name="in_proj_ba")(x)
+        ba = QDense(2 * hv, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name="in_proj_ba")(x)
 
         # interleaved per-k-head layout (HF fix_query_key_value_ordering)
         qkvz = qkvz.reshape(b, s, hk, 2 * dk + 2 * rep * dv)
@@ -322,8 +321,8 @@ class GatedDeltaNet(nn.Module):
         w = self.param("norm_weight", nn.initializers.ones, (dv,), self.param_dtype)
         normed = (w.astype(up) * normed) * nn.silu(z.astype(jnp.float32))
         out = normed.astype(self.dtype).reshape(b, s, value_dim)
-        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                        param_dtype=self.param_dtype, dot_general=dense_dot_general(),
+        return QDense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                        param_dtype=self.param_dtype,
                         name="out_proj")(out)
 
 
@@ -340,9 +339,8 @@ class GatedAttention(nn.Module):
         cfg = self.config
         b, s, _ = x.shape
         nh, kvh, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-        dense = lambda feats, name: nn.Dense(  # noqa: E731
-            feats, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
-            dot_general=dense_dot_general(), name=name
+        dense = lambda feats, name: QDense(  # noqa: E731
+            feats, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
         qg = dense(nh * d * 2, "q_proj")(x).reshape(b, s, nh, 2 * d)
         q, gate = qg[..., :d], qg[..., d:]
@@ -433,7 +431,7 @@ class SparseMoeBlock(nn.Module):
         flat = x.reshape(-1, d)
         num_tokens = flat.shape[0]
         n_exp, k = cfg.num_experts, cfg.num_experts_per_tok
-        logits = nn.Dense(n_exp, use_bias=False, dtype=self.dtype,
+        logits = QDense(n_exp, use_bias=False, dtype=self.dtype,
                           param_dtype=self.param_dtype, name="gate")(flat)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         top_w, top_i = jax.lax.top_k(probs, k)
@@ -474,7 +472,7 @@ class SparseMoeBlock(nn.Module):
             intermediate_size=cfg.shared_expert_intermediate_size, activation="silu",
             dtype=self.dtype, param_dtype=self.param_dtype, name="shared_expert",
         )(flat)
-        shared_gate = nn.Dense(1, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
+        shared_gate = QDense(1, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
                                name="shared_expert_gate")(flat)
         out = out + nn.sigmoid(shared_gate.astype(jnp.float32)).astype(self.dtype) * shared
         return out.reshape(b, s, d)

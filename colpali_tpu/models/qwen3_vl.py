@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_embeddings
 from colpali_tpu.models.configs import DenseHeadConfig
 from colpali_tpu.models.layers import (
-    dense_dot_general,
+    QDense,
     ACTIVATIONS,
     Attention,
     Dtype,
@@ -213,11 +213,9 @@ class Qwen3VisionPatchMerger(nn.Module):
         else:
             x = ln(x)
             x = x.reshape(b, p // merge, merge * cfg.hidden_size)
-        x = nn.Dense(merge * cfg.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
-                     dot_general=dense_dot_general(), name="linear_fc1")(x)
+        x = QDense(merge * cfg.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype, name="linear_fc1")(x)
         x = ACTIVATIONS["gelu"](x)
-        return nn.Dense(cfg.out_hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
-                        dot_general=dense_dot_general(), name="linear_fc2")(x)
+        return QDense(cfg.out_hidden_size, dtype=self.dtype, param_dtype=self.param_dtype, name="linear_fc2")(x)
 
 
 class Qwen3VisionBlock(nn.Module):
@@ -245,12 +243,9 @@ class Qwen3VisionBlock(nn.Module):
         x = residual + h
         residual = x
         h = ln("norm2")(x)
-        dg = dense_dot_general()
-        h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, param_dtype=self.param_dtype,
-                     dot_general=dg, name="linear_fc1")(h)
+        h = QDense(cfg.intermediate_size, dtype=self.dtype, param_dtype=self.param_dtype, name="linear_fc1")(h)
         h = ACTIVATIONS[cfg.hidden_act](h)
-        h = nn.Dense(cfg.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
-                     dot_general=dg, name="linear_fc2")(h)
+        h = QDense(cfg.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype, name="linear_fc2")(h)
         return residual + h
 
 
@@ -270,8 +265,7 @@ class Qwen3VisionTower(nn.Module):
     @nn.compact
     def __call__(self, patches, hpos, wpos, patch_mask, pos_idx, pos_weight):
         cfg = self.config
-        x = nn.Dense(cfg.hidden_size, use_bias=True, dtype=self.dtype, param_dtype=self.param_dtype,
-                     dot_general=dense_dot_general(), name="patch_embed")(patches.astype(self.dtype))
+        x = QDense(cfg.hidden_size, use_bias=True, dtype=self.dtype, param_dtype=self.param_dtype, name="patch_embed")(patches.astype(self.dtype))
 
         # bilinear-interpolated learned position embeddings (host indices)
         table = nn.Embed(cfg.num_position_embeddings, cfg.hidden_size, dtype=self.dtype,

@@ -30,7 +30,7 @@ import numpy as np
 
 from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_embeddings
 from colpali_tpu.models.configs import DenseHeadConfig
-from colpali_tpu.models.layers import Dtype, make_attention_bias, dense_dot_general
+from colpali_tpu.models.layers import Dtype, QDense, make_attention_bias
 from colpali_tpu.models.qwen2_5_vl import Qwen25VisionTower, Qwen25VLVisionConfig
 from colpali_tpu.models.qwen2_vl import Qwen2Decoder, Qwen2TextConfig
 
@@ -115,10 +115,9 @@ class OmniAudioEncoderLayer(nn.Module):
         x = residual + h
         residual = x
         h = ln("final_layer_norm")(x)
-        dg = dense_dot_general()
-        h = nn.Dense(cfg.encoder_ffn_dim, dtype=self.dtype, param_dtype=self.param_dtype, dot_general=dg, name="fc1")(h)
+        h = QDense(cfg.encoder_ffn_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="fc1")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(cfg.d_model, dtype=self.dtype, param_dtype=self.param_dtype, dot_general=dg, name="fc2")(h)
+        h = QDense(cfg.d_model, dtype=self.dtype, param_dtype=self.param_dtype, name="fc2")(h)
         return residual + h
 
 
@@ -133,9 +132,8 @@ class OmniAudioAttention(nn.Module):
     def __call__(self, x, attn_bias):
         cfg = self.config
         b, s, _ = x.shape
-        dense = lambda bias, name: nn.Dense(  # noqa: E731
-            cfg.d_model, use_bias=bias, dtype=self.dtype, param_dtype=self.param_dtype,
-            dot_general=dense_dot_general(), name=name
+        dense = lambda bias, name: QDense(  # noqa: E731
+            cfg.d_model, use_bias=bias, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
         q = dense(True, "q_proj")(x).reshape(b, s, cfg.encoder_attention_heads, cfg.head_dim)
         k = dense(False, "k_proj")(x).reshape(b, s, cfg.encoder_attention_heads, cfg.head_dim)
@@ -205,8 +203,7 @@ class OmniAudioEncoder(nn.Module):
         n, s, d = x.shape
         x = x.reshape(n, s // 2, 2, d).mean(axis=2)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="ln_post")(x)
-        return nn.Dense(cfg.output_dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                        dot_general=dense_dot_general(), name="proj")(x)
+        return QDense(cfg.output_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj")(x)
 
 
 class QwenOmniBackbone(nn.Module):

@@ -102,6 +102,70 @@ def int8_dot_general(
     return (acc.astype(jnp.float32) * sl * sr).astype(out_dtype)
 
 
+def stored_int8_apply(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    scale: jnp.ndarray,
+    out_dtype: Any,
+) -> jnp.ndarray:
+    """Matmul against a PRE-quantized int8 kernel (w8 static / a8 dynamic).
+
+    ``kernel`` is 2D int8 ``(K, N)`` produced by :func:`quantize_params`
+    with its per-output-channel fp32 ``scale`` ``(1, N)``. Activations are
+    quantized per token row on the fly. Compared to the dynamic mode this
+    removes the per-step weight absmax+requantize pass AND halves weight
+    HBM traffic (int8 reads instead of bf16) — the win that matters in the
+    weight-bound B=1 query-encode regime.
+    """
+    ql, sl = _quantize_rows(x)
+    dn = (((x.ndim - 1,), (0,)), ((), ()))
+    acc = lax.dot_general(ql, kernel, dn, preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * sl * scale).astype(out_dtype)
+
+
+def quantize_params(params, min_dim: int = MIN_QUANT_DIM):
+    """Convert eligible Dense kernels in a param tree to stored int8.
+
+    Walks ``params`` (the flax ``{"params": ...}`` inner tree) and replaces
+    every float leaf named ``kernel`` whose last two dims are both
+    >= ``min_dim`` with a symmetric per-output-channel int8 kernel; the
+    fp32 scales go to a mirrored tree under the same module path as
+    ``kernel_scale`` — the flax ``quant`` collection `QDense` reads.
+    Handles both unrolled 2D ``(K, N)`` kernels and scan-stacked 3D
+    ``(L, K, N)`` kernels (per-layer, per-channel scales ``(L, 1, N)``).
+
+    Returns ``(quantized_params, quant_collection)``; apply as
+    ``model.apply({"params": qp, "quant": qc}, ...)``. Embeddings, norms,
+    biases, small kernels (the 128-d head) pass through untouched.
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    new_flat, scale_flat = {}, {}
+    for path, leaf in flat.items():
+        eligible = (
+            path[-1] == "kernel"
+            and hasattr(leaf, "dtype")
+            and jnp.issubdtype(leaf.dtype, jnp.floating)
+            and leaf.ndim in (2, 3)
+            and leaf.shape[-2] >= min_dim
+            and leaf.shape[-1] >= min_dim
+        )
+        if not eligible:
+            new_flat[path] = leaf
+            continue
+        wf = jnp.asarray(leaf, jnp.float32)
+        absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+        scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+        q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+        new_flat[path] = q
+        scale_flat[path[:-1] + ("kernel_scale",)] = scale
+    return (
+        flax.traverse_util.unflatten_dict(new_flat),
+        flax.traverse_util.unflatten_dict(scale_flat),
+    )
+
+
 def quantization_error(x: jnp.ndarray, w: jnp.ndarray) -> float:
     """Relative L2 error of the w8a8 dot vs the fp32 dot (diagnostics)."""
     dn = (((x.ndim - 1,), (0,)), ((), ()))

@@ -31,15 +31,27 @@ import numpy as np
 
 
 def quant_ctx(args):
-    """--quant: trace the forward under the dynamic w8a8 policy (the big
-    projections run int8 on the MXU; small glue like the 128-d head stays
+    """--quant dynamic: trace the forward under the dynamic w8a8 policy (the
+    big projections run int8 on the MXU; small glue like the 128-d head stays
     exact — ops/quant_dense.py). Trace-time switch, so it wraps the first
     (compiling) call of each jitted forward."""
-    if getattr(args, "quant", False):
+    if getattr(args, "quant", None) == "dynamic":
         from colpali_tpu.models.layers import quantized_acts
 
         return quantized_acts()
     return contextlib.nullcontext()
+
+
+def maybe_quantize_params(args, params):
+    """--quant stored: pre-quantize eligible kernels to int8 once (w8
+    static); the forward then reads int8 weights from HBM — no per-step
+    weight quantize pass, half the weight traffic."""
+    if getattr(args, "quant", None) != "stored":
+        return params
+    from colpali_tpu.ops.quant_dense import quantize_params
+
+    qp, qc = quantize_params(params["params"])
+    return {"params": qp, "quant": qc}
 
 
 def build_colqwen2(batch: int, patches: int, text_tokens: int, scan: bool = False):
@@ -254,6 +266,7 @@ def run_e2e(args, t0):
     print(f"[{time.time()-t0:6.1f}s] init params on device...", flush=True)
     warm_one = {k: v[0] for k, v in warm.items()}
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), **warm_one))()
+    params = maybe_quantize_params(args, params)
 
     if chunk == 1:
         # no lax.map wrapper for the common case — a length-1 scan still
@@ -337,6 +350,7 @@ def run_query_latency(args, t0):
     inputs1 = make_inputs(1)
     print(f"[{time.time()-t0:6.1f}s] init params on device...", flush=True)
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), **inputs1))()
+    params = maybe_quantize_params(args, params)
 
     for b in (1, 8, 32):
         inputs = make_inputs(b)
@@ -399,8 +413,9 @@ def main():
                         help="parallel preprocess+upload staging threads")
     parser.add_argument("--query-latency", action="store_true",
                         help="text-only query-encode latency (B=1/8/32, 32 tokens)")
-    parser.add_argument("--quant", action="store_true",
-                        help="dynamic w8a8 serving mode (int8 MXU projections)")
+    parser.add_argument("--quant", nargs="?", const="dynamic", choices=["dynamic", "stored"],
+                        help="int8 serving mode: 'dynamic' (w8a8 in-jit requantize) or "
+                             "'stored' (pre-quantized int8 kernels, half weight HBM traffic)")
     args = parser.parse_args()
 
     if args.query_latency:
@@ -419,6 +434,7 @@ def main():
 
     print(f"[{time.time()-t0:6.1f}s] init params on device...", flush=True)
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), **inputs))()
+    params = maybe_quantize_params(args, params)
     n_params = sum(int(x.size) for x in jax.tree.leaves(params))
     print(f"[{time.time()-t0:6.1f}s] params: {n_params/1e9:.2f}B", flush=True)
 

@@ -237,3 +237,135 @@ def test_colqwen2_forward_under_policy():
         quant = model_q.apply(params, ids, mask)
     rel = np.linalg.norm(np.asarray(quant - exact)) / np.linalg.norm(np.asarray(exact))
     assert 0 < rel < 0.05
+
+
+class TestStoredInt8:
+    """quantize_params + QDense stored-kernel path (w8 static)."""
+
+    def _tiny_colqwen2(self):
+        from colpali_tpu.models.qwen2_vl import ColQwen2, Qwen2TextConfig, Qwen2VLConfig
+
+        cfg = Qwen2VLConfig(
+            text=Qwen2TextConfig(
+                vocab_size=128, hidden_size=512, intermediate_size=1024,
+                num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=2,
+                head_dim=64, mrope_section=(8, 12, 12),
+            )
+        )
+        return ColQwen2(cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+
+    def test_quantize_params_structure(self):
+        from colpali_tpu.ops.quant_dense import quantize_params
+
+        model = self._tiny_colqwen2()
+        ids = jnp.asarray(np.random.default_rng(0).integers(3, 100, (1, 8)))
+        mask = jnp.ones_like(ids)
+        params = model.init(jax.random.PRNGKey(0), ids, mask)
+        qp, qc = quantize_params(params["params"])
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(params["params"])
+        qflat = flax.traverse_util.flatten_dict(qp)
+        sflat = flax.traverse_util.flatten_dict(qc)
+        assert set(flat) == set(qflat)  # same param tree structure
+        n_q = 0
+        for path, leaf in qflat.items():
+            if leaf.dtype == jnp.int8:
+                n_q += 1
+                spath = path[:-1] + ("kernel_scale",)
+                assert spath in sflat
+                s = sflat[spath]
+                assert s.shape[-1] == leaf.shape[-1] and s.shape[-2] == 1
+            else:
+                np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat[path]))
+        # hidden 512 / intermediate 1024: gate+up+down per layer qualify;
+        # q/k/v/o (512x512, 512x128...) — q & o are 512x512 -> qualify
+        assert n_q >= 2 * 3
+        # the 128-d retrieval head must NOT be quantized
+        head = flax.traverse_util.flatten_dict(qp)[("head", "custom_text_proj", "kernel")]
+        assert head.dtype != jnp.int8
+
+    def test_stored_matches_dynamic_closely(self):
+        """Stored-int8 forward ~= dynamic w8a8 forward (same scheme, the
+        only difference is when the weight quantizes), both close to exact."""
+        from colpali_tpu.ops.quant_dense import quantize_params
+
+        model = self._tiny_colqwen2()
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(3, 100, (2, 12)))
+        mask = jnp.ones_like(ids)
+        params = model.init(jax.random.PRNGKey(0), ids, mask)
+        exact = model.apply(params, ids, mask)
+        with quantized_acts():
+            dynamic = model.apply(params, ids, mask)
+        qp, qc = quantize_params(params["params"])
+        stored = model.apply({"params": qp, "quant": qc}, ids, mask)
+        e, d, s = (np.asarray(t, np.float32) for t in (exact, dynamic, stored))
+        rel_sd = np.linalg.norm(s - d) / np.linalg.norm(d)
+        rel_se = np.linalg.norm(s - e) / np.linalg.norm(e)
+        assert rel_sd < 1e-5  # identical math, different schedule
+        assert 0 < rel_se < 0.05
+
+    def test_stored_scan_layers(self):
+        """Scan-stacked 3D kernels quantize per (layer, channel) and the
+        'quant' collection scans alongside params."""
+        from colpali_tpu.models.qwen2_vl import ColQwen2, Qwen2TextConfig, Qwen2VLConfig
+        from colpali_tpu.ops.quant_dense import quantize_params
+
+        cfg = Qwen2VLConfig(
+            text=Qwen2TextConfig(
+                vocab_size=128, hidden_size=512, intermediate_size=1024,
+                num_hidden_layers=3, num_attention_heads=8, num_key_value_heads=2,
+                head_dim=64, mrope_section=(8, 12, 12),
+            )
+        )
+        ids = jnp.asarray(np.random.default_rng(2).integers(3, 100, (1, 10)))
+        mask = jnp.ones_like(ids)
+        unrolled = ColQwen2(cfg, dtype=jnp.float32, param_dtype=jnp.float32, scan_layers=False)
+        scanned = ColQwen2(cfg, dtype=jnp.float32, param_dtype=jnp.float32, scan_layers=True)
+        params_u = unrolled.init(jax.random.PRNGKey(0), ids, mask)
+        from colpali_tpu.core.hf_loader import stack_layer_params
+
+        params_s = scanned.init(jax.random.PRNGKey(0), ids, mask)
+        qp_s, qc_s = quantize_params(params_s["params"])
+        import flax
+
+        stacked_q = [
+            (p, l) for p, l in flax.traverse_util.flatten_dict(qp_s).items() if l.dtype == jnp.int8 and l.ndim == 3
+        ]
+        assert stacked_q, "scan-stacked kernels should quantize as 3D"
+        out = scanned.apply({"params": qp_s, "quant": qc_s}, ids, mask)
+        exact = scanned.apply(params_s, ids, mask)
+        rel = np.linalg.norm(np.asarray(out - exact)) / np.linalg.norm(np.asarray(exact))
+        assert 0 < rel < 0.05
+
+    def test_qdense_init_tree_matches_nn_dense(self):
+        """QDense must be checkpoint-compatible with nn.Dense: identical
+        param names, shapes, dtypes, and initial values."""
+        from colpali_tpu.models.layers import QDense
+
+        x = jnp.ones((2, 16))
+        for use_bias in (True, False):
+            a = nn.Dense(8, use_bias=use_bias, param_dtype=jnp.float32)
+            b = QDense(8, use_bias=use_bias, param_dtype=jnp.float32)
+            pa = a.init(jax.random.PRNGKey(7), x)
+            pb = b.init(jax.random.PRNGKey(7), x)
+            assert jax.tree.structure(pa) == jax.tree.structure(pb)
+            for la, lb in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+                np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+            np.testing.assert_array_equal(
+                np.asarray(a.apply(pa, x)), np.asarray(b.apply(pb, x))
+            )
+
+    def test_int8_kernel_without_quant_collection_raises(self):
+        from colpali_tpu.models.layers import QDense
+        from colpali_tpu.ops.quant_dense import quantize_params
+
+        mod = QDense(512, use_bias=False, param_dtype=jnp.float32)
+        x = jnp.ones((2, 512))
+        p = mod.init(jax.random.PRNGKey(0), x)
+        qp, qc = quantize_params(p["params"])
+        out = mod.apply({"params": qp, "quant": qc}, x)
+        assert np.isfinite(np.asarray(out)).all()
+        with pytest.raises(ValueError, match="quant"):
+            mod.apply({"params": qp}, x)

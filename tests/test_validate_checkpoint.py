@@ -267,3 +267,31 @@ def test_finetuned_qwen2_gate_is_diagonal_dominant(tiny_qwen2_ckpt, tmp_path):
     assert payload["flax_diag_dominant"] and payload["torch_diag_dominant"]
     assert payload["ndcg@5_delta"] <= 0.1
     assert payload["ranking_agreement@5"] == 1.0
+
+
+def test_auto_loader_quantize_flag(tiny_ckpt):
+    """load_retriever(quantize=True): w8-static serving mode. On this tiny
+    checkpoint every kernel is below MIN_QUANT_DIM, so the self-gating must
+    leave all weights float and the forward EXACTLY equal to the unquantized
+    load — proving small models/glue can never be silently degraded."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from colpali_tpu import load_retriever
+
+    model, variables, processor = load_retriever(str(tiny_ckpt), dtype=jnp.float32)
+    model_q, variables_q, _ = load_retriever(str(tiny_ckpt), dtype=jnp.float32, quantize=True)
+    assert "quant" in variables_q
+    import jax
+
+    assert all(l.dtype != jnp.int8 for l in jax.tree.leaves(variables_q["params"]))
+    batch = processor.process_images([np.zeros((64, 48, 3), np.uint8)])
+    args_ = (
+        jnp.asarray(batch["input_ids"]),
+        jnp.asarray(batch["attention_mask"]),
+        jnp.asarray(batch["pixel_values"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(model.apply(variables, *args_)),
+        np.asarray(model_q.apply(variables_q, *args_)),
+    )
