@@ -20,6 +20,14 @@ Scheme — standard dynamic symmetric w8a8:
 - int8 x int8 -> int32 ``lax.dot_general`` (the native MXU path), then one
   fused rescale ``acc * s_act * s_w`` back to the compute dtype.
 
+Reproducibility note: activation quantization is DISCONTINUOUS (round at
+the int8 grid), so values that land on a rounding boundary can flip
+between different XLA compilations of the same program (eager vs jit vs
+GSPMD-partitioned) — measured ~2e-3 max output delta across compilations
+at 2-layer/512-d scale, vs ~4e-7 for the exact path. Treat quantized
+outputs as reproducible per compiled program, not across programs; the
+variance is two orders of magnitude below the quantization error itself.
+
 :func:`int8_dot_general` is shape-self-gating: contractions that are too
 small to win on the MXU (either dim < :data:`MIN_QUANT_DIM`), non-2D
 weights, or non-matmul dimension numbers fall through to the exact

@@ -369,3 +369,46 @@ class TestStoredInt8:
         assert np.isfinite(np.asarray(out)).all()
         with pytest.raises(ValueError, match="quant"):
             mod.apply({"params": qp}, x)
+
+
+def test_stored_int8_under_mesh_dp():
+    """Quantized (w8 static) serving composes with GSPMD data-parallel
+    serving: params+scales replicated, batch sharded over the 8-device
+    mesh — output equals the single-device stored forward."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from colpali_tpu.models.qwen2_vl import ColQwen2, Qwen2TextConfig, Qwen2VLConfig
+    from colpali_tpu.ops.quant_dense import quantize_params
+
+    cfg = Qwen2VLConfig(
+        text=Qwen2TextConfig(
+            vocab_size=128, hidden_size=512, intermediate_size=1024,
+            num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=2,
+            head_dim=64, mrope_section=(8, 12, 12),
+        )
+    )
+    model = ColQwen2(cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(3).integers(3, 100, (8, 10)))
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.PRNGKey(0), ids, mask)
+    qp, qc = quantize_params(params["params"])
+    variables = {"params": qp, "quant": qc}
+    single = np.asarray(model.apply(variables, ids, mask))
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    batch_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    vs = jax.device_put(variables, repl)
+    ids_s = jax.device_put(ids, batch_sharding)
+    mask_s = jax.device_put(mask, batch_sharding)
+    out = np.asarray(jax.jit(lambda v, i, m: model.apply(v, i, m))(vs, ids_s, mask_s))
+    # Activation quantization is DISCONTINUOUS (round at the int8 grid), so
+    # different XLA compilations (eager / jit / partitioned) may flip
+    # boundary values — measured ~2e-3 max across compilations vs 4e-7 on
+    # the exact path. Assert agreement at well below the quantization error
+    # itself (~1% rel), not bitwise.
+    rel = np.linalg.norm(out - single) / np.linalg.norm(single)
+    assert rel < 5e-3
+    exact = np.asarray(model.apply(params, ids, mask))
+    rel_exact = np.linalg.norm(out - exact) / np.linalg.norm(exact)
+    assert 0 < rel_exact < 0.05
