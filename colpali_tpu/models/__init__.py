@@ -33,7 +33,12 @@ from colpali_tpu.models.modernvbert import (  # noqa: F401
     ModernVBertForMaskedLM,
     ModernVBertModel,
 )
-from colpali_tpu.models.paligemma import BiPali, ColPali, PaliGemmaBackbone  # noqa: F401
+from colpali_tpu.models.paligemma import (  # noqa: F401
+    BiPali,
+    BiPaliProj,
+    ColPali,
+    PaliGemmaBackbone,
+)
 from colpali_tpu.models.qwen_omni import (  # noqa: F401
     BiQwen2_5Omni,
     ColQwen2_5Omni,

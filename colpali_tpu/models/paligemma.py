@@ -146,3 +146,11 @@ class BiPali(nn.Module):
     ) -> jnp.ndarray:
         hidden = self.model(input_ids, attention_mask, pixel_values)
         return self.head(hidden, attention_mask)
+
+
+class BiPaliProj(BiPali):
+    """BiPali with the trained 1024-d projection head — the reference's
+    separate class (modeling_bipali.py:87-149); here just BiPali with the
+    projection default flipped on."""
+
+    projection_dim: Optional[int] = 1024

@@ -18,7 +18,10 @@ from colpali_tpu.processors.modernvbert import (  # noqa: F401
     BiModernVBertProcessor,
     ColModernVBertProcessor,
 )
-from colpali_tpu.processors.qwen2_5_vl import ColQwen2_5Processor  # noqa: F401
+from colpali_tpu.processors.qwen2_5_vl import (  # noqa: F401
+    ColQwen2_5_Processor,
+    ColQwen2_5Processor,
+)
 from colpali_tpu.processors.qwen2_vl import ColQwen2Processor  # noqa: F401
 from colpali_tpu.processors.qwen3_vl import (  # noqa: F401
     BiQwen3_5Processor,

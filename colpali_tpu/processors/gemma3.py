@@ -164,6 +164,8 @@ class BiGemma3Processor(ColGemma3Processor):
         return self.score_single_vector(qs, ps)
 
 
-# reference class-name aliases (processing_colgemma.py:24, processing_bigemma.py:11)
+# The reference's own exported names put the "3" AFTER "Processor"
+# (processing_colgemma.py:24 ``ColGemmaProcessor3``, processing_bigemma.py:11
+# ``BiGemmaProcessor3``) — not typos here; both spellings stay importable.
 ColGemmaProcessor3 = ColGemma3Processor
 BiGemmaProcessor3 = BiGemma3Processor

@@ -65,3 +65,9 @@ class ColQwen2_5Processor(ColQwen2Processor):  # noqa: N801 — reference naming
             )
         batch["window_id"] = window_id
         return batch
+
+
+# The reference exports the underscore spelling (models/__init__.py:
+# ``ColQwen2_5_Processor``, processing_colqwen2_5.py) — keep both names
+# importable so MIGRATION.md's table works verbatim.
+ColQwen2_5_Processor = ColQwen2_5Processor
