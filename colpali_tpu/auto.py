@@ -133,12 +133,22 @@ def load_retriever(
     model_path, config_path, proc_path, loader_name, default_dim, proc_defaults, _, _ = _REGISTRY[family]
 
     config = _resolve(config_path).from_hf_config(hf_cfg)
+    resolved_dim = dim or hf_cfg.get("embedding_dim") or default_dim
+    dim_kwargs = {"dim": resolved_dim}
+    if family == "colqwen3_5":
+        # ColQwen3_5 carries the head dim in its config (the reference reads
+        # getattr(config, "dim", 128), modeling_colqwen3_5.py) — the flax
+        # class has no dim attribute
+        import dataclasses
+
+        config = dataclasses.replace(config, dim=resolved_dim)
+        dim_kwargs = {}
     model = _resolve(model_path)(
         config,
-        dim=dim or hf_cfg.get("embedding_dim") or default_dim,
         dtype=dtype,
         param_dtype=param_dtype or dtype,
         scan_layers=scan_layers,
+        **dim_kwargs,
         **model_kwargs,
     )
     params = getattr(hf_loader, loader_name)(checkpoint_dir, strict=strict)

@@ -347,14 +347,16 @@ def export_colqwen3_state_dict(
     strict: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Flax (Col)Qwen3-VL params -> HF torch-layout state dict (HF Qwen3-VL
-    vision attention uses separate q/k/v: no re-fusing)."""
+    vision attention ships FUSED ``attn.qkv`` — transformers 4.57
+    modeling_qwen3_vl — which hf_loader.split_fused_qkv re-splits on
+    import)."""
     state = export_state_dict(
         unstack_layer_params(params),
         QWEN3_VL_RULES,
         ctx=_conv3d_ctx(channels, temporal_patch_size, patch_size),
         strict=strict,
     )
-    return dress_keys_modern(state, ("visual", "language_model"))
+    return dress_keys_modern(fuse_qkv(state), ("visual", "language_model"))
 
 
 def export_colqwen35_state_dict(
@@ -366,14 +368,16 @@ def export_colqwen35_state_dict(
 ) -> Dict[str, np.ndarray]:
     """Flax (Col)Qwen3.5 params -> HF torch-layout state dict (grouped
     hybrid-scan trees unrolled, stacked MoE experts unstacked into
-    per-expert entries)."""
+    per-expert entries; vision attention re-fused into ``attn.qkv`` — the
+    Qwen3-VL-tower layout split_fused_qkv inverts on import)."""
     state = export_state_dict(
         unstack_layer_params(ungroup_hybrid_params(params)),
         QWEN35_RULES,
         ctx=_conv3d_ctx(channels, temporal_patch_size, patch_size),
         strict=strict,
     )
-    return dress_keys_modern(unstack_expert_weights(state), ("visual", "language_model"))
+    return dress_keys_modern(
+        fuse_qkv(unstack_expert_weights(state)), ("visual", "language_model"))
 
 
 def export_colidefics3_state_dict(

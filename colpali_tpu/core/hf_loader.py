@@ -605,7 +605,12 @@ def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
 
 def load_hf_config(path: str) -> Dict[str, Any]:
     with open(os.path.join(path, "config.json")) as f:
-        return json.load(f)
+        cfg = json.load(f)
+    # record the source dir so composite configs that point at sibling
+    # backbone config dirs by RELATIVE path (ModernVBert's
+    # vision_model_name/text_model_name) can resolve them
+    cfg.setdefault("_checkpoint_dir", os.path.abspath(path))
+    return cfg
 
 
 def load_colpali_params(checkpoint_dir: str, strict: bool = True) -> Dict[str, Any]:

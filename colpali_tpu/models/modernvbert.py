@@ -26,6 +26,8 @@ Components and their specs:
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 from typing import Any, Dict, Mapping, Optional
 
 import flax.linen as nn
@@ -106,15 +108,42 @@ class ModernVBertConfig:
     @classmethod
     def from_hf_config(cls, cfg: Mapping[str, Any]) -> "ModernVBertConfig":
         """Build from a checkpoint config.json. The reference assembles its
-        config from backbone model NAMES (configuration_modernvbert.py:67-135);
-        a saved checkpoint carries the resolved vision_config/text_config
-        dicts, which map directly onto the sub-configs here. Absent keys keep
-        the published ModernVBERT-base defaults."""
+        config from backbone model NAMES (configuration_modernvbert.py:67-135)
+        and serializes only a SUMMARY of each backbone (embed_dim/image_size/
+        patch_size/... for vision; hidden_size/num_hidden_layers/... for
+        text) plus ``vision_model_name``/``text_model_name`` pointers. When
+        those pointers resolve to local config dirs (absolute, or relative to
+        the checkpoint dir recorded as ``_checkpoint_dir`` by
+        hf_loader.load_hf_config), merge the full backbone config underneath
+        the summary; absent keys keep the published ModernVBERT-base
+        defaults. Reference key spellings (``embed_dim``) are normalized."""
+        ckpt_dir = cfg.get("_checkpoint_dir")
+
+        def resolved(sub: Mapping[str, Any], name_key: str) -> Dict[str, Any]:
+            merged: Dict[str, Any] = {}
+            name = sub.get(name_key)
+            if name:
+                for base in ([ckpt_dir] if ckpt_dir else []) + [""]:
+                    path = os.path.join(base, name, "config.json") if base else os.path.join(name, "config.json")
+                    if os.path.exists(path):
+                        with open(path) as f:
+                            backbone = json.load(f)
+                        # composite backbone configs (e.g. a full SiglipModel
+                        # config) nest the vision tower one level down
+                        merged.update(backbone.get("vision_config", backbone))
+                        break
+            merged.update(sub)
+            if "embed_dim" in merged and "hidden_size" not in merged:
+                merged["hidden_size"] = merged["embed_dim"]
+            return merged
+
         kwargs: Dict[str, Any] = {}
         if "vision_config" in cfg:
-            kwargs["vision"] = SiglipVisionConfig.from_hf_config(cfg["vision_config"])
+            kwargs["vision"] = SiglipVisionConfig.from_hf_config(
+                resolved(cfg["vision_config"], "vision_model_name"))
         if "text_config" in cfg:
-            kwargs["text"] = ModernBertTextConfig.from_hf_config(cfg["text_config"])
+            kwargs["text"] = ModernBertTextConfig.from_hf_config(
+                resolved(cfg["text_config"], "text_model_name"))
         for key in ("pixel_shuffle_factor", "additional_vocab_size", "image_token_id"):
             if key in cfg:
                 kwargs[key] = cfg[key]

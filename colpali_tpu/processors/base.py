@@ -99,3 +99,19 @@ class BaseVisualRetrieverProcessor(ABC):
     @abstractmethod
     def get_n_patches(self, image_size: Tuple[int, int], *args, **kwargs) -> Tuple[int, int]:
         """(n_patches_x, n_patches_y) used for an image of (height, width)."""
+
+
+def load_tokenizer(path: str):
+    """AutoTokenizer with a fallback for checkpoints whose config.json
+    model_type the installed transformers does not recognize (e.g.
+    ``modernvbert`` under transformers 4.57): AutoTokenizer consults
+    AutoConfig to pick a tokenizer class and raises on unknown types even
+    when the tokenizer files themselves are perfectly loadable."""
+    from transformers import AutoTokenizer
+
+    try:
+        return AutoTokenizer.from_pretrained(path)
+    except (ValueError, KeyError):
+        from transformers import PreTrainedTokenizerFast
+
+        return PreTrainedTokenizerFast.from_pretrained(path)

@@ -167,9 +167,9 @@ class ColIdefics3Processor(BaseVisualRetrieverProcessor):
         import json
         import os
 
-        from transformers import AutoTokenizer
+        from colpali_tpu.processors.base import load_tokenizer
 
-        tokenizer = AutoTokenizer.from_pretrained(path)
+        tokenizer = load_tokenizer(path)
         init_kwargs: Dict[str, Any] = {}
         pp_path = os.path.join(path, "preprocessor_config.json")
         if os.path.exists(pp_path):

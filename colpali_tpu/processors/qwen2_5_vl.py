@@ -67,6 +67,24 @@ class ColQwen2_5Processor(ColQwen2Processor):  # noqa: N801 — reference naming
         return batch
 
 
+    @classmethod
+    def from_pretrained(cls, path: str, **kwargs) -> "ColQwen2_5Processor":
+        """Also pick up the model's vision window size from config.json —
+        the processor's window ids must partition patches exactly as the
+        checkpoint's tower does (HF get_window_index reads the same field)."""
+        import json
+        import os
+
+        if "window_size" not in kwargs:
+            cfg_path = os.path.join(path, "config.json")
+            if os.path.exists(cfg_path):
+                with open(cfg_path) as f:
+                    vision_cfg = json.load(f).get("vision_config", {})
+                if "window_size" in vision_cfg:
+                    kwargs["window_size"] = vision_cfg["window_size"]
+        return super().from_pretrained(path, **kwargs)
+
+
 # The reference exports the underscore spelling (models/__init__.py:
 # ``ColQwen2_5_Processor``, processing_colqwen2_5.py) — keep both names
 # importable so MIGRATION.md's table works verbatim.

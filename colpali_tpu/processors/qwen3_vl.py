@@ -40,6 +40,23 @@ class ColQwen3Processor(ColQwen2Processor):
         )
         self.num_grid_per_side = num_grid_per_side
 
+    @classmethod
+    def from_pretrained(cls, path: str, **kwargs) -> "ColQwen3Processor":
+        """Also read the learned-position grid side from config.json — the
+        processor's bilinear pos-embed gather must index the same table the
+        checkpoint ships (HF fast_pos_embed_interpolate reads it too)."""
+        import json
+        import os
+
+        if "num_grid_per_side" not in kwargs:
+            cfg_path = os.path.join(path, "config.json")
+            if os.path.exists(cfg_path):
+                with open(cfg_path) as f:
+                    vision_cfg = json.load(f).get("vision_config", {})
+                if "num_position_embeddings" in vision_cfg:
+                    kwargs["num_grid_per_side"] = int(vision_cfg["num_position_embeddings"] ** 0.5)
+        return super().from_pretrained(path, **kwargs)
+
     def process_images(self, images: Sequence[Any], context_prompts: Optional[Sequence[str]] = None) -> Batch:
         batch = super().process_images(images, context_prompts)
         b, p = batch["patch_mask"].shape

@@ -91,6 +91,25 @@ class ColQwen2_5OmniProcessor(ColQwen2_5Processor):  # noqa: N801
         self.num_mel_bins = num_mel_bins
         self.audio_token_id = self.tokenizer.convert_tokens_to_ids(self.audio_token)
 
+    @classmethod
+    def from_pretrained(cls, path: str, **kwargs) -> "ColQwen2_5OmniProcessor":
+        """Also read the audio chunking geometry (n_window, num_mel_bins)
+        from config.json's thinker audio_config — mel chunk boundaries must
+        match the checkpoint's audio tower exactly."""
+        import json
+        import os
+
+        cfg_path = os.path.join(path, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                cfg = json.load(f)
+            audio_cfg = cfg.get("thinker_config", cfg).get("audio_config", {})
+            if "n_window" in audio_cfg:
+                kwargs.setdefault("n_window", audio_cfg["n_window"])
+            if "num_mel_bins" in audio_cfg:
+                kwargs.setdefault("num_mel_bins", audio_cfg["num_mel_bins"])
+        return super().from_pretrained(path, **kwargs)
+
     def _audio_prompt(self, n_tokens: int) -> str:
         return (
             "<|im_start|>user\n"

@@ -376,8 +376,18 @@ def _load_flax(family: str, ckpt: str, dtype):
 def _load_torch_oracle(family: str, ckpt: str):
     """The reference torch model: try /root/reference's colpali_engine first
     (the actual upstream classes), fall back to reconstructing from
-    transformers + the linear head (identical math, modeling_colidefics3.py:16-48)."""
+    transformers + the linear head (identical math, modeling_colidefics3.py:16-48).
+
+    Returns (model, origin, feed_fn) — feed_fn is a per-family batch adapter
+    (None = the generic _embed_torch conversion)."""
     import torch
+
+    if family in ("colqwen2_5", "colqwen3", "colqwen3_5", "colgemma3",
+                  "colmodernvbert", "colqwen_omni"):
+        import gate_families
+
+        model, feed = gate_families.ORACLE_BUILDERS[family](ckpt)
+        return model, "reconstructed", feed
 
     ref_path = "/root/reference"
     if os.path.isdir(ref_path) and ref_path not in sys.path:
@@ -395,7 +405,7 @@ def _load_torch_oracle(family: str, ckpt: str):
 
     if cls is not None:
         model = cls.from_pretrained(ckpt, torch_dtype=torch.float32).eval()
-        return model, "colpali_engine"
+        return model, "colpali_engine", None
 
     # reconstruction path (architecture math per the reference model files)
     import transformers
@@ -430,7 +440,7 @@ def _load_torch_oracle(family: str, ckpt: str):
         if real_missing or unexpected:
             raise SystemExit(
                 f"oracle load mismatch: missing={real_missing[:5]} unexpected={unexpected[:5]}")
-        return model, "reconstructed"
+        return model, "reconstructed", None
 
     if family == "colpali":
         cfg = transformers.PaliGemmaConfig.from_pretrained(ckpt)
@@ -463,7 +473,7 @@ def _load_torch_oracle(family: str, ckpt: str):
         if real_missing or unexpected:
             raise SystemExit(
                 f"oracle load mismatch: missing={real_missing[:5]} unexpected={unexpected[:5]}")
-        return model, "reconstructed"
+        return model, "reconstructed", None
 
     if family != "colidefics3":
         raise SystemExit(
@@ -491,7 +501,7 @@ def _load_torch_oracle(family: str, ckpt: str):
     real_missing = [k for k in missing if "rotary_emb" not in k]
     if real_missing or unexpected:
         raise SystemExit(f"oracle load mismatch: missing={real_missing[:5]} unexpected={unexpected[:5]}")
-    return model, "reconstructed"
+    return model, "reconstructed", None
 
 
 # --------------------------------------------------------------------------
@@ -616,7 +626,8 @@ def _make_pages(n: int, size=(640, 480)) -> list:
     return pages
 
 
-def _embed_flax(model, params, processor, images, queries, batch_size=4):
+def _embed_flax(model, params, processor, images, queries, batch_size=4,
+                process_docs=None):
     import jax.numpy as jnp
 
     # guard against processor/model image-token-id skew (the failure mode is
@@ -635,9 +646,10 @@ def _embed_flax(model, params, processor, images, queries, batch_size=4):
         feed = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_grid_thw"}
         return np.asarray(model.apply({"params": params}, **feed), np.float32)
 
+    process_docs = process_docs or processor.process_images
     doc_embs, doc_masks = [], []
     for i in range(0, len(images), batch_size):
-        batch = processor.process_images(images[i : i + batch_size])
+        batch = process_docs(images[i : i + batch_size])
         out = run(batch)
         mask = np.asarray(batch["attention_mask"]).astype(bool)
         doc_embs.extend(out[j][mask[j]] for j in range(out.shape[0]))
@@ -648,10 +660,14 @@ def _embed_flax(model, params, processor, images, queries, batch_size=4):
     return q_embs, doc_embs
 
 
-def _embed_torch(model, processor, images, queries, batch_size=2):
+def _embed_torch(model, processor, images, queries, batch_size=2, feed=None,
+                 process_docs=None):
     import torch
 
     def run(batch):
+        if feed is not None:
+            with torch.no_grad():
+                return model(**feed(batch)).numpy()
         if "image_grid_thw" in batch and "pixel_values" in batch:
             # qwen2 dynamic resolution: torch takes CONCATENATED unpadded
             # patches + grids and computes M-RoPE internally
@@ -686,9 +702,10 @@ def _embed_torch(model, processor, images, queries, batch_size=2):
         with torch.no_grad():
             return model(**tensors).numpy()
 
+    process_docs = process_docs or processor.process_images
     doc_embs = []
     for i in range(0, len(images), batch_size):
-        batch = processor.process_images(images[i : i + batch_size])
+        batch = process_docs(images[i : i + batch_size])
         out = run(batch)
         mask = np.asarray(batch["attention_mask"]).astype(bool)
         doc_embs.extend(out[j][mask[j]] for j in range(out.shape[0]))
@@ -703,8 +720,15 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("checkpoint", nargs="?", help="HF checkpoint dir")
     parser.add_argument("--family", default="colidefics3",
-                        choices=["colidefics3", "colpali", "colqwen2"])
+                        choices=["colidefics3", "colpali", "colqwen2",
+                                 "colqwen2_5", "colqwen3", "colqwen3_5",
+                                 "colgemma3", "colmodernvbert", "colqwen_omni"])
     parser.add_argument("--pages", type=int, default=8)
+    parser.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"],
+                        help="flax compute/param dtype (bf16 = the serving "
+                             "path; fp32 isolates pipeline faithfulness from "
+                             "low-precision sensitivity, e.g. the qwen3_5 "
+                             "hybrid recurrence)")
     parser.add_argument("--images", help="directory of page images (else synthetic)")
     parser.add_argument("--no-torch", action="store_true", help="skip the torch oracle")
     parser.add_argument("--out", help="append a markdown report here")
@@ -724,6 +748,8 @@ def main():
         return
 
     if args.make_synth:
+        import gate_families
+
         kind, out_dir = args.make_synth
         if kind in ("colsmol", "colsmol-tiny"):
             make_synth_colsmol(out_dir, tiny=kind.endswith("tiny"))
@@ -731,9 +757,12 @@ def main():
             make_synth_colqwen2(out_dir)
         elif kind == "colpali-tiny":
             make_synth_colpali(out_dir)
+        elif kind in gate_families.SYNTH_MAKERS:
+            gate_families.SYNTH_MAKERS[kind](out_dir)
         else:
             raise SystemExit(
-                "only --make-synth colsmol|colsmol-tiny|colqwen2-tiny|colpali-tiny is supported"
+                "supported --make-synth kinds: colsmol|colsmol-tiny|colqwen2-tiny|"
+                "colpali-tiny|" + "|".join(sorted(gate_families.SYNTH_MAKERS))
             )
         return
     if not args.checkpoint:
@@ -745,22 +774,35 @@ def main():
     from colpali_tpu.ops.maxsim import score_multi_vector
 
     t0 = time.time()
-    if args.images:
+    process_docs_name = None
+    if args.family == "colqwen_omni":
+        # the Omni gate validates AUDIO documents end-to-end (the reference's
+        # first-class audio retrieval modality, processing_colqwen_omni.py:123-153)
+        import gate_families
+
+        images = gate_families.make_audios(args.pages)
+        queries = [f"find the audio clip with pitch level {i}" for i in range(len(images))]
+        process_docs_name = "process_audios"
+    elif args.images:
         from PIL import Image
 
         files = sorted(os.listdir(args.images))[: args.pages]
         images = [Image.open(os.path.join(args.images, f)) for f in files]
     else:
         images = _make_pages(args.pages)
-    queries = (QUERIES + [f"find document page {i} quarterly report" for i in range(len(images))])[
-        : len(images)
-    ]
+    if args.family != "colqwen_omni":
+        queries = (QUERIES + [f"find document page {i} quarterly report" for i in range(len(images))])[
+            : len(images)
+        ]
 
-    print(f"[{time.time()-t0:5.1f}s] loading flax ({args.family}, bf16)...", flush=True)
-    model, params, processor = _load_flax(args.family, args.checkpoint, jnp.bfloat16)
+    flax_dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    print(f"[{time.time()-t0:5.1f}s] loading flax ({args.family}, {args.dtype})...", flush=True)
+    model, params, processor = _load_flax(args.family, args.checkpoint, flax_dtype)
+    process_docs = getattr(processor, process_docs_name) if process_docs_name else None
     print(f"[{time.time()-t0:5.1f}s] embedding with flax on "
           f"{jnp.zeros(1).device.platform}...", flush=True)
-    q_f, d_f = _embed_flax(model, params, processor, images, queries)
+    q_f, d_f = _embed_flax(model, params, processor, images, queries,
+                           process_docs=process_docs)
     scores_flax = np.asarray(score_multi_vector(q_f, d_f))
     print(f"[{time.time()-t0:5.1f}s] flax MaxSim matrix:\n{np.round(scores_flax, 2)}", flush=True)
 
@@ -777,9 +819,10 @@ def main():
 
     if not args.no_torch:
         print(f"[{time.time()-t0:5.1f}s] loading torch oracle (fp32, cpu)...", flush=True)
-        oracle, origin = _load_torch_oracle(args.family, args.checkpoint)
+        oracle, origin, feed = _load_torch_oracle(args.family, args.checkpoint)
         print(f"[{time.time()-t0:5.1f}s] embedding with torch ({origin})...", flush=True)
-        q_t, d_t = _embed_torch(oracle, processor, images, queries)
+        q_t, d_t = _embed_torch(oracle, processor, images, queries, feed=feed,
+                                process_docs=process_docs)
         scores_torch = np.asarray(score_multi_vector(q_t, d_t))
         print(f"[{time.time()-t0:5.1f}s] torch MaxSim matrix:\n{np.round(scores_torch, 2)}", flush=True)
         ranked_t = np.argsort(-scores_torch, axis=1)

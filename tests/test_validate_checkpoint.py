@@ -295,3 +295,57 @@ def test_auto_loader_quantize_flag(tiny_ckpt):
         np.asarray(model.apply(variables, *args_)),
         np.asarray(model_q.apply(variables_q, *args_)),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4: every remaining family through the full gate (synth checkpoint ->
+# production loader -> flax forward -> torch oracle -> nDCG delta), executed
+# as the same subprocess command a user runs on real vidore weights.
+# ---------------------------------------------------------------------------
+
+GATE_FAMILIES = [
+    # (family, --make-synth kind, extra gate args)
+    ("colqwen2_5", "colqwen2_5-tiny", []),
+    ("colqwen3", "colqwen3-tiny", []),
+    # fp32 for the hybrid: the GatedDeltaNet recurrence is bf16-sensitive at
+    # tiny random dims (bf16 still PASSes the nDCG gate, but fp32 pins the
+    # pipeline-faithfulness bound at ~1e-3 abs)
+    ("colqwen3_5", "colqwen3_5-tiny", ["--dtype", "fp32"]),
+    ("colgemma3", "colgemma3-tiny", []),
+    ("colmodernvbert", "colmodernvbert-tiny", []),
+    ("colqwen_omni", "colqwen-omni-tiny", []),  # AUDIO documents
+]
+
+
+@pytest.mark.parametrize("family,kind,extra", GATE_FAMILIES,
+                         ids=[f[0] for f in GATE_FAMILIES])
+def test_gate_passes_all_families(family, kind, extra, tmp_path):
+    env = {"PYTHONPATH": "", "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin"}
+    ckpt = tmp_path / kind
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), "--make-synth", kind, str(ckpt)],
+        capture_output=True, text=True, cwd=str(REPO), timeout=300, env={**env},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (ckpt / "model.safetensors").exists() and (ckpt / "tokenizer.json").exists()
+
+    report = tmp_path / "report.md"
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), str(ckpt), "--family", family,
+         "--pages", "4", "--out", str(report), *extra],
+        capture_output=True, text=True, cwd=str(REPO), timeout=900, env={**env},
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "PASS" in r.stdout
+    payload = json.loads(r.stdout[r.stdout.index("{") : r.stdout.rindex("}") + 1])
+    assert payload["ndcg@5_delta"] <= 0.1
+    assert payload["oracle"] == "reconstructed"
+    # flax vs torch score-value agreement is the discriminative signal at
+    # random weights (RESULTS.md caveat): a broken load/merge/feed path
+    # shows up here orders of magnitude before it breaks the nDCG gate
+    assert payload["score_rel_diff"] <= 0.15
+    # the auto-loader detects this family from the synth config.json
+    from colpali_tpu.auto import detect_family
+
+    with open(ckpt / "config.json") as f:
+        assert detect_family(json.load(f)) == family
