@@ -31,6 +31,7 @@ from colpali_tpu.core.hf_loader import (
     GEMMA3_RULES,
     IDEFICS3_RULES,
     MODERNVBERT_RULES,
+    OMNI_AUDIO_RULES,
     PALIGEMMA_RULES,
     QWEN2_VL_RULES,
     QWEN25_VL_RULES,
@@ -380,6 +381,42 @@ def export_colqwen35_state_dict(
         fuse_qkv(unstack_expert_weights(state)), ("visual", "language_model"))
 
 
+def export_colqwen_omni_state_dict(
+    params: Dict[str, Any],
+    channels: int = 3,
+    temporal_patch_size: int = 2,
+    patch_size: int = 14,
+    strict: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Flax (Col)Qwen2.5-Omni params -> HF thinker-layout state dict.
+
+    The thinker checkpoint layout (Qwen2_5OmniThinkerForConditionalGeneration
+    state dict; reference modeling_colqwen_omni.py:10-30) is the OLDER flat
+    nesting: ``audio_tower.* / visual.* / model.*`` (text directly under
+    ``model.``), vision attention as UNFUSED ``attn.{q,k,v}`` without the
+    ``_proj`` suffix — load_colqwen_omni_params' remaps invert all of this."""
+    params = unstack_layer_params(params)
+    model = params.get("model", params)
+    audio = export_state_dict(model["audio_tower"], OMNI_AUDIO_RULES, strict=strict)
+    rest_tree: Dict[str, Any] = {
+        "model": {k: v for k, v in model.items() if k != "audio_tower"}
+    }
+    if "head" in params:
+        rest_tree["head"] = params["head"]
+    rest = export_state_dict(
+        rest_tree,
+        QWEN25_VL_RULES,
+        ctx=_conv3d_ctx(channels, temporal_patch_size, patch_size),
+        strict=strict,
+    )
+    out = {f"audio_tower.{k}": v for k, v in audio.items()}
+    for k, v in rest.items():
+        k = re.sub(r"^language_model\.", "model.", k)
+        k = re.sub(r"(\.attn)\.(q|k|v)_proj\.", r"\1.\2.", k)
+        out[k] = v
+    return out
+
+
 def export_colidefics3_state_dict(
     params: Dict[str, Any], strict: bool = True
 ) -> Dict[str, np.ndarray]:
@@ -429,6 +466,8 @@ EXPORTERS: Dict[str, Callable] = {
     "BiQwen3": export_colqwen3_state_dict,
     "ColQwen3_5": export_colqwen35_state_dict,
     "BiQwen3_5": export_colqwen35_state_dict,
+    "ColQwen2_5Omni": export_colqwen_omni_state_dict,
+    "BiQwen2_5Omni": export_colqwen_omni_state_dict,
     "ColIdefics3": export_colidefics3_state_dict,
     "BiIdefics3": export_colidefics3_state_dict,
     "ColGemma3": export_colgemma3_state_dict,

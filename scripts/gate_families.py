@@ -151,7 +151,8 @@ def _oracle_colqwen25(ckpt: str):
     return model, _feed_qwen_grid
 
 
-def _strict_load(model, ckpt: str, drop_substrings=("rotary_emb", "lm_head")) -> None:
+def _strict_load(model, ckpt: str, drop_substrings=("rotary_emb", "lm_head"),
+                 rekey=None) -> None:
     import torch  # noqa: F401
     from safetensors.torch import load_file
 
@@ -159,6 +160,8 @@ def _strict_load(model, ckpt: str, drop_substrings=("rotary_emb", "lm_head")) ->
     for fn in os.listdir(ckpt):
         if fn.endswith(".safetensors"):
             state.update(load_file(os.path.join(ckpt, fn)))
+    if rekey is not None:
+        state = rekey(state)
     missing, unexpected = model.load_state_dict(state, strict=False)
     real_missing = [k for k in missing if not any(s in k for s in drop_substrings)]
     real_unexpected = [k for k in unexpected if not any(s in k for s in drop_substrings)]
@@ -885,7 +888,19 @@ def _oracle_colqwen_omni(ckpt: str):
             return proj * attention_mask.unsqueeze(-1)
 
     model = TorchColQwenOmni().eval()
-    _strict_load(model, ckpt)
+
+    def rekey(state):
+        # full-Omni checkpoints nest under thinker.*; Col-style exports
+        # (reference modeling_colqwen_omni saved models, and this repo's
+        # export_colqwen_omni_state_dict) are thinker-relative
+        if any(k.startswith("thinker.") for k in state):
+            return state
+        return {k if k.startswith("custom_text_proj") else f"thinker.{k}": v
+                for k, v in state.items()}
+
+    _strict_load(model, ckpt, rekey=rekey,
+                 drop_substrings=("rotary_emb", "lm_head", "audio_bos_eos_token",
+                                  "positional_embedding"))
 
     def feed(batch):
         import torch as _t
@@ -947,11 +962,14 @@ def make_audios(n: int, seconds: float = 1.6, rate: int = 16000) -> list:
     t = np.arange(int(seconds * rate)) / rate
     audios = []
     for i in range(n):
-        f0 = 180.0 + 97.0 * i
+        # geometric pitch spacing: a 16-bin mel front-end cannot resolve
+        # ~100 Hz steps, so near-linear spacing makes neighboring docs
+        # collapse to the same mel signature
+        f0 = 150.0 * (2.0 ** (i * 0.75))
         wave = np.zeros_like(t)
         for h in range(1, 4 + i % 3):
             wave += rng.uniform(0.3, 1.0) * np.sin(2 * np.pi * f0 * h * t + rng.uniform(0, 6.28))
-        am = 0.5 + 0.5 * np.sin(2 * np.pi * (1.5 + 0.9 * i) * t)
+        am = 0.5 + 0.5 * np.sin(2 * np.pi * (1.5 + 1.7 * i) * t)
         wave = wave * am + 0.05 * rng.normal(size=t.shape)
         audios.append((wave / np.max(np.abs(wave))).astype(np.float32))
     return audios

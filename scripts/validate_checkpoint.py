@@ -528,9 +528,13 @@ def finetune_checkpoint(args) -> None:
         "colidefics3": hf_export.export_colidefics3_state_dict,
         "colqwen2": hf_export.export_colqwen2_state_dict,
         "colpali": hf_export.export_colpali_state_dict,
+        "colqwen2_5": hf_export.export_colqwen25_state_dict,
+        "colqwen3": hf_export.export_colqwen3_state_dict,
+        "colqwen3_5": hf_export.export_colqwen35_state_dict,
+        "colgemma3": hf_export.export_colgemma3_state_dict,
+        "colmodernvbert": hf_export.export_colmodernvbert_state_dict,
+        "colqwen_omni": hf_export.export_colqwen_omni_state_dict,
     }
-    if args.family not in exporters:
-        raise SystemExit(f"--finetune supports {sorted(exporters)}")
     export_fn = exporters[args.family]
     # scan+remat: the full-scale fp32 train step (e.g. colSmol's 18 tiles x
     # 1024 SigLIP patches, full backward + Adam) exceeds one chip's HBM
@@ -539,15 +543,33 @@ def finetune_checkpoint(args) -> None:
         args.checkpoint, family=args.family, dtype=jnp.float32,
         param_dtype=jnp.float32, scan_layers=True, remat=True,
     )
+    # the conv-patch refold in the qwen-family exporters must use the
+    # CHECKPOINT's patch geometry, not the exporter default
+    export_kwargs = {}
+    if args.family in ("colqwen2", "colqwen2_5", "colqwen3", "colqwen3_5", "colqwen_omni"):
+        export_kwargs = {
+            "patch_size": getattr(processor, "patch_size", 14),
+            "temporal_patch_size": getattr(processor, "temporal_patch_size", 2),
+        }
     params = variables["params"]
-    pages = _make_pages(args.pages)
-    # the SAME query construction the gate uses, so training teaches the
-    # query_i <-> page_i association the gate then ranks on
-    queries = (QUERIES + [f"find document page {i} quarterly report" for i in range(len(pages))])[
-        : len(pages)
-    ]
-    doc_batch = {k: jnp.asarray(v) for k, v in processor.process_images(pages).items()
-                 if k != "image_grid_thw"}  # torch-oracle metadata, not a model input
+    if args.family == "colqwen_omni":
+        # audio documents: the Omni gate's retrieval modality
+        import gate_families
+
+        pages = gate_families.make_audios(args.pages)
+        queries = [f"find the audio clip with pitch level {i}" for i in range(len(pages))]
+        raw_docs = processor.process_audios(pages)
+    else:
+        pages = _make_pages(args.pages)
+        # the SAME query construction the gate uses, so training teaches the
+        # query_i <-> page_i association the gate then ranks on
+        queries = (QUERIES + [f"find document page {i} quarterly report" for i in range(len(pages))])[
+            : len(pages)
+        ]
+        raw_docs = processor.process_images(pages)
+    # image_grid_thw/video_grid_thw are torch-oracle metadata, not model inputs
+    doc_batch = {k: jnp.asarray(v) for k, v in raw_docs.items()
+                 if k not in ("image_grid_thw", "video_grid_thw")}
     q_batch = {k: jnp.asarray(v) for k, v in processor.process_queries(queries).items()}
     # smooth max: at real-model scale with random weights, the hard MaxSim
     # max is won by the PROMPT tokens (identical across pages) for every
@@ -577,7 +599,7 @@ def finetune_checkpoint(args) -> None:
 
     out_dir = args.finetune_out
     os.makedirs(out_dir, exist_ok=True)
-    state = export_fn(jax.device_get(params))
+    state = export_fn(jax.device_get(params), **export_kwargs)
     from safetensors.numpy import save_file
 
     save_file(
@@ -590,6 +612,9 @@ def finetune_checkpoint(args) -> None:
     for fn in os.listdir(args.checkpoint):
         if fn.endswith(".json") and fn != "model.safetensors":
             shutil.copy(os.path.join(args.checkpoint, fn), os.path.join(out_dir, fn))
+    backbones = os.path.join(args.checkpoint, "backbones")
+    if os.path.isdir(backbones):  # modernvbert composite-config pointers
+        shutil.copytree(backbones, os.path.join(out_dir, "backbones"), dirs_exist_ok=True)
     print(f"[finetune] exported trained checkpoint to {out_dir}", flush=True)
 
 

@@ -274,3 +274,47 @@ class TestColQwen35Export:
         assert set(flat) == set(regrouped)
         for k in flat:
             np.testing.assert_array_equal(flat[k], regrouped[k])
+
+
+class TestOmniExportRoundTrip:
+    def test_thinker_checkpoint_roundtrips(self, tmp_path):
+        """export_colqwen_omni_state_dict inverts load_colqwen_omni_params:
+        thinker-layout synth -> flax params -> export -> reload == identity
+        (audio tower re-prefixed, text under model., vision attn unfused
+        q/k/v without the _proj suffix)."""
+        import subprocess
+        import sys
+
+        import jax
+        import numpy as np
+        from safetensors.numpy import save_file
+
+        from colpali_tpu.core.hf_export import export_colqwen_omni_state_dict
+        from colpali_tpu.core.hf_loader import load_colqwen_omni_params
+
+        import pathlib
+
+        repo = pathlib.Path(__file__).resolve().parents[2]
+        script = repo / "scripts" / "validate_checkpoint.py"
+        synth = tmp_path / "omni"
+        r = subprocess.run(
+            [sys.executable, str(script), "--make-synth", "colqwen-omni-tiny", str(synth)],
+            capture_output=True, text=True, cwd=str(repo), timeout=300,
+            env={"PYTHONPATH": "", "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin"},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+        params = load_colqwen_omni_params(str(synth))
+        state = export_colqwen_omni_state_dict(params)
+        out = tmp_path / "exported"
+        out.mkdir()
+        save_file({k: np.ascontiguousarray(v) for k, v in state.items()},
+                  str(out / "model.safetensors"), metadata={"format": "pt"})
+        params2 = load_colqwen_omni_params(str(out))
+        flat1 = {jax.tree_util.keystr(p): v
+                 for p, v in jax.tree_util.tree_leaves_with_path(params)}
+        flat2 = {jax.tree_util.keystr(p): v
+                 for p, v in jax.tree_util.tree_leaves_with_path(params2)}
+        assert set(flat1) == set(flat2)
+        for k in flat1:
+            np.testing.assert_array_equal(np.asarray(flat1[k]), np.asarray(flat2[k]), err_msg=k)

@@ -349,3 +349,41 @@ def test_gate_passes_all_families(family, kind, extra, tmp_path):
 
     with open(ckpt / "config.json") as f:
         assert detect_family(json.load(f)) == family
+
+
+@pytest.mark.parametrize("family,kind,steps,pages", [
+    ("colgemma3", "colgemma3-tiny", 80, 4),  # the chat-template family whose
+                                             # random-weight matrix is vacuous
+    # AUDIO documents; the tiny audio tower needs more steps/docs to separate
+    ("colqwen_omni", "colqwen-omni-tiny", 200, 6),
+], ids=["colgemma3", "colqwen_omni"])
+def test_finetuned_gate_new_families(family, kind, steps, pages, tmp_path):
+    """Train-then-validate on the round-4 families: a short in-env
+    contrastive finetune must separate the documents so the gate's ranking
+    half becomes non-trivial (diagonal dominance in BOTH frameworks through
+    train -> hf export -> production reload -> torch oracle)."""
+    env = {"PYTHONPATH": "", "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin"}
+    ckpt = tmp_path / kind
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), "--make-synth", kind, str(ckpt)],
+        capture_output=True, text=True, cwd=str(REPO), timeout=300, env={**env},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    trained = tmp_path / "trained"
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), str(ckpt), "--family", family,
+         "--finetune", str(steps), "--finetune-out", str(trained),
+         "--finetune-lr", "1e-3", "--pages", str(pages)],
+        capture_output=True, text=True, cwd=str(REPO), timeout=900, env={**env},
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), str(trained), "--family", family,
+         "--pages", str(pages)],
+        capture_output=True, text=True, cwd=str(REPO), timeout=900, env={**env},
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    payload = json.loads(r.stdout[r.stdout.index("{") : r.stdout.rindex("}") + 1])
+    assert payload["flax_diag_dominant"] and payload["torch_diag_dominant"]
+    assert payload["ndcg@5_delta"] <= 0.1
+    assert payload["ranking_agreement@5"] == 1.0
