@@ -47,6 +47,87 @@ def to_rgb_array(image: ImageLike) -> np.ndarray:
     return image.astype(np.uint8)
 
 
+def host_resize_rgb(image: ImageLike, size: Tuple[int, int]) -> np.ndarray:
+    """PIL bicubic resize to ``size`` -> (h, w, 3) uint8, minimizing host
+    work on a 1-core ingestion host: resize runs FIRST on the native PIL
+    image (PIL's C resize needs no numpy copy and handles RGB/L/RGBA
+    directly), and the RGB convert + numpy copy happen at TARGET size —
+    ~13x fewer pixels than converting the full page first (the order the
+    round-3 pipeline used; perf/embed_decompose.py showed the full-page
+    convert alone cost ~19 ms/batch)."""
+    from PIL import Image
+
+    if hasattr(image, "convert"):  # PIL
+        if image.mode not in ("RGB", "L", "RGBA"):
+            image = image.convert("RGB")  # palette modes: convert pre-resize
+        if image.size != (size[1], size[0]):
+            image = image.resize((size[1], size[0]), Image.Resampling.BICUBIC)
+        if image.mode != "RGB":
+            image = image.convert("RGB")
+        return np.asarray(image)
+    arr = to_rgb_array(image)
+    if arr.shape[:2] != size:
+        arr = np.asarray(
+            Image.fromarray(arr).resize((size[1], size[0]), Image.Resampling.BICUBIC)
+        )
+    return arr
+
+
+# BT.601 full-range (JFIF) RGB<->YUV — the document-ingestion wire format.
+# Chroma is 2x2-subsampled (YUV420): half the host->device bytes of RGB u8,
+# which is the scarce resource when pages stream to a remote-attached chip.
+_YUV_FWD = np.array(
+    [[0.299, 0.587, 0.114],
+     [-0.168736, -0.331264, 0.5],
+     [0.5, -0.418688, -0.081312]], np.float32
+)
+
+
+def rgb_to_yuv420(arr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(H, W, 3) uint8 RGB -> ``(y (H, W), uv (H/2, W/2, 2))`` uint8.
+
+    H and W must be even (true for every fixed-res vision input here).
+    Host cost is one 3x3 matmul over the TARGET-size pixels plus a 2x2 box
+    average — a few ms per 448x448 page."""
+    h, w, _ = arr.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"YUV420 needs even dims, got {(h, w)}")
+    x = arr.astype(np.float32)
+    y = x @ _YUV_FWD[0]
+    u = x @ _YUV_FWD[1] + 128.0
+    v = x @ _YUV_FWD[2] + 128.0
+    uv = np.stack([u, v], axis=-1).reshape(h // 2, 2, w // 2, 2, 2).mean(axis=(1, 3))
+    return (
+        np.clip(np.rint(y), 0, 255).astype(np.uint8),
+        np.clip(np.rint(uv), 0, 255).astype(np.uint8),
+    )
+
+
+def yuv420_to_rgb(y: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse: ``(B, H, W) + (B, H/2, W/2, 2)`` uint8 ->
+    ``(B, H, W, 3)`` float32 in 0..255 (nearest chroma upsample). Cheap
+    elementwise math — jit-compose it with normalize + the model forward so
+    the whole decode fuses into the embedding dispatch."""
+    yf = y.astype(jnp.float32)
+    uvf = uv.astype(jnp.float32) - 128.0
+    uvf = jnp.repeat(jnp.repeat(uvf, 2, axis=1), 2, axis=2)  # (B, H, W, 2)
+    u, v = uvf[..., 0], uvf[..., 1]
+    r = yf + 1.402 * v
+    g = yf - 0.344136 * u - 0.714136 * v
+    b = yf + 1.772 * u
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+def normalize_pixels(
+    x: jnp.ndarray, mean: Sequence[float], std: Sequence[float]
+) -> jnp.ndarray:
+    """0..255 floats -> HF normalize pipeline tail: rescale 1/255 then
+    (x - mean) / std. Elementwise; fuses into whatever jit wraps it."""
+    m = jnp.asarray(mean, jnp.float32)[None, None, None, :]
+    s = jnp.asarray(std, jnp.float32)[None, None, None, :]
+    return (x / 255.0 - m) / s
+
+
 @functools.partial(jax.jit, static_argnames=("height", "width", "method", "antialias"))
 def _resize_normalize(
     images_u8: jnp.ndarray,
@@ -92,16 +173,7 @@ def preprocess_images_fixed(
     page is ~6.3 MB raw but 0.6 MB at 448x448 — perf/embed_decompose.py).
     """
     if host_resize:
-        from PIL import Image
-
-        arrays = []
-        for im in images:
-            arr = to_rgb_array(im)
-            if arr.shape[:2] != size:
-                arr = np.asarray(
-                    Image.fromarray(arr).resize((size[1], size[0]), Image.Resampling.BICUBIC)
-                )
-            arrays.append(arr)
+        arrays = [host_resize_rgb(im, size) for im in images]
     else:
         arrays = [to_rgb_array(im) for im in images]
     mean_j = jnp.asarray(mean, dtype=jnp.float32)

@@ -1,0 +1,213 @@
+"""Serving-side search dispatch: routing + micro-batching.
+
+The reference has no serving layer (SURVEY.md §1); this module is the
+concurrency story for ours. Two measured facts drive the design
+(docs/PERF.md "Two-tier" table):
+
+- the two-tier (binary prefilter) path wins only for SMALL query batches:
+  at B=1 it is ~7x faster than exact scoring, but by B=8 the exact sweep's
+  amortization has flipped the order (58.9 ms tiered vs 16.7 ms exact on
+  1M pages);
+- one exact sweep over B queries costs barely more than over one query
+  (the corpus-side HBM traffic dominates and is shared), so concurrent
+  B=1 requests are cheapest when merged into ONE device call.
+
+Hence:
+
+- :func:`route` — pick the kernel per sweep: tiered for small batches on a
+  prefilter index, exact otherwise.
+- :class:`MicroBatcher` — aggregate concurrent search requests within a
+  short linger window into one device sweep. A single dispatcher thread
+  owns the device; callers block on an event. This replaces
+  lock-serialized per-request dispatch: serialization becomes batching,
+  and bigger merged batches auto-route to the exact kernel (which is
+  exactly when it wins).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+#: merged-batch size above which the exact sweep beats the two-tier path
+#: (docs/PERF.md: crossover is between B=4 and B=8 on the 1M-page index)
+DEFAULT_EXACT_THRESHOLD = 4
+
+
+def route(index, n_queries: int, mode: str = "auto",
+          exact_threshold: int = DEFAULT_EXACT_THRESHOLD) -> str:
+    """Resolve the kernel for a sweep of ``n_queries``.
+
+    mode: ``"auto"`` (batch-size heuristic), ``"exact"`` (force full
+    sweep), ``"tiered"`` (force prefilter; error if the index has none).
+    Returns ``"exact"`` or ``"tiered"``.
+    """
+    if mode == "exact":
+        return "exact"
+    if mode == "tiered":
+        if index.prefilter is None:
+            raise ValueError("mode='tiered' requires an index built with a prefilter")
+        return "tiered"
+    if mode != "auto":
+        raise ValueError(f"unknown mode {mode!r}; expected auto|exact|tiered")
+    if index.prefilter is None or n_queries > exact_threshold:
+        return "exact"
+    return "tiered"
+
+
+def run_search(index, queries: Sequence[np.ndarray], k: int,
+               candidates: Optional[int] = None, mode: str = "auto",
+               exact_threshold: int = DEFAULT_EXACT_THRESHOLD,
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """One routed sweep: ``(scores, doc_ids)`` for all ``queries``."""
+    kernel = route(index, len(queries), mode, exact_threshold)
+    if kernel == "exact":
+        return index.exact_search(queries, k=k) if index.prefilter is not None \
+            else index.search(queries, k=k)
+    return index.search(queries, k=k, candidates=candidates)
+
+
+class _Pending:
+    __slots__ = ("queries", "k", "candidates", "mode", "event", "scores", "ids", "error")
+
+    def __init__(self, queries, k, candidates, mode):
+        self.queries = queries
+        self.k = k
+        self.candidates = candidates
+        self.mode = mode
+        self.event = threading.Event()
+        self.scores = None
+        self.ids = None
+        self.error: Optional[BaseException] = None
+
+
+class MicroBatcher:
+    """Merge concurrent search requests into single device sweeps.
+
+    Args:
+        index: a :class:`~colpali_tpu.retrieval.CorpusIndex`.
+        window_ms: linger after the first queued request before dispatch —
+            the latency spent fishing for mergeable concurrent requests.
+            0 disables lingering (requests still merge if they pile up
+            while a sweep is in flight, which is where most merging comes
+            from under real load).
+        max_queries: cap on merged queries per sweep.
+        exact_threshold: see :func:`route`.
+        lock: optional lock held during each sweep — share it with index
+            mutators (``extend``) so searches never race an in-place update.
+    """
+
+    def __init__(self, index, window_ms: float = 2.0, max_queries: int = 64,
+                 exact_threshold: int = DEFAULT_EXACT_THRESHOLD,
+                 lock: Optional[threading.Lock] = None):
+        self.index = index
+        self.window = window_ms / 1e3
+        self.max_queries = max_queries
+        self.exact_threshold = exact_threshold
+        self.lock = lock if lock is not None else threading.Lock()
+        self._queue: deque[_Pending] = deque()
+        self._cv = threading.Condition()
+        self._closed = False
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="search-microbatcher")
+        self._thread.start()
+
+    def search(self, queries: Sequence[np.ndarray], k: int = 10,
+               candidates: Optional[int] = None, mode: str = "auto",
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Blocking search; safe to call from many threads concurrently.
+
+        Returns per-request ``(scores (n, k'), doc_ids (n, k'))`` with
+        ``k' = min(k, num_docs)``, identical to ``index.search`` — merging
+        never changes results, only when the device gets asked.
+        """
+        if not queries:
+            raise ValueError("empty query batch")
+        route(self.index, len(queries), mode, self.exact_threshold)  # validate early
+        p = _Pending([np.asarray(q, np.float32) for q in queries], int(k),
+                     candidates, mode)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._queue.append(p)
+            self._cv.notify()
+        p.event.wait()
+        if p.error is not None:
+            raise p.error
+        return p.scores, p.ids
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._thread.join(timeout=5)
+
+    # -- dispatcher ----------------------------------------------------------
+
+    def _take_batch(self) -> List[_Pending]:
+        with self._cv:
+            while not self._queue and not self._closed:
+                self._cv.wait()
+            if not self._queue:
+                return []
+            batch = [self._queue.popleft()]
+        total = len(batch[0].queries)
+        deadline = time.perf_counter() + self.window
+        while total < self.max_queries:
+            remaining = deadline - time.perf_counter()
+            with self._cv:
+                if not self._queue:
+                    if remaining <= 0 or self._closed:
+                        break
+                    self._cv.wait(remaining)
+                while self._queue and total < self.max_queries:
+                    # never split one request across sweeps
+                    nxt = self._queue[0]
+                    if total + len(nxt.queries) > self.max_queries and batch:
+                        total = self.max_queries
+                        break
+                    batch.append(self._queue.popleft())
+                    total += len(nxt.queries)
+        return batch
+
+    def _loop(self) -> None:
+        while True:
+            batch = self._take_batch()
+            if not batch:
+                return  # closed and drained
+            # requests in one sweep must agree on shortlist size; explicit
+            # modes are honored by grouping, auto requests merge freely
+            groups: dict = {}
+            for p in batch:
+                groups.setdefault((p.candidates, p.mode), []).append(p)
+            for (cand, mode), group in groups.items():
+                self._dispatch(group, cand, mode)
+
+    def _dispatch(self, group: List[_Pending], candidates, mode: str) -> None:
+        try:
+            flat: List[np.ndarray] = []
+            for p in group:
+                flat.extend(p.queries)
+            k = max(p.k for p in group)
+            with self.lock:
+                scores, ids = run_search(
+                    self.index, flat, k=k, candidates=candidates, mode=mode,
+                    exact_threshold=self.exact_threshold,
+                )
+            row = 0
+            for p in group:
+                n = len(p.queries)
+                kk = min(p.k, scores.shape[1])
+                p.scores = scores[row : row + n, :kk]
+                p.ids = ids[row : row + n, :kk]
+                row += n
+        except BaseException as exc:  # noqa: BLE001 — delivered to each caller
+            for p in group:
+                p.error = exc
+        finally:
+            for p in group:
+                p.event.set()

@@ -742,17 +742,22 @@ class DeviceIndexBuilder:
         dim: embedding dimension.
         dtype / prefilter: as in :class:`CorpusIndex`.
         pool_factor: optional on-device token pooling during ingestion —
-            each added batch runs through
-            :func:`compression.token_pooling.kmeans_pool_padded` (batched
-            spherical k-means, the reference HierarchicalTokenPooler's
-            cluster-count rule and aggregation) before quantize/pack, so
+            each added batch is pooled before quantize/pack, so
             embed -> pool -> index never leaves the chip. ``doc_tokens``
             then bounds the POOLED length (``S // pool_factor``).
+        pool_method: ``"ward"`` (default) runs
+            :func:`compression.token_pooling.ward_pool_padded` — batched
+            EXACT Ward agglomerative clustering under jit, partition-
+            identical to the reference scipy HierarchicalTokenPooler;
+            ``"kmeans"`` runs the cheaper O(T^2)-per-sweep spherical
+            k-means (:func:`kmeans_pool_padded`) at a measured retention
+            cost (perf/pooling_retention.py).
     """
 
     def __init__(self, doc_tokens: int, dim: int, dtype: str = "int8",
                  prefilter: Optional[str] = None,
-                 pool_factor: Optional[int] = None, pool_iters: int = 10):
+                 pool_factor: Optional[int] = None, pool_iters: int = 10,
+                 pool_method: str = "ward"):
         self.doc_tokens = round_up(doc_tokens, 16)
         self.dim = dim
         self.dtype = dtype
@@ -765,11 +770,19 @@ class DeviceIndexBuilder:
         if pool_factor is not None and pool_factor > 1:
             from functools import partial
 
-            from colpali_tpu.compression.token_pooling import kmeans_pool_padded
-
-            self._pool = jax.jit(
-                partial(kmeans_pool_padded, pool_factor=pool_factor, iters=pool_iters)
+            from colpali_tpu.compression.token_pooling import (
+                kmeans_pool_padded,
+                ward_pool_padded,
             )
+
+            if pool_method == "ward":
+                self._pool = jax.jit(partial(ward_pool_padded, pool_factor=pool_factor))
+            elif pool_method == "kmeans":
+                self._pool = jax.jit(
+                    partial(kmeans_pool_padded, pool_factor=pool_factor, iters=pool_iters)
+                )
+            else:
+                raise ValueError(f"pool_method must be 'ward' or 'kmeans', got {pool_method!r}")
         else:
             self._pool = None
 

@@ -152,6 +152,143 @@ def _make_pages(n: int, height: int = 1650, width: int = 1275):
     return pages
 
 
+def run_e2e_fused(args, t0):
+    """Link-optimized colpali ingestion: PIL pages -> host bicubic resize ->
+    u8 (RGB or YUV420) upload -> ONE fused device dispatch per chunk
+    (decode + normalize + forward). Differences vs the generic --e2e path,
+    each attacking a measured cost on a 1-core host behind a serialized,
+    bandwidth-variable tunnel (perf/embed_decompose.py):
+
+    - pixel decode/normalize runs INSIDE the forward jit: one device
+      dispatch per chunk instead of two (each dispatch costs 10-40 ms RPC);
+    - ``--transport yuv420`` halves the wire bytes (2x2-subsampled chroma,
+      u8): the upload serializes with compute on this tunnel, so bytes are
+      latency;
+    - the prompt is static across batches: input_ids upload once, ever;
+    - RGB convert happens after resize at target size (host_resize_rgb).
+    """
+    from colpali_tpu.data.prefetch import prefetch
+    from colpali_tpu.models.configs import PaliGemmaConfig
+    from colpali_tpu.models.paligemma import ColPali
+    from colpali_tpu.processors.colpali import ColPaliProcessor
+    from colpali_tpu.processors.image_processing import (
+        host_resize_rgb,
+        normalize_pixels,
+        rgb_to_yuv420,
+        yuv420_to_rgb,
+    )
+
+    assert args.model == "colpali", "--transport fast path covers colpali"
+    processor = ColPaliProcessor(_BenchTokenizer())
+    config = PaliGemmaConfig()
+    model = ColPali(config, dim=128, dtype=jnp.bfloat16,
+                    param_dtype=jnp.bfloat16, scan_layers=args.scan)
+    size = config.vision.image_size
+    mean, std = processor.image_mean, processor.image_std
+
+    n_pages = args.batch * args.e2e_batches
+    pages = _make_pages(n_pages)
+    print(f"[{time.time()-t0:6.1f}s] {n_pages} synthetic pages ready", flush=True)
+    chunk = args.e2e_chunk
+    assert args.e2e_batches % chunk == 0, "--e2e-batches must divide by --e2e-chunk"
+    group_pages = args.batch * chunk
+
+    # static prompt -> input_ids/mask upload exactly once
+    tok = processor._tokenize(
+        [processor._expand_image_prompt(processor.visual_prompt_prefix)] * args.batch
+    )
+    ids = jnp.asarray(np.asarray(tok["input_ids"]))
+    att = jnp.asarray(np.asarray(tok["attention_mask"]))
+
+    bytes_per_page = {"rgb-u8": size * size * 3, "yuv420": size * size * 3 // 2,
+                      "gray": size * size}[args.transport]
+
+    def stage(i):
+        arrs = [host_resize_rgb(p, (size, size)) for p in pages[i : i + group_pages]]
+        if args.transport == "yuv420":
+            planes = [rgb_to_yuv420(a) for a in arrs]
+            y = np.stack([p[0] for p in planes]).reshape(chunk, args.batch, size, size)
+            uv = np.stack([p[1] for p in planes]).reshape(chunk, args.batch, size // 2, size // 2, 2)
+            return {"y": jnp.asarray(y), "uv": jnp.asarray(uv)}
+        if args.transport == "gray":
+            # Y (luma) plane only — 3x fewer wire bytes than RGB. Document
+            # corpora are overwhelmingly achromatic; for colored corpora use
+            # yuv420. Host luma via the same BT.601 weights.
+            y = np.stack([
+                np.clip(np.rint(a.astype(np.float32) @ np.array([0.299, 0.587, 0.114], np.float32)), 0, 255).astype(np.uint8)
+                for a in arrs
+            ]).reshape(chunk, args.batch, size, size)
+            return {"y": jnp.asarray(y)}
+        return {"rgb": jnp.asarray(np.stack(arrs).reshape(chunk, args.batch, size, size, 3))}
+
+    def decode(pix):
+        if args.transport == "yuv420":
+            x = yuv420_to_rgb(pix["y"], pix["uv"])
+        elif args.transport == "gray":
+            x = jnp.repeat(pix["y"].astype(jnp.float32)[..., None], 3, axis=-1)
+        else:
+            x = pix["rgb"].astype(jnp.float32)
+        return normalize_pixels(x, mean, std).astype(jnp.bfloat16)
+
+    def forward_one(params, pix):
+        return model.apply(
+            params, input_ids=ids, attention_mask=att, pixel_values=decode(pix)
+        )
+
+    warm = stage(0)
+    print(f"[{time.time()-t0:6.1f}s] init params on device...", flush=True)
+    warm_one = {k: v[0] for k, v in warm.items()}
+    params = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), input_ids=ids,
+                           attention_mask=att, pixel_values=decode(warm_one))
+    )()
+    params = maybe_quantize_params(args, params)
+
+    if chunk == 1:
+        @jax.jit
+        def apply_many(params, stacked):
+            return forward_one(params, {k: v[0] for k, v in stacked.items()})[None]
+    else:
+        @jax.jit
+        def apply_many(params, stacked):
+            return jax.lax.map(lambda b: forward_one(params, b), stacked)
+
+    print(f"[{time.time()-t0:6.1f}s] compiling fused decode+forward...", flush=True)
+    with quant_ctx(args):
+        np.asarray(apply_many(params, warm))
+
+    # tunnel bandwidth probe: the link is SHARED and varies run to run
+    # (11-77 MB/s observed); print it so every result is interpretable as
+    # pages/min ~= 60 / (fwd_s + wire_bytes / BW)
+    rngp = np.random.default_rng(0)
+    probe = rngp.integers(0, 255, size=(24 << 20,)).astype(np.uint8)
+    probe2 = rngp.integers(0, 255, size=(24 << 20,)).astype(np.uint8)
+    tiny = jax.jit(lambda a: jnp.sum(a.astype(jnp.float32)))
+    float(tiny(jnp.asarray(probe)))  # compile + warm at full size
+    tb = time.perf_counter()
+    float(tiny(jnp.asarray(probe2)))
+    bw = probe2.nbytes / (time.perf_counter() - tb) / 2**20
+    print(f"[{time.time()-t0:6.1f}s] tunnel upload bandwidth now: {bw:.0f} MB/s; running e2e...", flush=True)
+
+    def batches():
+        for i in range(0, n_pages, group_pages):
+            yield stage(i)
+
+    t1 = time.perf_counter()
+    outs = [apply_many(params, b) for b in prefetch(batches(), buffer_size=2)]
+    checksum = float(jnp.sum(jnp.stack([jnp.sum(o.astype(jnp.float32)) for o in outs])))
+    dt_device = time.perf_counter() - t1
+    assert len(outs) == args.e2e_batches // chunk and np.isfinite(checksum)
+    dev_rate = n_pages / dt_device * 60
+    wire_mb = n_pages * bytes_per_page / 2**20
+    print(
+        f"RESULT e2e-fused {args.model} [{args.transport}]: {n_pages} pages in "
+        f"{dt_device:.2f} s -> {dev_rate:,.0f} pages/min/chip device-resident "
+        f"({wire_mb:.0f} MiB wire, {wire_mb/dt_device:.0f} MB/s effective)",
+        flush=True,
+    )
+
+
 def run_e2e(args, t0):
     """PIL pages -> processor -> device -> forward -> host embeddings."""
     from colpali_tpu.data.prefetch import prefetch
@@ -407,6 +544,10 @@ def main():
     parser.add_argument("--e2e-chunk", type=int, default=1, help="forward batches per device dispatch (lax.map)")
     parser.add_argument("--cap", type=int, default=768,
                         help="max visual tokens for the e2e processor (reference default 768)")
+    parser.add_argument("--transport", choices=["rgb-u8", "yuv420", "gray"],
+                        help="fused ingestion fast path (colpali): u8 pixels "
+                             "decoded + normalized INSIDE the forward jit; "
+                             "yuv420 halves the host->device wire bytes")
     parser.add_argument("--host-resize", action="store_true",
                         help="smart_resize on host pre-upload (4x fewer bytes over the link)")
     parser.add_argument("--workers", type=int, default=1,
@@ -422,7 +563,10 @@ def main():
         run_query_latency(args, time.time())
         return
     if args.e2e:
-        run_e2e(args, time.time())
+        if args.transport:
+            run_e2e_fused(args, time.time())
+        else:
+            run_e2e(args, time.time())
         return
 
     t0 = time.time()

@@ -9,6 +9,7 @@ each query is a noisy subset of its gold doc's concepts. Pooling that
 recovers the concept groups keeps MaxSim intact; pooling that merges
 distinct concepts loses score mass. Reported: recall@5 / nDCG@5 for
 unpooled vs HierarchicalTokenPooler (scipy Ward, reference-exact) vs
+DeviceWardTokenPooler (on-device exact Ward — expected to tie scipy) vs
 KMeansTokenPooler (on-device spherical k-means) at pool_factor=3.
 
 Usage: python perf/pooling_retention.py  (CPU-safe; ~1 min)
@@ -18,7 +19,11 @@ import time
 
 import numpy as np
 
-from colpali_tpu.compression import HierarchicalTokenPooler, KMeansTokenPooler
+from colpali_tpu.compression import (
+    DeviceWardTokenPooler,
+    HierarchicalTokenPooler,
+    KMeansTokenPooler,
+)
 from colpali_tpu.evaluation.metrics import ndcg_at_k, recall_at_k
 from colpali_tpu.ops.maxsim import score_multi_vector
 
@@ -73,6 +78,7 @@ def main():
               f"recall@5 {base_rec:.4f}  ndcg@5 {base_ndcg:.4f}")
 
         for name, pooler in (("ward", HierarchicalTokenPooler()),
+                             ("dev-ward", DeviceWardTokenPooler()),
                              ("kmeans", KMeansTokenPooler())):
             t0 = time.perf_counter()
             pooled = pooler.pool_embeddings(docs, pool_factor=POOL_FACTOR)

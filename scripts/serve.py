@@ -41,11 +41,18 @@ def load_corpus(path: str):
     return embs, files
 
 
-def make_handler(index, files):
+def make_handler(index, files, window_ms: float = 2.0, exact_threshold: int = 4):
     import threading
     import time as _time
 
+    from colpali_tpu.retrieval.serving import MicroBatcher
+
     lock = threading.Lock()  # extend() mutates the index; searches race it
+    # concurrent /search requests merge into single device sweeps within a
+    # short linger window; merged batches auto-route to the exact kernel
+    # above the measured two-tier crossover (retrieval/serving.py)
+    batcher = MicroBatcher(index, window_ms=window_ms,
+                           exact_threshold=exact_threshold, lock=lock)
     # /metrics: search-latency reservoir (last 1024 requests) + counters
     stats_lock = threading.Lock()
     latencies: list = []
@@ -91,13 +98,12 @@ def make_handler(index, files):
                 if self.path == "/search":
                     qs = [np.asarray(e, np.float32) for e in payload["embeddings"]]
                     k = int(payload.get("k", 10))
+                    cand = payload.get("candidates")
+                    mode = payload.get("mode", "auto")  # auto|exact|tiered
                     t0 = _time.perf_counter()
-                    with lock:
-                        if index.prefilter is not None:
-                            cand = payload.get("candidates")
-                            scores, ids = index.search(qs, k=k, candidates=int(cand) if cand else None)
-                        else:
-                            scores, ids = index.search(qs, k=k)
+                    scores, ids = batcher.search(
+                        qs, k=k, candidates=int(cand) if cand else None, mode=mode
+                    )
                     record((_time.perf_counter() - t0) * 1e3, len(qs))
                     self._json(200, {
                         "doc_ids": ids.tolist(),

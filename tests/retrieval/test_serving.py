@@ -1,0 +1,202 @@
+"""Serving dispatch: batch-size routing + request micro-batching.
+
+Covers retrieval/serving.py — the layer scripts/serve.py puts between HTTP
+handler threads and the device. Key invariants: merging never changes
+results; merged batch size (not per-request size) drives the exact/tiered
+routing decision; errors propagate to every affected caller.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from colpali_tpu.retrieval import CorpusIndex
+from colpali_tpu.retrieval.serving import MicroBatcher, route, run_search
+
+
+def _make_index(prefilter=None, n_docs=64, tokens=8, dim=32, seed=0):
+    rng = np.random.default_rng(seed)
+    docs = [rng.normal(size=(tokens, dim)).astype(np.float32) for _ in range(n_docs)]
+    docs = [d / np.linalg.norm(d, axis=-1, keepdims=True) for d in docs]
+    return CorpusIndex(docs, dtype="bf16", prefilter=prefilter), docs
+
+
+class _FakeIndex:
+    prefilter = "binary"
+
+
+class TestRoute:
+    def test_small_batch_tiered_on_prefilter_index(self):
+        assert route(_FakeIndex(), 1) == "tiered"
+        assert route(_FakeIndex(), 4) == "tiered"
+
+    def test_large_batch_exact(self):
+        assert route(_FakeIndex(), 5) == "exact"
+        assert route(_FakeIndex(), 64) == "exact"
+
+    def test_no_prefilter_always_exact(self):
+        class NoPre:
+            prefilter = None
+
+        assert route(NoPre(), 1) == "exact"
+
+    def test_explicit_modes(self):
+        assert route(_FakeIndex(), 1, mode="exact") == "exact"
+        assert route(_FakeIndex(), 100, mode="tiered") == "tiered"
+
+        class NoPre:
+            prefilter = None
+
+        with pytest.raises(ValueError, match="tiered"):
+            route(NoPre(), 1, mode="tiered")
+        with pytest.raises(ValueError, match="unknown mode"):
+            route(_FakeIndex(), 1, mode="bogus")
+
+
+class TestRunSearch:
+    def test_exact_route_bypasses_prefilter(self):
+        index, docs = _make_index(prefilter="binary")
+        queries = [d[:4] for d in docs[:6]]
+        scores, ids = run_search(index, queries, k=3)  # 6 > threshold -> exact
+        e_scores, e_ids = index.exact_search(queries, k=3)
+        np.testing.assert_array_equal(ids, e_ids)
+        np.testing.assert_allclose(scores, e_scores)
+
+    def test_tiered_route_small_batch(self):
+        index, docs = _make_index(prefilter="binary")
+        scores, ids = run_search(index, [docs[3][:4]], k=3)
+        assert ids[0, 0] == 3  # own tokens retrieve the doc
+
+
+class TestMicroBatcher:
+    def test_results_match_direct_search(self):
+        index, docs = _make_index()
+        mb = MicroBatcher(index, window_ms=0)
+        try:
+            queries = [docs[5][:4], docs[9][:4]]
+            scores, ids = mb.search(queries, k=4)
+            d_scores, d_ids = index.search(queries, k=4)
+            np.testing.assert_array_equal(ids, d_ids)
+            np.testing.assert_allclose(scores, d_scores)
+        finally:
+            mb.close()
+
+    def test_concurrent_requests_merge_and_agree(self):
+        index, docs = _make_index(prefilter="binary")
+        mb = MicroBatcher(index, window_ms=20)
+        results = {}
+        errors = []
+
+        def client(i):
+            try:
+                scores, ids = mb.search([docs[i][:4]], k=2)
+                results[i] = ids[0, 0]
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        try:
+            threads = [threading.Thread(target=client, args=(i,)) for i in range(12)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        finally:
+            mb.close()
+        assert not errors
+        # every client got its own doc back regardless of merging
+        assert results == {i: i for i in range(12)}
+
+    def test_per_request_k_is_respected(self):
+        index, docs = _make_index()
+        mb = MicroBatcher(index, window_ms=20)
+        out = {}
+
+        def client(i, k):
+            out[i] = mb.search([docs[i][:4]], k=k)
+
+        try:
+            threads = [
+                threading.Thread(target=client, args=(0, 2)),
+                threading.Thread(target=client, args=(1, 7)),
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        finally:
+            mb.close()
+        assert out[0][1].shape == (1, 2)
+        assert out[1][1].shape == (1, 7)
+
+    def test_merged_batch_routes_exact(self):
+        """12 concurrent 1-query requests merge past the threshold -> the
+        sweep must hit the exact kernel, not the prefilter."""
+        index, docs = _make_index(prefilter="binary")
+        calls = []
+        orig_exact, orig_search = index.exact_search, index.search
+
+        def spy_exact(*a, **kw):
+            calls.append("exact")
+            return orig_exact(*a, **kw)
+
+        def spy_search(*a, **kw):
+            calls.append("tiered")
+            return orig_search(*a, **kw)
+
+        index.exact_search, index.search = spy_exact, spy_search
+        mb = MicroBatcher(index, window_ms=50)
+        try:
+            barrier = threading.Barrier(12)
+
+            def client(i):
+                barrier.wait()
+                mb.search([docs[i][:4]], k=2)
+
+            threads = [threading.Thread(target=client, args=(i,)) for i in range(12)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        finally:
+            mb.close()
+            index.exact_search, index.search = orig_exact, orig_search
+        assert "exact" in calls  # at least one merged sweep went exact
+
+    def test_error_propagates_to_all_callers(self):
+        index, docs = _make_index()
+        mb = MicroBatcher(index, window_ms=20)
+        errs = []
+
+        def client():
+            try:
+                # wrong dim -> the sweep raises; both callers must see it
+                mb.search([np.ones((4, 7), np.float32)], k=2)
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+
+        try:
+            threads = [threading.Thread(target=client) for _ in range(2)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        finally:
+            mb.close()
+        assert len(errs) == 2
+
+    def test_closed_batcher_rejects(self):
+        index, docs = _make_index()
+        mb = MicroBatcher(index, window_ms=0)
+        mb.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            mb.search([docs[0][:4]], k=1)
+
+    def test_empty_batch_rejected(self):
+        index, _ = _make_index()
+        mb = MicroBatcher(index, window_ms=0)
+        try:
+            with pytest.raises(ValueError, match="empty"):
+                mb.search([], k=1)
+        finally:
+            mb.close()
