@@ -104,9 +104,15 @@ def make_pod_mesh(
 
         # hybrid mesh: inner (ICI) axes per host, outer (DCN) axis over hosts
         per_host_data = local // model
+        # process_is_granule: the DCN boundary in this design IS the host
+        # (process) boundary — without it mesh_utils groups by slice_index,
+        # which is absent/1 on CPU fleets and multi-host single-slice pods
+        # (caught by tests/training/test_multiprocess.py, a REAL 2-process
+        # run: "Number of slices 1 must equal ... dcn_mesh_shape (2, 1)")
         devices = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(per_host_data, model),
             dcn_mesh_shape=(jax.process_count(), 1),
+            process_is_granule=True,
             allow_split_physical_axes=allow_split_physical_axes,
         )
         devices = devices.reshape(data, model)
