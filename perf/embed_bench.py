@@ -21,6 +21,15 @@ Usage: python perf/embed_bench.py [--model colqwen2|colpali] [--batch 8] [--e2e]
 
 from __future__ import annotations
 
+# When run from a source checkout without installation, make the repo root
+# importable (an installed colpali_tpu still wins: this is an append).
+import sys as _sys
+from pathlib import Path as _Path
+
+_repo_root = str(_Path(__file__).resolve().parents[1])
+if _repo_root not in _sys.path:
+    _sys.path.append(_repo_root)
+
 import argparse
 import contextlib
 import time
@@ -174,7 +183,8 @@ def run_e2e_fused(args, t0):
     from colpali_tpu.processors.image_processing import (
         host_resize_rgb,
         normalize_pixels,
-        rgb_to_yuv420,
+        stage_gray,
+        stage_yuv420,
         yuv420_to_rgb,
     )
 
@@ -203,23 +213,36 @@ def run_e2e_fused(args, t0):
     bytes_per_page = {"rgb-u8": size * size * 3, "yuv420": size * size * 3 // 2,
                       "gray": size * size}[args.transport]
 
+    trace = getattr(args, "trace", False)
+    rgap = args.reducing_gap
+
     def stage(i):
-        arrs = [host_resize_rgb(p, (size, size)) for p in pages[i : i + group_pages]]
+        ts = time.perf_counter()
+        group = pages[i : i + group_pages]
         if args.transport == "yuv420":
-            planes = [rgb_to_yuv420(a) for a in arrs]
+            # all-PIL-C-speed staging (resize -> YCbCr -> u8 subsample):
+            # ~3 ms/page beyond the resize vs ~12 for the fp32 numpy matmul
+            planes = [stage_yuv420(p, (size, size), reducing_gap=rgap) for p in group]
             y = np.stack([p[0] for p in planes]).reshape(chunk, args.batch, size, size)
             uv = np.stack([p[1] for p in planes]).reshape(chunk, args.batch, size // 2, size // 2, 2)
-            return {"y": jnp.asarray(y), "uv": jnp.asarray(uv)}
-        if args.transport == "gray":
+            t_conv = time.perf_counter()
+            out = {"y": jnp.asarray(y), "uv": jnp.asarray(uv)}
+        elif args.transport == "gray":
             # Y (luma) plane only — 3x fewer wire bytes than RGB. Document
             # corpora are overwhelmingly achromatic; for colored corpora use
-            # yuv420. Host luma via the same BT.601 weights.
-            y = np.stack([
-                np.clip(np.rint(a.astype(np.float32) @ np.array([0.299, 0.587, 0.114], np.float32)), 0, 255).astype(np.uint8)
-                for a in arrs
-            ]).reshape(chunk, args.batch, size, size)
-            return {"y": jnp.asarray(y)}
-        return {"rgb": jnp.asarray(np.stack(arrs).reshape(chunk, args.batch, size, size, 3))}
+            # yuv420. PIL "L" = the same BT.601 luma, at C speed.
+            y = np.stack([stage_gray(p, (size, size), reducing_gap=rgap)
+                          for p in group]).reshape(chunk, args.batch, size, size)
+            t_conv = time.perf_counter()
+            out = {"y": jnp.asarray(y)}
+        else:
+            arrs = [host_resize_rgb(p, (size, size), reducing_gap=rgap) for p in group]
+            t_conv = time.perf_counter()
+            out = {"rgb": jnp.asarray(np.stack(arrs).reshape(chunk, args.batch, size, size, 3))}
+        if trace:
+            print(f"  stage[{i//group_pages}]: resize+convert {(t_conv-ts)*1e3:.0f} ms, "
+                  f"asarray {(time.perf_counter()-t_conv)*1e3:.0f} ms", flush=True)
+        return out
 
     def decode(pix):
         if args.transport == "yuv420":
@@ -275,7 +298,12 @@ def run_e2e_fused(args, t0):
             yield stage(i)
 
     t1 = time.perf_counter()
-    outs = [apply_many(params, b) for b in prefetch(batches(), buffer_size=2)]
+    outs = []
+    for b in prefetch(batches(), buffer_size=2):
+        td = time.perf_counter()
+        outs.append(apply_many(params, b))
+        if trace:
+            print(f"  main: got batch at +{td-t1:6.2f}s, dispatch {(time.perf_counter()-td)*1e3:.0f} ms", flush=True)
     checksum = float(jnp.sum(jnp.stack([jnp.sum(o.astype(jnp.float32)) for o in outs])))
     dt_device = time.perf_counter() - t1
     assert len(outs) == args.e2e_batches // chunk and np.isfinite(checksum)
@@ -548,6 +576,11 @@ def main():
                         help="fused ingestion fast path (colpali): u8 pixels "
                              "decoded + normalized INSIDE the forward jit; "
                              "yuv420 halves the host->device wire bytes")
+    parser.add_argument("--trace", action="store_true",
+                        help="per-batch staging/dispatch timestamps (fused path)")
+    parser.add_argument("--reducing-gap", type=float, default=None,
+                        help="PIL reducing_gap for the host resize (1.0 halves "
+                             "the bicubic cost via a box pre-reduce)")
     parser.add_argument("--host-resize", action="store_true",
                         help="smart_resize on host pre-upload (4x fewer bytes over the link)")
     parser.add_argument("--workers", type=int, default=1,

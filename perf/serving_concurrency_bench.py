@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Serving concurrency benchmark: QPS + latency percentiles under load.
+
+Completes the serving story (docs/SERVING.md, retrieval/serving.py): the
+round-3 verdict asked for a measured QPS/p99 under CONCURRENT load, not
+just single-sweep p50s. Two dispatch strategies over the same index:
+
+  1. ``locked``  — the pre-round-4 serve.py behavior: every request is a
+     routed sweep (`run_search`), serialized behind one global lock.
+  2. ``batched`` — :class:`MicroBatcher`: concurrent requests merge into
+     one device sweep within a linger window; merged batches auto-route
+     to the exact kernel exactly where it wins (PERF.md two-tier table).
+
+Load model: ``--clients N`` closed-loop threads, each firing single-query
+top-100 searches back-to-back for ``--seconds S``. Per-request latency is
+wall time inside the client. The corpus is random int8 (see
+prefilter_bench.py for why that is the worst case); QPS/latency do not
+depend on score values.
+
+Usage:
+  python perf/serving_concurrency_bench.py [--docs 499968] [--clients 1 4 16 32]
+"""
+
+from __future__ import annotations
+
+# When run from a source checkout without installation, make the repo root
+# importable (an installed colpali_tpu still wins: this is an append).
+import sys as _sys
+from pathlib import Path as _Path
+
+_repo_root = str(_Path(__file__).resolve().parents[1])
+if _repo_root not in _sys.path:
+    _sys.path.append(_repo_root)
+
+import argparse
+import json
+import threading
+import time
+
+import jax
+import numpy as np
+
+DIM = 128
+DOC_TOKENS = 64
+QUERY_TOKENS = 32
+K = 100
+
+
+class SweepRecorder:
+    """Proxy over CorpusIndex that records each device sweep's batch size
+    and kernel, so the bench can report merge factors without touching the
+    serving code."""
+
+    def __init__(self, index):
+        self._index = index
+        self.sweeps: list = []  # (n_queries, kernel)
+        self._lock = threading.Lock()
+
+    def __getattr__(self, name):
+        return getattr(self._index, name)
+
+    def exact_search(self, queries, k=10, **kw):
+        with self._lock:
+            self.sweeps.append((len(queries), "exact"))
+        return self._index.exact_search(queries, k=k, **kw)
+
+    def search(self, queries, k=10, **kw):
+        with self._lock:
+            self.sweeps.append((len(queries), "tiered"))
+        return self._index.search(queries, k=k, **kw)
+
+    def reset(self):
+        with self._lock:
+            self.sweeps = []
+
+    def stats(self):
+        with self._lock:
+            sweeps = list(self.sweeps)
+        if not sweeps:
+            return {"sweeps": 0}
+        sizes = np.array([s for s, _ in sweeps])
+        return {
+            "sweeps": len(sweeps),
+            "mean_merge": round(float(sizes.mean()), 2),
+            "max_merge": int(sizes.max()),
+            "exact_frac": round(sum(1 for _, k_ in sweeps if k_ == "exact") / len(sweeps), 3),
+        }
+
+
+def build_index(num_docs: int):
+    from colpali_tpu.retrieval.store import DeviceIndexBuilder
+
+    builder = DeviceIndexBuilder(doc_tokens=DOC_TOKENS, dim=DIM,
+                                 dtype="int8", prefilter="binary")
+    chunk = 4096
+    key = jax.random.key(0)
+    n_chunks = num_docs // chunk
+
+    @jax.jit
+    def make_chunk(k):
+        return jax.random.normal(k, (chunk, DOC_TOKENS, DIM), jax.numpy.float32)
+
+    for i in range(n_chunks):
+        key, sub = jax.random.split(key)
+        builder.add(make_chunk(sub))
+    return builder.build()
+
+
+def run_load(search_fn, n_clients: int, seconds: float, rng: np.random.Generator):
+    """Closed-loop load: each client thread fires B=1 searches until the
+    deadline. Returns per-request latencies (s) and the measurement span."""
+    queries = [rng.standard_normal((QUERY_TOKENS, DIM)).astype(np.float32)
+               for _ in range(64)]
+    latencies: list = []
+    lat_lock = threading.Lock()
+    start_evt = threading.Event()
+    deadline = [0.0]
+
+    def client(cid: int):
+        local = []
+        start_evt.wait()
+        i = cid
+        while time.perf_counter() < deadline[0]:
+            q = queries[i % len(queries)]
+            t0 = time.perf_counter()
+            search_fn([q], K)
+            local.append(time.perf_counter() - t0)
+            i += 1
+        with lat_lock:
+            latencies.extend(local)
+
+    threads = [threading.Thread(target=client, args=(c,)) for c in range(n_clients)]
+    for t in threads:
+        t.start()
+    t_start = time.perf_counter()
+    deadline[0] = t_start + seconds
+    start_evt.set()
+    for t in threads:
+        t.join()
+    span = time.perf_counter() - t_start
+    return np.array(latencies), span
+
+
+def summarize(name, n_clients, lats, span, sweep_stats):
+    out = {
+        "strategy": name,
+        "clients": n_clients,
+        "qps": round(len(lats) / span, 1),
+        "p50_ms": round(float(np.percentile(lats, 50)) * 1e3, 2),
+        "p99_ms": round(float(np.percentile(lats, 99)) * 1e3, 2),
+        "n": len(lats),
+        **sweep_stats,
+    }
+    print("RESULT " + json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--docs", type=int, default=None)
+    parser.add_argument("--clients", type=int, nargs="+", default=[1, 4, 16, 32])
+    parser.add_argument("--seconds", type=float, default=10.0)
+    parser.add_argument("--window-ms", type=float, default=2.0)
+    args = parser.parse_args()
+
+    from colpali_tpu.retrieval.serving import MicroBatcher, run_search
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    num_docs = args.docs or (499_968 if on_tpu else 8192)
+    t0 = time.time()
+    index = SweepRecorder(build_index(num_docs))
+    print(f"[{time.time()-t0:6.1f}s] index built: {num_docs} docs x {DOC_TOKENS} tok, "
+          f"int8+binary prefilter", flush=True)
+
+    rng = np.random.default_rng(7)
+    # warm both kernels (compile) before timing
+    warm = [rng.standard_normal((QUERY_TOKENS, DIM)).astype(np.float32)]
+    run_search(index, warm, K)                       # tiered (B=1, auto)
+    run_search(index, warm * 8, K)                   # exact (B=8, auto)
+    print(f"[{time.time()-t0:6.1f}s] kernels warm", flush=True)
+
+    results = []
+    for n_clients in args.clients:
+        # -- locked: routed, but one sweep at a time behind a global lock
+        lock = threading.Lock()
+
+        def locked_search(queries, k):
+            with lock:
+                return run_search(index, queries, k)
+
+        index.reset()
+        lats, span = run_load(locked_search, n_clients, args.seconds, rng)
+        results.append(summarize("locked", n_clients, lats, span, index.stats()))
+
+        # -- batched: MicroBatcher merges concurrent requests
+        mb = MicroBatcher(index, window_ms=args.window_ms)
+        index.reset()
+        try:
+            lats, span = run_load(lambda q, k: mb.search(q, k=k),
+                                  n_clients, args.seconds, rng)
+        finally:
+            mb.close()
+        results.append(summarize("batched", n_clients, lats, span, index.stats()))
+
+    best = max((r for r in results if r["strategy"] == "batched"),
+               key=lambda r: r["qps"])
+    print(json.dumps({"metric": "serving_qps_batched_best", "value": best["qps"],
+                      "unit": "qps", "p99_ms": best["p99_ms"],
+                      "clients": best["clients"], "docs": num_docs}))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,12 @@ def main():
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--iters", type=int, default=4)
     parser.add_argument("--rank", type=int, default=32)
+    parser.add_argument("--no-remat", action="store_true",
+                        help="disable jax.checkpoint on every layer (needs the "
+                             "activation HBM; removes the 1x text recompute)")
+    parser.add_argument("--decompose", action="store_true",
+                        help="also time forward-only and grad-only chained loops "
+                             "to split the step into fwd / bwd / optimizer")
     args = parser.parse_args()
 
     from colpali_tpu.losses import ColbertLoss
@@ -62,7 +68,7 @@ def main():
         )
         patches = 16
     model = ColQwen2(config, dim=128, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
-                     scan_layers=True, remat=True)
+                     scan_layers=True, remat=not args.no_remat)
 
     b = args.batch
     patch_dim = 3 * config.vision.temporal_patch_size * config.vision.patch_size**2
@@ -178,7 +184,9 @@ def main():
     txt_flops += tc.num_hidden_layers * 2 * 2 * (
         b * s_doc * s_doc + b * s_q * s_q
     ) * tc.num_attention_heads * tc.head_dim  # text attn (full, non-causal docs)
-    step_flops = 1 * vis_flops + 3 * txt_flops
+    # without remat the text stack pays fwd + bwd only (no recompute pass)
+    txt_mult = 2 if args.no_remat else 3
+    step_flops = 1 * vis_flops + txt_mult * txt_flops
 
     print(f"[{time.time()-t0:6.1f}s] compiling train step...", flush=True)
     out = chained(lora, opt_state, params, batch)
@@ -191,6 +199,49 @@ def main():
         times.append((time.perf_counter() - t1) / iters)
     step_s = min(times)
     peak = 197e12 if on_tpu else None  # v5e bf16 peak
+
+    # ---- optional decomposition: fwd-only / +bwd / +optimizer ------------
+    # Same chained-iteration trick and batch-mutation predicate as the full
+    # step, so the three loops are directly comparable per iteration.
+    decomp = {}
+    if args.decompose:
+        @jax.jit
+        def chained_fwd(lora, base, bt):
+            def body(i, carry):
+                acc, px = carry
+                loss = lora_loss(lora, base, {**bt, "doc_pixel_values": px})
+                px = px + (loss > 1e30).astype(px.dtype)
+                return (acc + loss, px)
+            acc, _ = jax.lax.fori_loop(0, iters, body,
+                                       (jnp.float32(0), bt["doc_pixel_values"]))
+            return acc
+
+        @jax.jit
+        def chained_grad(lora, base, bt):
+            def body(i, carry):
+                acc, px = carry
+                loss, grads = jax.value_and_grad(lora_loss)(
+                    lora, base, {**bt, "doc_pixel_values": px}
+                )
+                # consume the grads so XLA can't elide the backward: fold a
+                # value-neutral function of them into the pixel predicate
+                gnorm = optax.global_norm(grads)
+                px = px + ((loss + gnorm) > 1e30).astype(px.dtype)
+                return (acc + loss, px)
+            acc, _ = jax.lax.fori_loop(0, iters, body,
+                                       (jnp.float32(0), bt["doc_pixel_values"]))
+            return acc
+
+        for name, fn in (("fwd", chained_fwd), ("fwd+bwd", chained_grad)):
+            np.asarray(fn(lora, params, batch))  # compile
+            ts = []
+            for _ in range(3):
+                t1 = time.perf_counter()
+                np.asarray(fn(lora, params, batch))
+                ts.append((time.perf_counter() - t1) / iters)
+            decomp[name] = round(min(ts) * 1e3, 1)
+        decomp["optimizer_ms"] = round(step_s * 1e3 - decomp["fwd+bwd"], 1)
+        decomp["bwd_ms"] = round(decomp["fwd+bwd"] - decomp["fwd"], 1)
     print(
         json.dumps(
             {
@@ -202,6 +253,8 @@ def main():
                 "model_tflops_per_step": round(step_flops / 1e12, 2),
                 "achieved_tflops_per_s": round(step_flops / step_s / 1e12, 1),
                 "mfu_pct": round(100 * step_flops / step_s / peak, 1) if peak else None,
+                "remat": not args.no_remat,
+                **({"decompose_ms": decomp} if decomp else {}),
             }
         )
     )

@@ -110,3 +110,57 @@ class TestHostResizeRgb:
         a = _document_page(64)
         out = host_resize_rgb(a, (32, 32))
         assert out.shape == (32, 32, 3)
+
+
+class TestPilStaging:
+    """stage_yuv420 / stage_gray: the all-PIL-C-speed host staging paths.
+
+    They must agree with the fp32 reference math (rgb_to_yuv420 /
+    BT.601 luma over host_resize_rgb output) to +-1 u8 step — PIL's
+    fixed-point YCbCr vs our float matmul.
+    """
+
+    def test_stage_yuv420_matches_fp32_reference(self):
+        from colpali_tpu.processors.image_processing import stage_yuv420
+
+        a = _document_page(448)
+        im = Image.fromarray(a)
+        y_fast, uv_fast = stage_yuv420(im, (448, 448))
+        y_ref, uv_ref = rgb_to_yuv420(host_resize_rgb(im, (448, 448)))
+        assert y_fast.shape == y_ref.shape and uv_fast.shape == uv_ref.shape
+        assert np.abs(y_fast.astype(int) - y_ref.astype(int)).max() <= 1
+        assert np.abs(uv_fast.astype(int) - uv_ref.astype(int)).max() <= 1
+
+    def test_stage_gray_matches_bt601_luma(self):
+        from colpali_tpu.processors.image_processing import stage_gray
+
+        a = _document_page(448)
+        y_fast = stage_gray(Image.fromarray(a), (448, 448))
+        rgb = host_resize_rgb(Image.fromarray(a), (448, 448)).astype(np.float32)
+        y_ref = np.clip(
+            np.rint(rgb @ np.array([0.299, 0.587, 0.114], np.float32)), 0, 255
+        ).astype(np.uint8)
+        assert y_fast.shape == y_ref.shape
+        assert np.abs(y_fast.astype(int) - y_ref.astype(int)).max() <= 1
+
+    def test_reducing_gap_stays_close_to_exact_bicubic(self):
+        """reducing_gap=1.0 (box pre-reduce) must stay visually equivalent:
+        bounded max step and tiny mean drift on a document page."""
+        from PIL import Image as PILImage
+
+        a = np.kron(_document_page(412), np.ones((4, 4, 1))).astype(np.uint8)
+        im = PILImage.fromarray(a)  # 1648x1648 page, ~3.7x downscale
+        exact = host_resize_rgb(im, (448, 448))
+        fast = host_resize_rgb(im, (448, 448), reducing_gap=1.0)
+        diff = np.abs(exact.astype(int) - fast.astype(int))
+        assert diff.mean() < 2.0
+        assert np.percentile(diff, 99) <= 24  # block-edge pixels; <10% of u8 range
+
+    def test_stage_accepts_numpy_input(self):
+        from colpali_tpu.processors.image_processing import stage_gray, stage_yuv420
+
+        a = _document_page(64)
+        y, uv = stage_yuv420(a, (32, 32))
+        assert y.shape == (32, 32) and uv.shape == (16, 16, 2)
+        g = stage_gray(a, (32, 32))
+        assert g.shape == (32, 32) and g.dtype == np.uint8
