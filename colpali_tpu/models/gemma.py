@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from colpali_tpu.models.configs import GemmaConfig
-from colpali_tpu.models.layers import Attention, Dtype, GatedMLP, RMSNorm, rope_cos_sin, scanned_stack
+from colpali_tpu.models.layers import Attention, Dtype, GatedMLP, RMSNorm, rope_cos_sin, scanned_stack, remat_layer
 
 
 class GemmaDecoderLayer(nn.Module):
@@ -78,7 +78,7 @@ class GemmaDecoder(nn.Module):
                 GemmaDecoderLayer, layer_kwargs, cfg.num_hidden_layers, num_args=2, remat=self.remat
             )(name="layers")
         else:
-            lcls = nn.remat(GemmaDecoderLayer) if self.remat else GemmaDecoderLayer
+            lcls = remat_layer(GemmaDecoderLayer, self.remat)
             self.layers = [
                 lcls(**layer_kwargs, name=f"layers_{i}") for i in range(cfg.num_hidden_layers)
             ]

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_embeddings
 from colpali_tpu.models.configs import DenseHeadConfig, SiglipVisionConfig
 from colpali_tpu.models.layers import (
+    remat_layer,
     Attention,
     Dtype,
     GatedMLP,
@@ -211,7 +212,7 @@ class Gemma3Decoder(nn.Module):
                 scanned_args=1,
             )(name="layers")
         else:
-            lcls = nn.remat(Gemma3DecoderLayer) if self.remat else Gemma3DecoderLayer
+            lcls = remat_layer(Gemma3DecoderLayer, self.remat)
             self.layers = [
                 lcls(**layer_kwargs, name=f"layers_{i}") for i in range(cfg.num_hidden_layers)
             ]

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_embeddings
 from colpali_tpu.models.configs import DenseHeadConfig
-from colpali_tpu.models.layers import Dtype, QDense, make_attention_bias
+from colpali_tpu.models.layers import Dtype, QDense, make_attention_bias, remat_layer
 from colpali_tpu.models.qwen2_vl import Qwen2Decoder, Qwen2TextConfig
 from colpali_tpu.models.siglip import SiglipEncoderLayer
 
@@ -148,7 +148,7 @@ class Idefics3VisionTower(nn.Module):
                 num_args=0, remat=self.remat,
             )(name="layers")(x)
         else:
-            lcls = nn.remat(SiglipEncoderLayer) if self.remat else SiglipEncoderLayer
+            lcls = remat_layer(SiglipEncoderLayer, self.remat)
             for i in range(cfg.num_hidden_layers):
                 x = lcls(**layer_kwargs, name=f"layers_{i}")(x)
         return nn.LayerNorm(

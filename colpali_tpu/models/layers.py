@@ -132,9 +132,20 @@ def make_attention_bias(attention_mask: jnp.ndarray, causal: bool, dtype: Dtype 
 # fp32 attention-logits budget for auto query chunking (see Attention.q_chunk)
 _ATTN_LOGITS_BUDGET = 512 * 1024 * 1024
 
-# flash (fused-softmax Pallas) attention: sequence block size — seqs are
-# padded up to a multiple of this and the pad is masked via segment ids
-_FLASH_BLOCK = 512
+# flash (fused-softmax Pallas) attention: candidate sequence block sizes —
+# the seq is padded up to a multiple of the chosen block and the pad masked
+# via segment ids. 512 is fastest when it divides cleanly (flash-probe
+# sweeps); 256 rescues shapes where 512 would pad heavily (768-patch vision:
+# 25% tax at 512, zero at 256 — measured fwd 2.31 vs einsum 2.78 ms and
+# fwd+bwd 3.72 vs 9.06 ms at B=8 S=768 H=16 D=80). 128 measured strictly
+# worse than einsum at both probe shapes; not a candidate.
+_FLASH_BLOCKS = (512, 256)
+_FLASH_BLOCK = _FLASH_BLOCKS[0]  # kept for perf probes that sweep manually
+
+
+def flash_block_for(seq_len: int) -> int:
+    """Pick the block with the least sequence padding (ties -> larger)."""
+    return min(_FLASH_BLOCKS, key=lambda blk: ((-seq_len) % blk, -blk))
 
 
 def _flash_available() -> bool:
@@ -333,13 +344,18 @@ def flash_auto_ok(batch: int, seq_len: int, heads: int, kv_heads: int, dtype) ->
     einsum-fallback biases ONCE when flash won't run (a segment bias built
     inside a scanned block is re-materialized every layer)."""
     ctx = _FLASH_MESH_CTX.get()
-    pad_tax = ((-seq_len) % _FLASH_BLOCK) / seq_len
+    pad_tax = ((-seq_len) % flash_block_for(seq_len)) / seq_len
     avail = (
         _flash_mesh_ok(ctx, batch, heads, kv_heads)
         if ctx is not None
         else _flash_available()
     )
-    return dtype == jnp.bfloat16 and pad_tax <= 0.15 and avail
+    # tax bound re-measured with the 256 block in play: at S=212 (17.2% tax
+    # to 256) flash TIES the einsum forward and wins the backward 0.93 vs
+    # 1.21 ms (B=8 H=12 D=128 causal); the known flash-loses case (S=383,
+    # 25% tax) stays excluded. 0.18 admits the measured win, keeps the
+    # measured loss out.
+    return dtype == jnp.bfloat16 and pad_tax <= 0.18 and avail
 
 
 def segment_bias(segments: jnp.ndarray, causal: bool = False) -> jnp.ndarray:
@@ -404,8 +420,9 @@ def flash_attention_padded(
         rep = h // hkv
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
+    block = flash_block_for(s)
     d_pad = (-d) % 128
-    s_pad = (-s) % _FLASH_BLOCK
+    s_pad = (-s) % block
     if d_pad or s_pad:
         # ONE pad op per tensor: separate d-pad + s-pad calls materialize
         # two full copies each (measured in perf/attn_module_probe.py)
@@ -417,7 +434,7 @@ def flash_attention_padded(
     qt = q.transpose(0, 2, 1, 3)  # (B, H, S, D)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    blk = min(_FLASH_BLOCK, s + s_pad)
+    blk = min(block, s + s_pad)
     sizes = _fa.BlockSizes(
         block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
         block_q_major_dkv=blk, block_k_major_dkv=blk,
@@ -623,6 +640,54 @@ class MLP(nn.Module):
         return QDense(x.shape[-1], dtype=self.dtype, param_dtype=self.param_dtype, name="fc2")(h)
 
 
+#: named jax.checkpoint policies for the remat-policy knob. "dots" saves
+#: every matmul output and recomputes only the cheap elementwise glue in
+#: the backward — the middle ground between full remat (extra full forward
+#: recompute, minimal HBM) and no remat (no recompute, OOM at 2B+ on one
+#: v5e chip — measured in perf/train_bench.py --no-remat).
+REMAT_POLICIES = {
+    None: None,
+    "dots": jax.checkpoint_policies.checkpoint_dots,
+    "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+}
+
+# trace-time remat-policy override, same pattern as quantized_acts(): model
+# families that don't thread an explicit remat_policy attribute (qwen2_vl
+# does) pick the active context policy up here when remat=True. Measured on
+# ColQwen2-2B LoRA (perf/train_bench.py --decompose): "dots" cuts the step
+# 255.0 -> 246.4 ms vs full remat by skipping the text recompute pass.
+_REMAT_POLICY_CTX = contextvars.ContextVar("colpali_tpu_remat_policy", default=None)
+
+
+@contextlib.contextmanager
+def remat_policy_ctx(name: Optional[str]):
+    """Activate a named REMAT_POLICIES entry for models traced inside.
+
+    Trace-time only (like quantized_acts): wrap the FIRST (compiling) call
+    of the jitted train step; later cached executions ignore it."""
+    if name not in REMAT_POLICIES:
+        raise ValueError(f"unknown remat policy {name!r}; options: {sorted(k for k in REMAT_POLICIES if k)}")
+    token = _REMAT_POLICY_CTX.set(name)
+    try:
+        yield
+    finally:
+        _REMAT_POLICY_CTX.reset(token)
+
+
+def remat_layer(layer_cls, remat: bool, remat_policy=None):
+    """``jax.checkpoint``-wrap a layer class per the (remat, policy) knobs.
+
+    ``remat_policy``: a REMAT_POLICIES name, an actual jax policy callable,
+    or None — which falls back to the active :func:`remat_policy_ctx`."""
+    if not remat:
+        return layer_cls
+    if remat_policy is None:
+        remat_policy = _REMAT_POLICY_CTX.get()
+    policy = REMAT_POLICIES[remat_policy] if isinstance(remat_policy, (str, type(None))) \
+        else remat_policy
+    return nn.remat(layer_cls, policy=policy) if policy is not None else nn.remat(layer_cls)
+
+
 def scanned_stack(
     layer_cls,
     layer_kwargs: dict,
@@ -631,6 +696,7 @@ def scanned_stack(
     remat: bool = False,
     scanned_args: int = 0,
     collect: bool = False,
+    remat_policy=None,
 ):
     """Build an ``nn.scan`` class over ``num_layers`` copies of a layer.
 
@@ -652,7 +718,7 @@ def scanned_stack(
     ys (a stacked ``(num_layers, ...)`` array) — for stacks whose intermediate
     activations are tapped from outside (Qwen3-VL's deepstack mergers).
     """
-    lcls = nn.remat(layer_cls) if remat else layer_cls
+    lcls = remat_layer(layer_cls, remat, remat_policy)
 
     class Body(nn.Module):
         @nn.compact

@@ -37,6 +37,7 @@ from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_em
 from colpali_tpu.models.configs import DenseHeadConfig, SiglipVisionConfig
 from colpali_tpu.models.idefics3 import pixel_shuffle
 from colpali_tpu.models.layers import (
+    remat_layer,
     QDense,
     ACTIVATIONS,
     Attention,
@@ -266,7 +267,7 @@ class ModernBertEncoder(nn.Module):
             x, _ = stack(x, jnp.arange(cfg.num_hidden_layers), global_bias, local_bias,
                          rope_global, rope_local)
         else:
-            lcls = nn.remat(ModernBertLayer) if self.remat else ModernBertLayer
+            lcls = remat_layer(ModernBertLayer, self.remat)
             for i in range(cfg.num_hidden_layers):
                 x = lcls(**layer_kwargs, name=f"layers_{i}")(
                     x, i, global_bias, local_bias, rope_global, rope_local

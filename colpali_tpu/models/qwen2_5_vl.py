@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_embeddings
 from colpali_tpu.models.configs import DenseHeadConfig
 from colpali_tpu.models.layers import (
+    remat_layer,
     QDense,
     ACTIVATIONS,
     Attention,
@@ -227,7 +228,7 @@ class Qwen25VisionTower(nn.Module):
                 remat=self.remat, scanned_args=1,
             )(name="blocks")(x, flags, seg_full, seg_window, rope)
         else:
-            lcls = nn.remat(Qwen25VisionBlock) if self.remat else Qwen25VisionBlock
+            lcls = remat_layer(Qwen25VisionBlock, self.remat)
             for i in range(cfg.depth):
                 x = lcls(**block_kwargs, name=f"blocks_{i}")(x, flags[i], seg_full, seg_window, rope)
 

@@ -38,7 +38,9 @@ from colpali_tpu.models.layers import (
     Dtype,
     GatedMLP,
     RMSNorm,
+    flash_auto_ok,
     make_attention_bias,
+    remat_layer,
     scanned_stack,
 )
 
@@ -188,6 +190,7 @@ class Qwen2VisionTower(nn.Module):
     param_dtype: Dtype = jnp.float32
     scan_layers: bool = False
     remat: bool = False
+    remat_policy: object = None  # name in layers.REMAT_POLICIES ("dots", ...)
 
     @nn.compact
     def __call__(self, patches, hpos, wpos, patch_mask):
@@ -214,10 +217,11 @@ class Qwen2VisionTower(nn.Module):
         block_kwargs = dict(config=cfg, dtype=self.dtype, param_dtype=self.param_dtype)
         if self.scan_layers:
             x, _ = scanned_stack(
-                Qwen2VisionBlock, block_kwargs, cfg.depth, num_args=2, remat=self.remat
+                Qwen2VisionBlock, block_kwargs, cfg.depth, num_args=2, remat=self.remat,
+                remat_policy=self.remat_policy,
             )(name="blocks")(x, mask32, rope)
         else:
-            lcls = nn.remat(Qwen2VisionBlock) if self.remat else Qwen2VisionBlock
+            lcls = remat_layer(Qwen2VisionBlock, self.remat, self.remat_policy)
             for i in range(cfg.depth):
                 x = lcls(**block_kwargs, name=f"blocks_{i}")(x, mask32, rope)
 
@@ -269,8 +273,14 @@ class Qwen2DecoderLayer(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_bias, rope):
+    def __call__(self, x, attn, rope):
+        # attn: (B, 1, S, S) prebuilt additive bias -> einsum path, or
+        # (B, S) validity mask -> causal flash (the backbone routes once,
+        # at the decoder's shape — see Qwen2VLBackbone.__call__)
         cfg = self.config
+        attn_kwargs = (
+            dict(mask=attn, causal=True) if attn.ndim == 2 else dict(attn_bias=attn)
+        )
         residual = x
         h = RMSNorm(eps=cfg.rms_norm_eps, add_unit_offset=False, param_dtype=self.param_dtype,
                     name="input_layernorm")(x)
@@ -284,7 +294,7 @@ class Qwen2DecoderLayer(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="self_attn",
-        )(h, attn_bias=attn_bias, rope=rope)
+        )(h, rope=rope, **attn_kwargs)
         x = residual + h
         residual = x
         h = RMSNorm(eps=cfg.rms_norm_eps, add_unit_offset=False, param_dtype=self.param_dtype,
@@ -307,6 +317,7 @@ class Qwen2Decoder(nn.Module):
     param_dtype: Dtype = jnp.float32
     scan_layers: bool = False
     remat: bool = False
+    remat_policy: object = None  # name in layers.REMAT_POLICIES ("dots", ...)
 
     def setup(self):
         cfg = self.config
@@ -316,10 +327,11 @@ class Qwen2Decoder(nn.Module):
         layer_kwargs = dict(config=cfg, dtype=self.dtype, param_dtype=self.param_dtype)
         if self.scan_layers:
             self.layer_stack = scanned_stack(
-                Qwen2DecoderLayer, layer_kwargs, cfg.num_hidden_layers, num_args=2, remat=self.remat
+                Qwen2DecoderLayer, layer_kwargs, cfg.num_hidden_layers, num_args=2, remat=self.remat,
+                remat_policy=self.remat_policy,
             )(name="layers")
         else:
-            lcls = nn.remat(Qwen2DecoderLayer) if self.remat else Qwen2DecoderLayer
+            lcls = remat_layer(Qwen2DecoderLayer, self.remat, self.remat_policy)
             self.layers = [
                 lcls(**layer_kwargs, name=f"layers_{i}") for i in range(cfg.num_hidden_layers)
             ]
@@ -349,13 +361,16 @@ class Qwen2VLBackbone(nn.Module):
     param_dtype: Dtype = jnp.float32
     scan_layers: bool = False
     remat: bool = False
+    remat_policy: object = None  # name in layers.REMAT_POLICIES ("dots", ...)
 
     def setup(self):
         cfg = self.config
         self.visual = Qwen2VisionTower(cfg.vision, dtype=self.dtype, param_dtype=self.param_dtype,
-                                       scan_layers=self.scan_layers, remat=self.remat)
+                                       scan_layers=self.scan_layers, remat=self.remat,
+                                       remat_policy=self.remat_policy)
         self.language_model = Qwen2Decoder(cfg.text, dtype=self.dtype, param_dtype=self.param_dtype,
-                                           scan_layers=self.scan_layers, remat=self.remat)
+                                           scan_layers=self.scan_layers, remat=self.remat,
+                                           remat_policy=self.remat_policy)
 
     def __call__(
         self,
@@ -392,8 +407,17 @@ class Qwen2VLBackbone(nn.Module):
             pos = jnp.clip(jnp.cumsum(attention_mask, axis=-1) - 1, 0, None)
             position_ids = jnp.broadcast_to(pos[None], (3, *pos.shape))
 
-        attn_bias = make_attention_bias(attention_mask, causal=True)
-        return self.language_model(inputs_embeds, attn_bias, position_ids)
+        # route the WHOLE text stack once: a (B, S) mask when the causal
+        # flash kernel is eligible at this shape (fwd ties / bwd wins the
+        # einsum at the doc lengths that qualify — see flash_auto_ok), else
+        # one prebuilt additive bias shared by every scanned layer
+        b, s = attention_mask.shape
+        tc = self.config.text
+        if flash_auto_ok(b, s, tc.num_attention_heads, tc.num_key_value_heads, self.dtype):
+            attn = attention_mask.astype(jnp.int32)
+        else:
+            attn = make_attention_bias(attention_mask, causal=True)
+        return self.language_model(inputs_embeds, attn, position_ids)
 
 
 class ColQwen2(nn.Module):
@@ -407,10 +431,12 @@ class ColQwen2(nn.Module):
     param_dtype: Dtype = jnp.float32
     scan_layers: bool = False
     remat: bool = False
+    remat_policy: object = None  # name in layers.REMAT_POLICIES ("dots", ...)
 
     def setup(self):
         self.model = Qwen2VLBackbone(self.config, dtype=self.dtype, param_dtype=self.param_dtype,
-                                     scan_layers=self.scan_layers, remat=self.remat)
+                                     scan_layers=self.scan_layers, remat=self.remat,
+                                     remat_policy=self.remat_policy)
         self.head = MultiVectorHead(dim=self.dim, dtype=self.dtype, param_dtype=self.param_dtype)
 
     def __call__(self, input_ids, attention_mask, pixel_values=None, **vision_kwargs):

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_embeddings
 from colpali_tpu.models.configs import DenseHeadConfig
 from colpali_tpu.models.layers import (
+    remat_layer,
     QDense,
     Dtype,
     GatedMLP,
@@ -570,7 +571,7 @@ class HybridDecoder(nn.Module):
                 num_args=3, remat=self.remat,
             )(name="layers")
         else:
-            lcls = nn.remat(HybridDecoderLayer) if self.remat else HybridDecoderLayer
+            lcls = remat_layer(HybridDecoderLayer, self.remat)
             self.layers = [
                 lcls(cfg, i, dtype=self.dtype, param_dtype=self.param_dtype, name=f"layers_{i}")
                 for i in range(cfg.num_hidden_layers)

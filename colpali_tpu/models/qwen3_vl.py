@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_embeddings
 from colpali_tpu.models.configs import DenseHeadConfig
 from colpali_tpu.models.layers import (
+    remat_layer,
     QDense,
     ACTIVATIONS,
     Attention,
@@ -409,7 +410,7 @@ class Qwen3Decoder(nn.Module):
                 scanned_args=1,
             )(name="layers")
         else:
-            lcls = nn.remat(Qwen3DecoderLayer) if self.remat else Qwen3DecoderLayer
+            lcls = remat_layer(Qwen3DecoderLayer, self.remat)
             self.layers = [
                 lcls(**layer_kwargs, name=f"layers_{i}") for i in range(cfg.num_hidden_layers)
             ]

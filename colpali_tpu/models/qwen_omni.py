@@ -30,7 +30,7 @@ import numpy as np
 
 from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_embeddings
 from colpali_tpu.models.configs import DenseHeadConfig
-from colpali_tpu.models.layers import Dtype, QDense, make_attention_bias
+from colpali_tpu.models.layers import Dtype, QDense, make_attention_bias, remat_layer
 from colpali_tpu.models.qwen2_5_vl import Qwen25VisionTower, Qwen25VLVisionConfig
 from colpali_tpu.models.qwen2_vl import Qwen2Decoder, Qwen2TextConfig
 
@@ -195,7 +195,7 @@ class OmniAudioEncoder(nn.Module):
                 num_args=1, remat=self.remat,
             )(name="layers")(x, attn_bias)
         else:
-            lcls = nn.remat(OmniAudioEncoderLayer) if self.remat else OmniAudioEncoderLayer
+            lcls = remat_layer(OmniAudioEncoderLayer, self.remat)
             for i in range(cfg.encoder_layers):
                 x = lcls(**layer_kwargs, name=f"layers_{i}")(x, attn_bias)
 

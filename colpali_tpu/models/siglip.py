@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from colpali_tpu.models.configs import SiglipVisionConfig
-from colpali_tpu.models.layers import MLP, Attention, Dtype, scanned_stack
+from colpali_tpu.models.layers import MLP, Attention, Dtype, scanned_stack, remat_layer
 
 
 class SiglipEncoderLayer(nn.Module):
@@ -92,7 +92,7 @@ class SiglipVisionTower(nn.Module):
                 SiglipEncoderLayer, layer_kwargs, cfg.num_hidden_layers, num_args=0, remat=self.remat
             )(name="layers")(x)
         else:
-            lcls = nn.remat(SiglipEncoderLayer) if self.remat else SiglipEncoderLayer
+            lcls = remat_layer(SiglipEncoderLayer, self.remat)
             for i in range(cfg.num_hidden_layers):
                 x = lcls(**layer_kwargs, name=f"layers_{i}")(x)
 

@@ -140,6 +140,22 @@ class MicroBatcher:
             raise p.error
         return p.scores, p.ids
 
+    def warmup(self, max_batch: Optional[int] = None, k: int = 10,
+               query_tokens: int = 8) -> None:
+        """Compile the routed kernel for every power-of-two merge bucket up
+        to ``max_batch`` (default ``max_queries``): one dummy sweep each, so
+        no real request ever pays a first-seen-batch-size XLA compile.
+        Call once at server boot (scripts/serve.py does)."""
+        limit = max_batch or self.max_queries
+        q = np.zeros((query_tokens, self.index.dim), np.float32)
+        b = 1
+        while b <= limit:
+            kernel = route(self.index, b, "auto", self.exact_threshold)
+            with self.lock:
+                run_search(self.index, [q] * b, k=k, mode=kernel,
+                           exact_threshold=self.exact_threshold)
+            b *= 2
+
     def close(self) -> None:
         with self._cv:
             self._closed = True
@@ -193,11 +209,25 @@ class MicroBatcher:
             for p in group:
                 flat.extend(p.queries)
             k = max(p.k for p in group)
+            # Route on the TRUE query count, then pad the sweep to a
+            # power-of-two bucket: merged batch sizes under load are
+            # arbitrary, and every distinct size is a fresh XLA compile
+            # (measured: a first-seen merge size costs seconds and poisons
+            # p99 — perf/serving_concurrency_bench.py). Buckets bound the
+            # compile count at log2(max_queries); pad rows reuse queries[0]
+            # and are sliced off before delivery.
+            kernel = route(self.index, len(flat), mode, self.exact_threshold)
+            n_real = len(flat)
+            bucket = 1
+            while bucket < n_real:
+                bucket *= 2
+            flat = flat + [flat[0]] * (bucket - n_real)
             with self.lock:
                 scores, ids = run_search(
-                    self.index, flat, k=k, candidates=candidates, mode=mode,
+                    self.index, flat, k=k, candidates=candidates, mode=kernel,
                     exact_threshold=self.exact_threshold,
                 )
+            scores, ids = scores[:n_real], ids[:n_real]
             row = 0
             for p in group:
                 n = len(p.queries)

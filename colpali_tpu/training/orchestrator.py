@@ -65,6 +65,13 @@ class ColModelTrainingConfig:
     seed: int = 0
     pad_seq_to: Optional[Any] = None  # int or bucket list (see data.collator)
     pad_patches_to: Optional[Any] = None  # visual patch axis buckets (Qwen-VL)
+    # jax.checkpoint policy for remat'ed layer stacks (models/layers.
+    # REMAT_POLICIES name, e.g. "dots"): save matmul outputs, recompute only
+    # elementwise glue — measured 255.0 -> 236.3 ms/step on the ColQwen2-2B
+    # LoRA bench (perf/train_bench.py --decompose --remat-policy dots).
+    # Applied as a trace-time context around the train loop; models that
+    # thread an explicit remat_policy attribute override it.
+    remat_policy: Optional[str] = None
 
 
 class ColModelTraining:
@@ -258,6 +265,14 @@ class ColModelTraining:
         return metrics
 
     def train(self, on_step: Optional[Callable[[int, Dict], None]] = None) -> Dict[str, Any]:
+        if self.config.remat_policy is not None:
+            from colpali_tpu.models.layers import remat_policy_ctx
+
+            with remat_policy_ctx(self.config.remat_policy):
+                return self._train(on_step)
+        return self._train(on_step)
+
+    def _train(self, on_step: Optional[Callable[[int, Dict], None]] = None) -> Dict[str, Any]:
         cfg = self.config
         step = int(self.state.step)
         t_start = time.time()

@@ -192,8 +192,14 @@ def main():
         lats, span = run_load(locked_search, n_clients, args.seconds, rng)
         results.append(summarize("locked", n_clients, lats, span, index.stats()))
 
-        # -- batched: MicroBatcher merges concurrent requests
+        # -- batched: MicroBatcher merges concurrent requests. warmup()
+        # pre-compiles each power-of-two merge bucket (without it, the first
+        # request at a new merged size pays a multi-second XLA compile and
+        # poisons p99 — measured 4.2-5.9 s p99 on the first run of this bench)
         mb = MicroBatcher(index, window_ms=args.window_ms)
+        tw = time.time()
+        mb.warmup(max_batch=max(n_clients, 1))
+        print(f"[{time.time()-t0:6.1f}s] buckets warm ({time.time()-tw:.1f}s)", flush=True)
         index.reset()
         try:
             lats, span = run_load(lambda q, k: mb.search(q, k=k),

@@ -40,7 +40,12 @@ def main():
     parser.add_argument("--rank", type=int, default=32)
     parser.add_argument("--no-remat", action="store_true",
                         help="disable jax.checkpoint on every layer (needs the "
-                             "activation HBM; removes the 1x text recompute)")
+                             "activation HBM; removes the 1x text recompute — "
+                             "measured: OOMs at 2B on one 16 GB v5e chip)")
+    parser.add_argument("--remat-policy", choices=["dots", "dots_no_batch"],
+                        help="jax.checkpoint policy: save matmul outputs, "
+                             "recompute only elementwise glue in the backward "
+                             "(models/layers.REMAT_POLICIES)")
     parser.add_argument("--decompose", action="store_true",
                         help="also time forward-only and grad-only chained loops "
                              "to split the step into fwd / bwd / optimizer")
@@ -68,7 +73,8 @@ def main():
         )
         patches = 16
     model = ColQwen2(config, dim=128, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
-                     scan_layers=True, remat=not args.no_remat)
+                     scan_layers=True, remat=not args.no_remat,
+                     remat_policy=args.remat_policy)
 
     b = args.batch
     patch_dim = 3 * config.vision.temporal_patch_size * config.vision.patch_size**2
@@ -184,8 +190,10 @@ def main():
     txt_flops += tc.num_hidden_layers * 2 * 2 * (
         b * s_doc * s_doc + b * s_q * s_q
     ) * tc.num_attention_heads * tc.head_dim  # text attn (full, non-causal docs)
-    # without remat the text stack pays fwd + bwd only (no recompute pass)
-    txt_mult = 2 if args.no_remat else 3
+    # without remat — or with a dots policy (matmul outputs saved, only
+    # elementwise glue recomputed) — the text stack pays fwd + bwd matmuls
+    # only, no recompute pass
+    txt_mult = 2 if (args.no_remat or args.remat_policy) else 3
     step_flops = 1 * vis_flops + txt_mult * txt_flops
 
     print(f"[{time.time()-t0:6.1f}s] compiling train step...", flush=True)

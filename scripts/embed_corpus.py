@@ -54,6 +54,17 @@ def main() -> None:
     parser.add_argument("--quantize", action="store_true",
                         help="w8-static serving: store eligible Dense kernels int8 "
                              "(1.3-1.4x faster 3B forward, half the weight HBM; docs/PERF.md)")
+    parser.add_argument("--transport", choices=["rgb-u8", "yuv420", "gray"],
+                        help="fused low-byte ingestion (fixed-resolution families "
+                             "only): u8 pixels on the wire, decode+normalize+forward "
+                             "in one dispatch (retrieval/ingest.py; docs/PERF.md "
+                             "round-4 e2e table)")
+    parser.add_argument("--chunk", type=int, default=1,
+                        help="with --transport: forward batches folded into one "
+                             "device dispatch (4 amortizes remote-link RPC cost)")
+    parser.add_argument("--reducing-gap", type=float, default=None,
+                        help="with --transport: PIL box pre-reduce for the host "
+                             "resize (1.0 halves bicubic cost on ~4x downscales)")
     args = parser.parse_args()
 
     from PIL import Image
@@ -70,8 +81,20 @@ def main() -> None:
         f for f in os.listdir(args.image_dir) if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))
     )
     images = [Image.open(os.path.join(args.image_dir, f)) for f in files]
-    embeddings = embed_dataset(model.apply, variables, processor, images,
-                               batch_size=args.batch_size, is_images=True)
+    if args.transport:
+        from colpali_tpu.retrieval import embed_pages_fused
+
+        if not hasattr(processor, "image_size") or not hasattr(processor, "visual_prompt_prefix"):
+            parser.error("--transport requires a fixed-resolution processor "
+                         "(the ColPali/PaliGemma family)")
+        embeddings = embed_pages_fused(
+            model.apply, variables, processor, images,
+            transport=args.transport, batch_size=args.batch_size,
+            chunk=args.chunk, reducing_gap=args.reducing_gap,
+        )
+    else:
+        embeddings = embed_dataset(model.apply, variables, processor, images,
+                                   batch_size=args.batch_size, is_images=True)
 
     if args.pool_factor > 1:
         from colpali_tpu.compression.token_pooling import (

@@ -53,6 +53,9 @@ def make_handler(index, files, window_ms: float = 2.0, exact_threshold: int = 4)
     # above the measured two-tier crossover (retrieval/serving.py)
     batcher = MicroBatcher(index, window_ms=window_ms,
                            exact_threshold=exact_threshold, lock=lock)
+    # pre-compile every merge-bucket kernel so no live request pays an XLA
+    # compile (first-seen batch sizes cost seconds; serving_concurrency_bench)
+    batcher.warmup()
     # /metrics: search-latency reservoir (last 1024 requests) + counters
     stats_lock = threading.Lock()
     latencies: list = []

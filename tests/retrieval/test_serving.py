@@ -200,3 +200,64 @@ class TestMicroBatcher:
                 mb.search([], k=1)
         finally:
             mb.close()
+
+
+class TestBucketedDispatch:
+    """Merged sweeps pad to power-of-two buckets (compile-count bound);
+    padding must never change delivered results."""
+
+    def test_padded_merge_matches_direct(self, monkeypatch):
+        import threading
+
+        from colpali_tpu.retrieval import CorpusIndex
+        from colpali_tpu.retrieval.serving import MicroBatcher, run_search
+
+        rng = np.random.default_rng(3)
+        docs = [rng.normal(size=(12, 32)).astype(np.float32) for _ in range(48)]
+        index = CorpusIndex(docs, dtype="bf16")
+        qs = [rng.normal(size=(6, 32)).astype(np.float32) for _ in range(3)]
+
+        sweep_sizes = []
+        orig = index.search
+
+        def spy(queries, k=10, **kw):
+            sweep_sizes.append(len(queries))
+            return orig(queries, k=k, **kw)
+
+        monkeypatch.setattr(index, "search", spy)
+        mb = MicroBatcher(index, window_ms=20.0, exact_threshold=0)
+        try:
+            results = [None] * 3
+
+            def go(i):
+                results[i] = mb.search([qs[i]], k=5)
+
+            ts = [threading.Thread(target=go, args=(i,)) for i in range(3)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+        finally:
+            mb.close()
+
+        batcher_sweeps = list(sweep_sizes)  # the direct call below also hits the spy
+        direct = run_search(index, qs, 5, mode="exact")
+        for i in range(3):
+            np.testing.assert_allclose(results[i][0][0], direct[0][i], atol=1e-3)
+            np.testing.assert_array_equal(results[i][1][0], direct[1][i])
+        # 3 concurrent B=1 requests within one 20 ms window -> sweeps padded
+        # to powers of two (1, 2, or 4 — merge timing dependent), never 3
+        assert batcher_sweeps and all(s & (s - 1) == 0 for s in batcher_sweeps)
+
+    def test_warmup_compiles_buckets(self):
+        from colpali_tpu.retrieval import CorpusIndex
+        from colpali_tpu.retrieval.serving import MicroBatcher
+
+        rng = np.random.default_rng(4)
+        docs = [rng.normal(size=(8, 32)).astype(np.float32) for _ in range(16)]
+        index = CorpusIndex(docs, dtype="bf16")
+        mb = MicroBatcher(index, max_queries=8)
+        try:
+            mb.warmup()  # 1, 2, 4, 8 — must not raise
+        finally:
+            mb.close()

@@ -568,7 +568,10 @@ class TestBuilderPooling:
         manual.add(pooled, cmask)
         ref = manual.build()
 
-        auto = DeviceIndexBuilder(doc_tokens=8, dim=d, pool_factor=3)
+        # pin pool_method: the builder's default became "ward" (round 4),
+        # and the manual reference path above pools with k-means
+        auto = DeviceIndexBuilder(doc_tokens=8, dim=d, pool_factor=3,
+                                  pool_method="kmeans")
         auto.add(jnp.asarray(emb), jnp.asarray(mask))
         index = auto.build()
 

@@ -22,7 +22,10 @@ class TestInstantiate:
         assert instantiate({"a": [1, 2], "b": "x"}) == {"a": [1, 2], "b": "x"}
 
     def test_smoke_yaml_loads(self):
-        cfg = load_config("configs/train_colpali_smoke.yaml")
+        from pathlib import Path
+
+        repo = Path(__file__).resolve().parents[1]  # cwd-independent
+        cfg = load_config(str(repo / "configs/train_colpali_smoke.yaml"))
         assert cfg["global_batch_size"] == 4
         assert cfg["model"].dim == 16
         assert len(cfg["train_datasets"][0]) == 16

@@ -424,3 +424,47 @@ class TestResumeDataOrder:
         trainer.ckpt.close()
         assert np.isfinite(metrics["eval_loss"])
         assert trainer._eval_relevance == [[0, 3], [1, 4], [2, 5]] * 2
+
+
+class TestRematPolicy:
+    """remat_policy config: the trace-time jax.checkpoint-policy context
+    (models/layers.remat_policy_ctx) must thread through the train loop and
+    produce finite losses on a remat'ed model."""
+
+    def test_dots_policy_trains(self, setup, tmp_path):
+        ds, model, params, _ = setup
+        import dataclasses as dc
+
+        remat_model = ColPali(model.config, dim=8, remat=True)
+        config = ColModelTrainingConfig(
+            model=remat_model,
+            params=params,
+            processor=FakeProcessor(),
+            loss_func=ColbertLoss(temperature=0.1),
+            train_datasets=[ds],
+            output_dir=str(tmp_path),
+            global_batch_size=4,
+            num_epochs=1,
+            max_steps=2,
+            train=TrainConfig(learning_rate=1e-3, warmup_steps=0),
+            log_steps=1,
+            report_to="none",
+            remat_policy="dots",
+        )
+        trainer = ColModelTraining(config)
+        summary = trainer.train()
+        assert summary["final_step"] == 2
+        assert all(np.isfinite(m["loss"]) for m in trainer.metrics_history)
+
+    def test_unknown_policy_rejected(self, setup, tmp_path):
+        ds, model, params, _ = setup
+        config = ColModelTrainingConfig(
+            model=model, params=params, processor=FakeProcessor(),
+            loss_func=ColbertLoss(temperature=0.1), train_datasets=[ds],
+            output_dir=str(tmp_path), global_batch_size=4, max_steps=1,
+            train=TrainConfig(learning_rate=1e-3, warmup_steps=0),
+            report_to="none", remat_policy="everything",
+        )
+        trainer = ColModelTraining(config)
+        with pytest.raises(ValueError, match="remat policy"):
+            trainer.train()
