@@ -71,6 +71,19 @@ def run_search(index, queries: Sequence[np.ndarray], k: int,
     return index.search(queries, k=k, candidates=candidates)
 
 
+def _k_bucket(k: int, num_docs: int) -> int:
+    """Round ``k`` up to a power of two (min 16), capped at the corpus size.
+
+    ``lax.top_k``'s k is a static shape: merged sweeps whose requests ask
+    for arbitrary k values would each compile a fresh executable. Bucketing
+    bounds the compile count; callers slice their own k back out (top-k at
+    a larger k is a prefix-superset, so results are unchanged)."""
+    b = 16
+    while b < k:
+        b *= 2
+    return min(b, num_docs)
+
+
 class _Pending:
     __slots__ = ("queries", "k", "candidates", "mode", "event", "scores", "ids", "error")
 
@@ -103,11 +116,21 @@ class MicroBatcher:
 
     def __init__(self, index, window_ms: float = 2.0, max_queries: int = 64,
                  exact_threshold: int = DEFAULT_EXACT_THRESHOLD,
-                 lock: Optional[threading.Lock] = None):
+                 lock: Optional[threading.Lock] = None,
+                 query_token_pad: Optional[int] = 64):
         self.index = index
         self.window = window_ms / 1e3
         self.max_queries = max_queries
         self.exact_threshold = exact_threshold
+        # Static query-token shape: every sweep zero-pads its queries to
+        # this many tokens, so the compiled kernel depends only on the
+        # batch bucket — not on whichever query lengths happened to merge.
+        # Zero tokens are score-neutral in every kernel (exact maxsim: a
+        # zero vector dots to 0 and contributes 0 to the sum; int8 rerank:
+        # per-token scale 0; binary prefilter: masked via q_valid from
+        # binarize_words). Requests longer than the pad fall back to
+        # per-sweep rounding (a one-off compile). None disables padding.
+        self.query_token_pad = query_token_pad
         self.lock = lock if lock is not None else threading.Lock()
         self._queue: deque[_Pending] = deque()
         self._cv = threading.Condition()
@@ -140,20 +163,27 @@ class MicroBatcher:
             raise p.error
         return p.scores, p.ids
 
-    def warmup(self, max_batch: Optional[int] = None, k: int = 10,
-               query_tokens: int = 8) -> None:
+    def warmup(self, max_batch: Optional[int] = None, k: int = 100,
+               query_tokens: Optional[int] = None) -> None:
         """Compile the routed kernel for every power-of-two merge bucket up
         to ``max_batch`` (default ``max_queries``): one dummy sweep each, so
         no real request ever pays a first-seen-batch-size XLA compile.
-        Call once at server boot (scripts/serve.py does)."""
+
+        The compiled executable's shape is (batch bucket, query tokens,
+        top-k bucket): dispatch pins the last two via ``query_token_pad``
+        and :func:`_k_bucket`, so warming here with the same ``k`` family
+        covers every live request with ``k`` up to the same bucket
+        (default 100 -> bucket 128). Call once at server boot
+        (scripts/serve.py does)."""
         limit = max_batch or self.max_queries
-        q = np.zeros((query_tokens, self.index.dim), np.float32)
+        tokens = query_tokens or self.query_token_pad or 16
+        q = np.zeros((tokens, self.index.dim), np.float32)
         b = 1
         while b <= limit:
             kernel = route(self.index, b, "auto", self.exact_threshold)
             with self.lock:
-                run_search(self.index, [q] * b, k=k, mode=kernel,
-                           exact_threshold=self.exact_threshold)
+                run_search(self.index, [q] * b, k=_k_bucket(k, self.index.num_docs),
+                           mode=kernel, exact_threshold=self.exact_threshold)
             b *= 2
 
     def close(self) -> None:
@@ -208,20 +238,32 @@ class MicroBatcher:
             flat: List[np.ndarray] = []
             for p in group:
                 flat.extend(p.queries)
-            k = max(p.k for p in group)
-            # Route on the TRUE query count, then pad the sweep to a
-            # power-of-two bucket: merged batch sizes under load are
-            # arbitrary, and every distinct size is a fresh XLA compile
-            # (measured: a first-seen merge size costs seconds and poisons
-            # p99 — perf/serving_concurrency_bench.py). Buckets bound the
-            # compile count at log2(max_queries); pad rows reuse queries[0]
-            # and are sliced off before delivery.
+            # Route on the TRUE query count, then make every sweep shape
+            # static: batch padded to a power-of-two bucket, top-k rounded
+            # to a power-of-two bucket, query tokens zero-padded to
+            # query_token_pad. Merged batch sizes / k values / query
+            # lengths under load are arbitrary, and every distinct
+            # (batch, tokens, k) triple is a fresh XLA compile (measured:
+            # a first-seen shape costs seconds and poisons p99 —
+            # perf/serving_concurrency_bench.py). Buckets bound the compile
+            # count at log2(max_queries) total; pad rows reuse queries[0],
+            # pad tokens score 0, and both are sliced off before delivery.
+            k = _k_bucket(max(p.k for p in group), self.index.num_docs)
             kernel = route(self.index, len(flat), mode, self.exact_threshold)
             n_real = len(flat)
             bucket = 1
             while bucket < n_real:
                 bucket *= 2
             flat = flat + [flat[0]] * (bucket - n_real)
+            pad = self.query_token_pad
+            if pad is not None and all(q.shape[0] <= pad for q in flat):
+                flat = [
+                    q if q.shape[0] == pad
+                    else np.concatenate(
+                        [q, np.zeros((pad - q.shape[0], q.shape[1]), np.float32)]
+                    )
+                    for q in flat
+                ]
             with self.lock:
                 scores, ids = run_search(
                     self.index, flat, k=k, candidates=candidates, mode=kernel,

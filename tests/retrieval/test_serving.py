@@ -249,6 +249,59 @@ class TestBucketedDispatch:
         # to powers of two (1, 2, or 4 — merge timing dependent), never 3
         assert batcher_sweeps and all(s & (s - 1) == 0 for s in batcher_sweeps)
 
+    def test_static_sweep_shapes(self, monkeypatch):
+        """Every sweep the device sees must have bucketed shapes: query
+        tokens zero-padded to query_token_pad, top-k rounded to a power of
+        two — so live traffic only ever hits warmup-compiled executables."""
+        from colpali_tpu.retrieval import CorpusIndex
+        from colpali_tpu.retrieval.serving import MicroBatcher, run_search
+
+        rng = np.random.default_rng(5)
+        docs = [rng.normal(size=(12, 32)).astype(np.float32) for _ in range(48)]
+        index = CorpusIndex(docs, dtype="bf16")
+
+        seen = []  # (query token counts, k)
+        orig = index.search
+
+        def spy(queries, k=10, **kw):
+            seen.append((sorted({q.shape[0] for q in queries}), k))
+            return orig(queries, k=k, **kw)
+
+        monkeypatch.setattr(index, "search", spy)
+        mb = MicroBatcher(index, window_ms=0.0, exact_threshold=0,
+                          query_token_pad=64)
+        try:
+            q9 = rng.normal(size=(9, 32)).astype(np.float32)
+            scores, ids = mb.search([q9], k=5)
+        finally:
+            mb.close()
+        assert seen == [([64], 16)]  # tokens 9 -> 64, k 5 -> bucket 16
+        assert scores.shape == (1, 5) and ids.shape == (1, 5)
+        # zero-token padding and the larger k are result-neutral
+        direct = run_search(index, [q9], 5, mode="exact")
+        np.testing.assert_allclose(scores[0], direct[0][0], atol=1e-3)
+        np.testing.assert_array_equal(ids[0], direct[1][0])
+
+    def test_oversize_query_falls_back(self, monkeypatch):
+        """A request longer than query_token_pad must still work (per-sweep
+        rounding fallback, no exception, exact results)."""
+        from colpali_tpu.retrieval import CorpusIndex
+        from colpali_tpu.retrieval.serving import MicroBatcher, run_search
+
+        rng = np.random.default_rng(6)
+        docs = [rng.normal(size=(12, 32)).astype(np.float32) for _ in range(48)]
+        index = CorpusIndex(docs, dtype="bf16")
+        mb = MicroBatcher(index, window_ms=0.0, exact_threshold=0,
+                          query_token_pad=16)
+        try:
+            q40 = rng.normal(size=(40, 32)).astype(np.float32)
+            scores, ids = mb.search([q40], k=5)
+        finally:
+            mb.close()
+        direct = run_search(index, [q40], 5, mode="exact")
+        np.testing.assert_allclose(scores[0], direct[0][0], atol=1e-3)
+        np.testing.assert_array_equal(ids[0], direct[1][0])
+
     def test_warmup_compiles_buckets(self):
         from colpali_tpu.retrieval import CorpusIndex
         from colpali_tpu.retrieval.serving import MicroBatcher
