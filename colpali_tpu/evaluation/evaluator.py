@@ -66,6 +66,7 @@ def embed_dataset(
     batch_size: int = 8,
     is_images: bool = True,
     use_query_prompt: bool = False,
+    kind: Optional[str] = None,
 ) -> List[np.ndarray]:
     """Embed texts/images in batches, returning per-item unpadded embeddings.
 
@@ -73,6 +74,11 @@ def embed_dataset(
     (so downstream scoring sees only real tokens). ``use_query_prompt`` routes
     texts through ``process_queries`` (prefix + augmentation suffix) instead
     of raw ``process_texts``.
+
+    ``kind`` overrides the two boolean flags with an explicit modality:
+    ``"images"`` | ``"texts"`` | ``"queries"`` | ``"audios"`` (waveforms for
+    processors with ``process_audios`` — the ColQwen-Omni family, mirroring
+    the reference's audio-document support in processing_colqwen_omni.py).
 
     Preprocessing runs on a prefetch thread overlapping the device forward,
     and processors with a ``device_pixels`` path (the qwen2 family) keep
@@ -85,20 +91,27 @@ def embed_dataset(
 
     from colpali_tpu.data.prefetch import prefetch
 
+    if kind is None:
+        kind = "images" if is_images else ("queries" if use_query_prompt else "texts")
+    if kind not in ("images", "texts", "queries", "audios"):
+        raise ValueError(f"unknown kind {kind!r}")
     device_pixels = (
-        is_images and "device_pixels" in inspect.signature(processor.process_images).parameters
+        kind == "images"
+        and "device_pixels" in inspect.signature(processor.process_images).parameters
     )
 
     def produce():
         for i in range(0, len(items), batch_size):
             chunk = list(items[i : i + batch_size])
-            if is_images:
+            if kind == "images":
                 batch = (
                     processor.process_images(chunk, device_pixels=True)
                     if device_pixels
                     else processor.process_images(chunk)
                 )
-            elif use_query_prompt:
+            elif kind == "audios":
+                batch = processor.process_audios(chunk)
+            elif kind == "queries":
                 batch = processor.process_queries(queries=chunk)
             else:
                 batch = processor.process_texts(chunk)

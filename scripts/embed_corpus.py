@@ -65,6 +65,9 @@ def main() -> None:
     parser.add_argument("--reducing-gap", type=float, default=None,
                         help="with --transport: PIL box pre-reduce for the host "
                              "resize (1.0 halves bicubic cost on ~4x downscales)")
+    parser.add_argument("--modality", choices=["image", "audio"], default="image",
+                        help="audio: embed .wav documents via process_audios "
+                             "(the ColQwen-Omni family; image_dir holds WAV files)")
     args = parser.parse_args()
 
     from PIL import Image
@@ -76,6 +79,24 @@ def main() -> None:
         args.checkpoint_dir, family=None if args.family == "auto" else args.family,
         quantize=args.quantize,
     )
+
+    if args.modality == "audio":
+        from colpali_tpu.utils.audio import load_wav
+
+        if not hasattr(processor, "process_audios"):
+            parser.error(f"--modality audio requires an audio-capable family "
+                         f"(ColQwen-Omni); {type(processor).__name__} has no "
+                         f"process_audios")
+        if args.transport:
+            parser.error("--transport applies to image corpora only")
+        files = sorted(
+            f for f in os.listdir(args.image_dir) if f.lower().endswith(".wav")
+        )
+        waveforms = [load_wav(os.path.join(args.image_dir, f)) for f in files]
+        embeddings = embed_dataset(model.apply, variables, processor, waveforms,
+                                   batch_size=args.batch_size, kind="audios")
+        _write_outputs(args, files, embeddings)
+        return
 
     files = sorted(
         f for f in os.listdir(args.image_dir) if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))
@@ -95,7 +116,11 @@ def main() -> None:
     else:
         embeddings = embed_dataset(model.apply, variables, processor, images,
                                    batch_size=args.batch_size, is_images=True)
+    _write_outputs(args, files, embeddings)
 
+
+def _write_outputs(args, files, embeddings) -> None:
+    """Pool (optional), save ragged .npz + files.json, build --save-index."""
     if args.pool_factor > 1:
         from colpali_tpu.compression.token_pooling import (
             HierarchicalTokenPooler,

@@ -105,6 +105,66 @@ def test_auto_loader_detects_and_loads(tiny_ckpt):
     assert np.isfinite(np.asarray(emb, np.float32)).all()
 
 
+def test_embed_corpus_cli_audio_documents(tmp_path):
+    """Audio documents through the PRODUCTION corpus pipeline: synth
+    ColQwen-Omni checkpoint -> .wav files -> embed_corpus --modality audio
+    -> packed index -> search. The reference makes audio a first-class
+    retrieval modality (processing_colqwen_omni.py:90-153); this proves our
+    serving path runs it end-to-end, not just the parity/gate tests."""
+    import numpy as np
+
+    from colpali_tpu.utils.audio import save_wav
+
+    env = {"PYTHONPATH": "", "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin"}
+    ckpt = tmp_path / "omni"
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), "--make-synth", "colqwen-omni-tiny", str(ckpt)],
+        capture_output=True, text=True, cwd=str(REPO), timeout=300, env={**env},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    wav_dir = tmp_path / "clips"
+    wav_dir.mkdir()
+    rng = np.random.default_rng(0)
+    t = np.arange(16000, dtype=np.float32) / 16000.0  # 1 s @16kHz
+    for i in range(3):
+        f0 = 150.0 * (i + 1)
+        clip = sum(
+            np.sin(2 * np.pi * f0 * (h + 1) * t) / (h + 1) for h in range(3)
+        ) * 0.2 + rng.normal(scale=0.01, size=t.shape)
+        save_wav(str(wav_dir / f"clip{i}.wav"), clip.astype(np.float32))
+
+    out = tmp_path / "emb.npz"
+    idx = tmp_path / "index.npz"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "embed_corpus.py"), "colqwen_omni",
+         str(ckpt), str(wav_dir), str(out), "--modality", "audio",
+         "--batch-size", "2", "--save-index", str(idx)],
+        capture_output=True, text=True, cwd=str(REPO), timeout=600, env={**env},
+    )
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    data = np.load(out)
+    assert len(data.files) == 3
+    assert all(np.isfinite(data[k]).all() for k in data.files)
+
+    from colpali_tpu import score_multi_vector
+    from colpali_tpu.retrieval import CorpusIndex
+
+    index = CorpusIndex.load(str(idx))
+    assert index.num_docs == 3
+    embs = [data[f"emb_{i}"] for i in range(3)]
+    scores, ids = index.search(embs, k=3)
+    assert scores.shape == (3, 3) and np.isfinite(scores).all()
+    # the packed index must score audio docs the same as exact fp32 maxsim
+    # (within int8 quant noise). Rank assertions are meaningless here: at
+    # RANDOM weights the three clips score within 0.03% of each other (the
+    # shared prompt dominates) — the finetuned omni gate
+    # (test_finetuned_gate_new_families) is where ranking is proven.
+    mat = np.asarray(score_multi_vector(embs, embs))
+    for i in range(3):
+        np.testing.assert_allclose(np.sort(scores[i]), np.sort(mat[i]), rtol=0.02)
+
+
 def test_auto_loader_unknown_family_raises(tmp_path):
     from colpali_tpu.auto import detect_family
 
