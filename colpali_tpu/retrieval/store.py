@@ -195,6 +195,9 @@ class CorpusIndex:
         # two-tier shortlist size used when search(candidates=None); set
         # explicitly or via tune_candidates() (recall-targeted doubling)
         self.default_candidates: Optional[int] = None
+        # fused-search executables keyed by (kind, k, candidates, corpus
+        # shape) — see _fused_search_fn
+        self._jit_cache: dict = {}
 
     def _pack_host(
         self, docs_list, n_tiles: Optional[int] = None
@@ -454,15 +457,27 @@ class CorpusIndex:
             n += self._bwords.size * 4
         return n
 
-    def _score_padded(self, queries: jnp.ndarray) -> jnp.ndarray:
-        """(B, Nq, D) -> (B, padded_docs) fp32 scores."""
+    def _score_padded(
+        self,
+        queries: jnp.ndarray,
+        store: Optional[jnp.ndarray] = None,
+        scales: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """(B, Nq, D) -> (B, padded_docs) fp32 scores.
+
+        ``store``/``scales`` default to this index's arrays; the fused
+        jitted search paths pass them explicitly as jit ARGUMENTS (a jit
+        that closes over a multi-GB device array captures it as a constant
+        and serializes it through remote-attach tunnels at lowering)."""
+        store = self._store if store is None else store
+        scales = self._scales if scales is None else scales
         use_kernel = self.force_kernel if self.force_kernel is not None else _on_tpu()
         if use_kernel:
             # Off-TPU the Pallas kernel runs in interpreter mode — slow, but
             # it exercises the REAL production branch (incl. the shard_map
             # specs below) on the hermetic CPU mesh.
             kernel = self._kernel_fn(interpret=not _on_tpu())
-            args = (queries, self._store) if self._scales is None else (queries, self._store, self._scales)
+            args = (queries, store) if scales is None else (queries, store, scales)
             if self.mesh is None:
                 return kernel(*args)
             # Multi-chip: a pallas_call is opaque to GSPMD, so shard_map it
@@ -482,9 +497,8 @@ class CorpusIndex:
             return sharded(*args)
         # CPU/GPU fallback: plain XLA maxsim over the doc-major view (GSPMD
         # shards this automatically when a mesh is attached).
-        store = self._store
         if self.dtype == "int8":
-            store = store.astype(jnp.float32) * self._scales[..., None]
+            store = store.astype(jnp.float32) * scales[..., None]
         n_tiles, np_, t, d = store.shape
         docs = jnp.transpose(store, (0, 2, 1, 3)).reshape(n_tiles * t, np_, d).astype(jnp.float32)
         return maxsim(queries.astype(jnp.float32), docs)
@@ -536,13 +550,54 @@ class CorpusIndex:
             return self._search_prefilter(queries, k, candidates)
         if candidates is not None:
             raise ValueError("candidates= requires an index built with prefilter='binary'")
-        scores = self._score_padded(queries)
-        if self.padded_docs > self.num_docs:
-            # mask the zero-padded fake docs
-            col = jnp.arange(self.padded_docs)[None, :]
-            scores = jnp.where(col < self.num_docs, scores, -jnp.inf)
-        top_scores, top_idx = jax.lax.top_k(scores, k)
+        fn = self._fused_search_fn("exact", k)
+        top_scores, top_idx = fn(queries, self._store, self._scales)
         return np.asarray(top_scores), np.asarray(top_idx)
+
+    def _fused_search_fn(self, kind: str, k: int, c: Optional[int] = None):
+        """One-dispatch search executable: the WHOLE search (coarse pass,
+        masking, shortlist top-k, gather-rerank, final top-k) fused into a
+        single jit so serving pays ONE device dispatch per sweep instead of
+        one per eager op (each dispatch costs 10-40 ms RPC on
+        remote-attached chips; measured in docs/PERF.md "Serving under
+        concurrent load"). The corpus arrays are jit ARGUMENTS, never
+        closures (a captured multi-GB constant serializes through the
+        tunnel at lowering). Cached per (kind, k, candidates, corpus shape)
+        — extend() changes num_docs, which keys a fresh trace."""
+        key = (kind, k, c, self.num_docs, self.padded_docs)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        num_docs, padded_docs = self.num_docs, self.padded_docs
+
+        if kind == "exact":
+
+            def compute(queries, store, scales):
+                scores = self._score_padded(queries, store, scales)
+                col = jnp.arange(padded_docs)[None, :]
+                scores = jnp.where(col < num_docs, scores, -jnp.inf)
+                return jax.lax.top_k(scores, k)
+
+        elif kind == "tiered":
+            coarse = self._binary_fn()
+
+            def compute(queries, store, scales, bwords):
+                q_words, q_valid = binarize_words(queries)
+                sc = coarse(q_words, q_valid, bwords)
+                col = jnp.arange(padded_docs)[None, :]
+                sc = jnp.where(col < num_docs, sc, -jnp.inf)
+                _, cand = jax.lax.top_k(sc, c)
+                exact = self._rerank(queries, store, scales, cand)
+                ts, pos = jax.lax.top_k(exact, k)
+                return ts, jnp.take_along_axis(cand, pos, axis=1)
+
+        elif kind == "tiered_mesh":
+            compute = self._tiered_mesh_compute(k, c)
+        else:
+            raise ValueError(f"unknown fused-search kind {kind!r}")
+        fn = jax.jit(compute)
+        self._jit_cache[key] = fn
+        return fn
 
     # -- two-tier (binary prefilter) search ---------------------------------
 
@@ -565,29 +620,29 @@ class CorpusIndex:
     def _search_prefilter(
         self, queries: jnp.ndarray, k: int, candidates: Optional[int]
     ) -> Tuple[np.ndarray, np.ndarray]:
-        q_words, q_valid = binarize_words(queries)
-        coarse = self._binary_fn()
         candidates = max(candidates or self.default_candidates or max(8 * k, 64), k)
 
         if self.mesh is None:
             c = min(candidates, self.num_docs)
-            scores_c = coarse(q_words, q_valid, self._bwords)
-            col = jnp.arange(self.padded_docs)[None, :]
-            scores_c = jnp.where(col < self.num_docs, scores_c, -jnp.inf)
-            _, cand = jax.lax.top_k(scores_c, c)
-            exact = self._rerank(queries, self._store, self._scales, cand)
-            top_scores, pos = jax.lax.top_k(exact, k)
-            top_idx = jnp.take_along_axis(cand, pos, axis=1)
+            fn = self._fused_search_fn("tiered", k, c)
+            top_scores, top_idx = fn(queries, self._store, self._scales, self._bwords)
             return np.asarray(top_scores), np.asarray(top_idx)
+        c = min(candidates, self.padded_docs // self.mesh.shape[self.axis])
+        fn = self._fused_search_fn("tiered_mesh", k, c)
+        scales = self._scales if self._scales is not None else jnp.zeros((), jnp.float32)
+        top_scores, top_idx = fn(queries, self._store, scales, self._bwords)
+        return np.asarray(top_scores), np.asarray(top_idx)
 
-        # Mesh: every chip shortlists `candidates` docs from ITS shard,
-        # reranks them exactly, and emits its local top-k; the global top-k
-        # over the concatenated per-shard winners equals the exact top-k of
-        # the union of shard candidate sets (a superset of the single-device
-        # candidate set, so recall can only improve).
+    def _tiered_mesh_compute(self, k: int, c: int):
+        """Mesh two-tier sweep body (jitted via _fused_search_fn): every
+        chip shortlists ``c`` docs from ITS shard, reranks them exactly,
+        and emits its local top-k; the global top-k over the concatenated
+        per-shard winners equals the exact top-k of the union of shard
+        candidate sets (a superset of the single-device candidate set, so
+        recall can only improve)."""
+        coarse = self._binary_fn()
         n_shards = self.mesh.shape[self.axis]
         c_local_docs = self.padded_docs // n_shards
-        c = min(candidates, c_local_docs)
         k_local = min(k, c)
         num_docs, axis = self.num_docs, self.axis
         has_scales = self._scales is not None
@@ -608,7 +663,7 @@ class CorpusIndex:
             return ts, jnp.take(gids, jnp.take_along_axis(cand, pos, axis=1))
 
         shard4, shard3 = P(axis, None, None, None), P(axis, None, None)
-        scale_spec = shard3 if self._scales is not None else P()
+        scale_spec = shard3 if has_scales else P()
         sharded = jax.shard_map(
             local_search,
             mesh=self.mesh,
@@ -616,11 +671,14 @@ class CorpusIndex:
             out_specs=(P(None, axis), P(None, axis)),
             check_vma=False,
         )
-        scales = self._scales if self._scales is not None else jnp.zeros((), jnp.float32)
-        all_s, all_i = sharded(q_words, q_valid, queries, self._bwords, self._store, scales)
-        top_scores, pos = jax.lax.top_k(all_s, k)
-        top_idx = jnp.take_along_axis(all_i, pos, axis=1)
-        return np.asarray(top_scores), np.asarray(top_idx)
+
+        def compute(queries, store, scales, bwords):
+            q_words, q_valid = binarize_words(queries)
+            all_s, all_i = sharded(q_words, q_valid, queries, bwords, store, scales)
+            top_scores, pos = jax.lax.top_k(all_s, k)
+            return top_scores, jnp.take_along_axis(all_i, pos, axis=1)
+
+        return compute
 
     # -- recall management ---------------------------------------------------
 
@@ -633,11 +691,8 @@ class CorpusIndex:
         index)."""
         queries = self._prep_queries(query_embeddings)
         k = min(k, self.num_docs)
-        scores = self._score_padded(queries)
-        if self.padded_docs > self.num_docs:
-            col = jnp.arange(self.padded_docs)[None, :]
-            scores = jnp.where(col < self.num_docs, scores, -jnp.inf)
-        top_scores, top_idx = jax.lax.top_k(scores, k)
+        fn = self._fused_search_fn("exact", k)
+        top_scores, top_idx = fn(queries, self._store, self._scales)
         return np.asarray(top_scores), np.asarray(top_idx)
 
     def estimate_recall(
