@@ -26,7 +26,13 @@ import jax.numpy as jnp
 
 from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_embeddings
 from colpali_tpu.models.configs import DenseHeadConfig
-from colpali_tpu.models.layers import Dtype, QDense, make_attention_bias, remat_layer
+from colpali_tpu.models.layers import (
+    Dtype,
+    QDense,
+    flash_auto_ok,
+    make_attention_bias,
+    remat_layer,
+)
 from colpali_tpu.models.qwen2_vl import Qwen2Decoder, Qwen2TextConfig
 from colpali_tpu.models.siglip import SiglipEncoderLayer
 
@@ -215,8 +221,15 @@ class Idefics3Backbone(nn.Module):
             image_mask = input_ids == cfg.image_token_id
             inputs_embeds = merge_image_embeddings(inputs_embeds, image_mask, feats)
 
-        attn_bias = make_attention_bias(attention_mask, causal=True)
+        # route the whole causal text stack once, same as Qwen2VLBackbone:
+        # (B, S) mask -> flash when eligible at this shape, else one
+        # prebuilt additive bias shared by every (scanned) layer
         b, s = input_ids.shape
+        tc = cfg.text
+        if flash_auto_ok(b, s, tc.num_attention_heads, tc.num_key_value_heads, self.dtype):
+            attn_bias = attention_mask.astype(jnp.int32)
+        else:
+            attn_bias = make_attention_bias(attention_mask, causal=True)
         pos = jnp.clip(jnp.cumsum(attention_mask, axis=-1) - 1, 0, None)
         position_ids = jnp.broadcast_to(pos[None], (3, b, s))
         return self.text_model(inputs_embeds, attn_bias, position_ids)

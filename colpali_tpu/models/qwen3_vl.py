@@ -38,6 +38,7 @@ from colpali_tpu.models.layers import (
     Dtype,
     GatedMLP,
     RMSNorm,
+    flash_auto_ok,
     make_attention_bias,
     scanned_stack,
 )
@@ -351,7 +352,14 @@ class Qwen3DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, layer_idx, attn_bias, rope, inj_stack=None):
+        # attn_bias: (B, 1, S, S) prebuilt additive bias -> einsum path, or
+        # (B, S) validity mask -> causal flash (routed once per trace by
+        # Qwen3VLBackbone, same pattern as Qwen2VLBackbone)
         cfg = self.config
+        attn_kwargs = (
+            dict(mask=attn_bias, causal=True) if attn_bias.ndim == 2
+            else dict(attn_bias=attn_bias)
+        )
         residual = x
         h = RMSNorm(eps=cfg.rms_norm_eps, add_unit_offset=False, param_dtype=self.param_dtype,
                     name="input_layernorm")(x)
@@ -366,7 +374,7 @@ class Qwen3DecoderLayer(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="self_attn",
-        )(h, attn_bias=attn_bias, rope=rope)
+        )(h, rope=rope, **attn_kwargs)
         x = residual + h
         residual = x
         h = RMSNorm(eps=cfg.rms_norm_eps, add_unit_offset=False, param_dtype=self.param_dtype,
@@ -485,7 +493,15 @@ class Qwen3VLBackbone(nn.Module):
         if position_ids is None:
             pos = jnp.clip(jnp.cumsum(attention_mask, axis=-1) - 1, 0, None)
             position_ids = jnp.broadcast_to(pos[None], (3, *pos.shape))
-        attn_bias = make_attention_bias(attention_mask, causal=True)
+        # route the whole causal text stack once (same as Qwen2VLBackbone):
+        # (B, S) mask -> causal flash when eligible at this shape, else one
+        # prebuilt additive bias shared by every scanned layer
+        b, s = attention_mask.shape
+        tc = self.config.text
+        if flash_auto_ok(b, s, tc.num_attention_heads, tc.num_key_value_heads, self.dtype):
+            attn_bias = attention_mask.astype(jnp.int32)
+        else:
+            attn_bias = make_attention_bias(attention_mask, causal=True)
         return self.language_model(inputs_embeds, attn_bias, position_ids, image_mask, deepstack)
 
 

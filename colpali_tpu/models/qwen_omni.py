@@ -30,7 +30,13 @@ import numpy as np
 
 from colpali_tpu.models.common import DenseHead, MultiVectorHead, merge_image_embeddings
 from colpali_tpu.models.configs import DenseHeadConfig
-from colpali_tpu.models.layers import Dtype, QDense, make_attention_bias, remat_layer
+from colpali_tpu.models.layers import (
+    Dtype,
+    QDense,
+    flash_auto_ok,
+    make_attention_bias,
+    remat_layer,
+)
 from colpali_tpu.models.qwen2_5_vl import Qwen25VisionTower, Qwen25VLVisionConfig
 from colpali_tpu.models.qwen2_vl import Qwen2Decoder, Qwen2TextConfig
 
@@ -258,7 +264,15 @@ class QwenOmniBackbone(nn.Module):
         if position_ids is None:
             pos = jnp.clip(jnp.cumsum(attention_mask, axis=-1) - 1, 0, None)
             position_ids = jnp.broadcast_to(pos[None], (3, *pos.shape))
-        attn_bias = make_attention_bias(attention_mask, causal=True)
+        # route the whole causal text stack once (same as Qwen2VLBackbone):
+        # (B, S) mask -> causal flash when eligible at this shape, else one
+        # prebuilt additive bias shared by every scanned layer
+        b, s = attention_mask.shape
+        tc = self.config.text
+        if flash_auto_ok(b, s, tc.num_attention_heads, tc.num_key_value_heads, self.dtype):
+            attn_bias = attention_mask.astype(jnp.int32)
+        else:
+            attn_bias = make_attention_bias(attention_mask, causal=True)
         return self.language_model(inputs_embeds, attn_bias, position_ids)
 
 
