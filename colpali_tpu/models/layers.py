@@ -683,8 +683,15 @@ def remat_layer(layer_cls, remat: bool, remat_policy=None):
         return layer_cls
     if remat_policy is None:
         remat_policy = _REMAT_POLICY_CTX.get()
-    policy = REMAT_POLICIES[remat_policy] if isinstance(remat_policy, (str, type(None))) \
-        else remat_policy
+    if isinstance(remat_policy, (str, type(None))):
+        if remat_policy not in REMAT_POLICIES:
+            raise ValueError(
+                f"unknown remat policy {remat_policy!r}; options: "
+                f"{sorted(k for k in REMAT_POLICIES if k)}"
+            )
+        policy = REMAT_POLICIES[remat_policy]
+    else:
+        policy = remat_policy
     return nn.remat(layer_cls, policy=policy) if policy is not None else nn.remat(layer_cls)
 
 

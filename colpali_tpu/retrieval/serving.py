@@ -117,11 +117,19 @@ class MicroBatcher:
     def __init__(self, index, window_ms: float = 2.0, max_queries: int = 64,
                  exact_threshold: int = DEFAULT_EXACT_THRESHOLD,
                  lock: Optional[threading.Lock] = None,
-                 query_token_pad: Optional[int] = 64):
+                 query_token_pad: Optional[int] = 64,
+                 k_bucket: int = 128):
         self.index = index
         self.window = window_ms / 1e3
         self.max_queries = max_queries
         self.exact_threshold = exact_threshold
+        # Single static top-k shape: every sweep runs at this k (capped at
+        # the corpus size) and each request slices its own k back out —
+        # top-k at a larger k is a prefix-superset, and on a 1M-doc row the
+        # k=128 top_k costs ~0.2 ms (docs/PERF.md roofline), so one bucket
+        # removes a whole compile axis. Requests with k > k_bucket fall
+        # back to per-sweep power-of-two rounding (a one-off compile).
+        self.k_bucket = k_bucket
         # Static query-token shape: every sweep zero-pads its queries to
         # this many tokens, so the compiled kernel depends only on the
         # batch bucket — not on whichever query lengths happened to merge.
@@ -163,27 +171,39 @@ class MicroBatcher:
             raise p.error
         return p.scores, p.ids
 
-    def warmup(self, max_batch: Optional[int] = None, k: int = 100,
+    def warmup(self, max_batch: Optional[int] = None,
                query_tokens: Optional[int] = None) -> None:
-        """Compile the routed kernel for every power-of-two merge bucket up
-        to ``max_batch`` (default ``max_queries``): one dummy sweep each, so
-        no real request ever pays a first-seen-batch-size XLA compile.
+        """Compile EVERY executable live dispatch can reach: for each
+        power-of-two merge bucket up to ``max_batch`` (default
+        ``max_queries``), one dummy sweep per reachable kernel — exact at
+        every bucket (clients may force ``mode='exact'`` at any batch), and
+        tiered at every bucket up to the exact-threshold's power-of-two
+        ceiling (auto routing pads tiered sweeps up to that bucket; e.g.
+        threshold 6 routes n=5 tiered at bucket 8).
 
         The compiled executable's shape is (batch bucket, query tokens,
-        top-k bucket): dispatch pins the last two via ``query_token_pad``
-        and :func:`_k_bucket`, so warming here with the same ``k`` family
-        covers every live request with ``k`` up to the same bucket
-        (default 100 -> bucket 128). Call once at server boot
-        (scripts/serve.py does)."""
+        top-k): dispatch pins the last two via ``query_token_pad`` and the
+        single ``k_bucket``, so warming here covers every live request with
+        k <= k_bucket. Call once at server boot (scripts/serve.py does).
+        The one remaining cold path is a client forcing ``mode='tiered'``
+        ABOVE the auto threshold (a deliberate operator override) or
+        k > k_bucket — each a one-off compile."""
         limit = max_batch or self.max_queries
         tokens = query_tokens or self.query_token_pad or 16
         q = np.zeros((tokens, self.index.dim), np.float32)
+        k = min(self.k_bucket, self.index.num_docs)
+        tiered_limit = 1
+        while tiered_limit < self.exact_threshold:
+            tiered_limit *= 2
         b = 1
         while b <= limit:
-            kernel = route(self.index, b, "auto", self.exact_threshold)
-            with self.lock:
-                run_search(self.index, [q] * b, k=_k_bucket(k, self.index.num_docs),
-                           mode=kernel, exact_threshold=self.exact_threshold)
+            kernels = ["exact"]
+            if self.index.prefilter is not None and b <= tiered_limit:
+                kernels.append("tiered")
+            for kernel in kernels:
+                with self.lock:
+                    run_search(self.index, [q] * b, k=k, mode=kernel,
+                               exact_threshold=self.exact_threshold)
             b *= 2
 
     def close(self) -> None:
@@ -248,7 +268,11 @@ class MicroBatcher:
             # perf/serving_concurrency_bench.py). Buckets bound the compile
             # count at log2(max_queries) total; pad rows reuse queries[0],
             # pad tokens score 0, and both are sliced off before delivery.
-            k = _k_bucket(max(p.k for p in group), self.index.num_docs)
+            k_req = max(p.k for p in group)
+            if k_req <= self.k_bucket:
+                k = min(self.k_bucket, self.index.num_docs)
+            else:  # oversized request: one-off per-sweep rounding
+                k = _k_bucket(k_req, self.index.num_docs)
             kernel = route(self.index, len(flat), mode, self.exact_threshold)
             n_real = len(flat)
             bucket = 1

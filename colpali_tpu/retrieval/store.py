@@ -41,6 +41,11 @@ from colpali_tpu.utils.tensor_utils import pad_sequences, round_up
 
 Array = Union[np.ndarray, jnp.ndarray]
 
+#: LRU bound on cached fused-search executables per index (a serving
+#: deployment uses ~a dozen (kernel, k-bucket) shapes; direct callers with
+#: unbounded k diversity should not leak compiles forever)
+_JIT_CACHE_MAX = 32
+
 
 def _on_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
@@ -380,6 +385,10 @@ class CorpusIndex:
                 self._bwords = cat(self._bwords, bwords_h, P(self.axis, None, None, None))
         self.num_docs = num_docs_new
         self.padded_docs = n_total_tiles * DOC_TILE
+        # every cached fused-search executable is keyed on the OLD corpus
+        # shape — permanently stranded after this resize; drop them so a
+        # long-lived growing server doesn't leak compiles
+        self._jit_cache.clear()
 
     # -- persistence --------------------------------------------------------
 
@@ -562,11 +571,13 @@ class CorpusIndex:
         remote-attached chips; measured in docs/PERF.md "Serving under
         concurrent load"). The corpus arrays are jit ARGUMENTS, never
         closures (a captured multi-GB constant serializes through the
-        tunnel at lowering). Cached per (kind, k, candidates, corpus shape)
-        — extend() changes num_docs, which keys a fresh trace."""
+        tunnel at lowering). Cached per (kind, k, candidates, corpus shape),
+        LRU-bounded (direct callers with diverse k would otherwise pin every
+        executable forever); extend() resizes the corpus and clears it."""
         key = (kind, k, c, self.num_docs, self.padded_docs)
-        fn = self._jit_cache.get(key)
+        fn = self._jit_cache.pop(key, None)
         if fn is not None:
+            self._jit_cache[key] = fn  # re-insert: most-recently-used at the end
             return fn
         num_docs, padded_docs = self.num_docs, self.padded_docs
 
@@ -597,6 +608,8 @@ class CorpusIndex:
             raise ValueError(f"unknown fused-search kind {kind!r}")
         fn = jax.jit(compute)
         self._jit_cache[key] = fn
+        while len(self._jit_cache) > _JIT_CACHE_MAX:
+            self._jit_cache.pop(next(iter(self._jit_cache)))
         return fn
 
     # -- two-tier (binary prefilter) search ---------------------------------

@@ -307,3 +307,18 @@ class TestScanEquivalence:
         params = model.init(jax.random.PRNGKey(0), embeds, bias, pos)["params"]
         k = params["layers"]["layer"]["self_attn"]["q_proj"]["kernel"]
         assert k.shape[0] == 3  # stacked layer axis
+
+
+def test_remat_layer_rejects_unknown_policy_name():
+    """A typo'd remat_policy must raise the friendly ValueError (listing the
+    options) from remat_layer itself, not a bare KeyError deep in Flax
+    setup — same contract as remat_policy_ctx (ADVICE r4)."""
+    import pytest
+    import flax.linen as nn
+    from colpali_tpu.models.layers import remat_layer
+
+    with pytest.raises(ValueError, match="unknown remat policy"):
+        remat_layer(nn.Dense, remat=True, remat_policy="typo")
+    # valid names and raw policy callables still work
+    assert remat_layer(nn.Dense, remat=True, remat_policy="dots") is not None
+    assert remat_layer(nn.Dense, remat=False, remat_policy="typo") is nn.Dense

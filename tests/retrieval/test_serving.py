@@ -250,9 +250,10 @@ class TestBucketedDispatch:
         assert batcher_sweeps and all(s & (s - 1) == 0 for s in batcher_sweeps)
 
     def test_static_sweep_shapes(self, monkeypatch):
-        """Every sweep the device sees must have bucketed shapes: query
-        tokens zero-padded to query_token_pad, top-k rounded to a power of
-        two — so live traffic only ever hits warmup-compiled executables."""
+        """Every sweep the device sees must have static shapes: query
+        tokens zero-padded to query_token_pad and top-k pinned to the ONE
+        k_bucket (capped at the corpus size) — so live traffic only ever
+        hits warmup-compiled executables, whatever k each request asks."""
         from colpali_tpu.retrieval import CorpusIndex
         from colpali_tpu.retrieval.serving import MicroBatcher, run_search
 
@@ -273,10 +274,13 @@ class TestBucketedDispatch:
         try:
             q9 = rng.normal(size=(9, 32)).astype(np.float32)
             scores, ids = mb.search([q9], k=5)
+            scores2, ids2 = mb.search([q9], k=30)  # different k, same sweep shape
         finally:
             mb.close()
-        assert seen == [([64], 16)]  # tokens 9 -> 64, k 5 -> bucket 16
+        # tokens 9 -> 64; k 5 AND k 30 -> min(k_bucket=128, num_docs=48) = 48
+        assert seen == [([64], 48), ([64], 48)]
         assert scores.shape == (1, 5) and ids.shape == (1, 5)
+        assert scores2.shape == (1, 30) and ids2.shape == (1, 30)
         # zero-token padding and the larger k are result-neutral
         direct = run_search(index, [q9], 5, mode="exact")
         np.testing.assert_allclose(scores[0], direct[0][0], atol=1e-3)
@@ -312,5 +316,31 @@ class TestBucketedDispatch:
         mb = MicroBatcher(index, max_queries=8)
         try:
             mb.warmup()  # 1, 2, 4, 8 — must not raise
+        finally:
+            mb.close()
+
+    def test_warmup_covers_every_live_shape(self):
+        """After warmup() no live request may trigger a fresh fused-search
+        trace: any k <= k_bucket, any batch bucket, auto OR forced exact,
+        and tiered within the auto-threshold ceiling (incl. the bucket-8
+        sweep a non-power-of-two threshold routes tiered)."""
+        from colpali_tpu.retrieval import CorpusIndex
+        from colpali_tpu.retrieval.serving import MicroBatcher
+
+        rng = np.random.default_rng(7)
+        docs = [rng.normal(size=(8, 32)).astype(np.float32) for _ in range(600)]
+        index = CorpusIndex(docs, dtype="bf16", prefilter="binary")
+        mb = MicroBatcher(index, window_ms=0.0, max_queries=8,
+                          exact_threshold=6, query_token_pad=16)
+        try:
+            mb.warmup()
+            warmed = set(index._jit_cache)
+            q = rng.normal(size=(9, 32)).astype(np.float32)
+            mb.search([q], k=10)                      # tiny k, auto->tiered
+            mb.search([q], k=100, mode="exact")       # forced exact at B=1
+            mb.search([q] * 5, k=10)                  # n=5 <= 6 -> tiered at bucket 8
+            mb.search([q] * 7, k=10)                  # n=7 > 6 -> exact at bucket 8
+            assert set(index._jit_cache) == warmed, \
+                "live request compiled a shape warmup missed"
         finally:
             mb.close()
