@@ -154,10 +154,14 @@ def load_retriever(
     params = getattr(hf_loader, loader_name)(checkpoint_dir, strict=strict)
     if scan_layers:
         if family == "colqwen3_5":
-            # the hybrid stack scans over PATTERN PERIODS (per-layer trees
-            # differ within a period): plain stacking would mis-stack
+            # the hybrid TEXT stack scans over PATTERN PERIODS (per-layer
+            # trees differ within a period): plain stacking would mis-stack.
+            # The vision tower's uniform blocks_{i} still plain-stack — the
+            # grouper only regroups layers_{i}, so without this second pass
+            # the visual scan(blocks) collection stays empty (round-5 fix).
             params = hf_loader.group_hybrid_params(
                 params, config.text.full_attention_interval)
+            params = hf_loader.stack_layer_params(params, stack_names=("blocks",))
         else:
             params = hf_loader.stack_layer_params(params)
     processor = _resolve(proc_path).from_pretrained(

@@ -84,6 +84,95 @@ def _k_bucket(k: int, num_docs: int) -> int:
     return min(b, num_docs)
 
 
+class QueryEncoder:
+    """In-process text-query encoding for text-in serving.
+
+    The reference's serving story stops at "produce embeddings client-side"
+    (README.md:68-106 is a python snippet); a retrieval server that cannot
+    take a query STRING is incomplete, so this wraps a loaded retriever
+    (``colpali_tpu.load_retriever`` output — typically stored-int8 weights)
+    into a static-shape jitted encode:
+
+    - batch size pads to a power-of-two bucket (pad rows replicate row 0 —
+      never all-masked rows, which can NaN an attention softmax),
+    - the token axis zero-pads on the RIGHT to a power-of-two bucket
+      (safe regardless of the family's own padding side: masked keys are
+      never attended, and Col* forwards multiply outputs by the mask),
+
+    so live traffic only ever sees ``log2(max_batch) x few`` compiled
+    executables, all warmable at boot. ``encode`` returns per-query
+    ``(tokens_i, dim)`` float32 arrays — exactly what
+    :meth:`MicroBatcher.search` takes.
+    """
+
+    def __init__(self, model, variables, processor, max_batch: int = 32,
+                 token_bucket_min: int = 32):
+        import jax
+
+        self.model = model
+        self.variables = variables
+        self.processor = processor
+        self.max_batch = max_batch
+        self.token_bucket_min = token_bucket_min
+        self._fwd = jax.jit(lambda v, b: model.apply(v, **b))
+
+    @staticmethod
+    def _bucket(n: int, start: int = 1) -> int:
+        b = start
+        while b < n:
+            b *= 2
+        return b
+
+    def _pad_static(self, batch: dict) -> tuple:
+        """Pad a processed text batch to (batch bucket, token bucket)."""
+        batch = {k: np.asarray(v) for k, v in batch.items()}
+        n, t = batch["input_ids"].shape
+        nb = self._bucket(n)
+        tb = self._bucket(t, self.token_bucket_min)
+        out = {}
+        for k, v in batch.items():
+            if v.ndim == 3 and v.shape[1] == n:  # (3, B, T) rope positions
+                v = np.concatenate([v, np.repeat(v[:, :1], nb - n, axis=1)], axis=1)
+                v = np.pad(v, ((0, 0), (0, 0), (0, tb - v.shape[2])))
+            elif v.ndim >= 1 and v.shape[0] == n:  # (B, T...) token arrays
+                v = np.concatenate([v, np.repeat(v[:1], nb - n, axis=0)], axis=0)
+                if v.ndim >= 2 and v.shape[1] == t:
+                    pad = [(0, 0)] * v.ndim
+                    pad[1] = (0, tb - t)
+                    v = np.pad(v, pad)
+            out[k] = v
+        return out, n
+
+    def encode(self, texts: Sequence[str]) -> List[np.ndarray]:
+        """Texts -> per-query L2-normalized multi-vector embeddings."""
+        if not texts:
+            raise ValueError("empty text batch")
+        if len(texts) > self.max_batch:
+            parts = []
+            for i in range(0, len(texts), self.max_batch):
+                parts.extend(self.encode(texts[i : i + self.max_batch]))
+            return parts
+        feed, n = self._pad_static(self.processor.process_queries(list(texts)))
+        import jax.numpy as jnp
+
+        out = np.asarray(
+            self._fwd(self.variables, {k: jnp.asarray(v) for k, v in feed.items()}),
+            np.float32,
+        )
+        mask = feed["attention_mask"].astype(bool)
+        return [out[i][mask[i]] for i in range(n)]
+
+    def warmup(self) -> None:
+        """Compile every batch bucket at the default token bucket. Queries
+        longer than ``token_bucket_min`` tokens hit the next token bucket —
+        a one-off compile per (batch, token) pair, same policy as
+        :meth:`MicroBatcher.warmup`."""
+        b = 1
+        while b <= self.max_batch:
+            self.encode(["warmup query"] * b)
+            b *= 2
+
+
 class _Pending:
     __slots__ = ("queries", "k", "candidates", "mode", "event", "scores", "ids", "error")
 

@@ -4,12 +4,16 @@
 The reference has NO serving layer (SURVEY.md §1: inference is a README
 snippet); this exposes the TPU-native index over HTTP:
 
-  POST /search   {"embeddings": [[...], ...] , "k": 10}
+  POST /search       {"embeddings": [[...], ...] , "k": 10}
       -> {"doc_ids": [...], "scores": [...], "files": [...]}
+  POST /search_text  {"queries": ["...", ...], "k": 10}   (needs --checkpoint)
+      -> same response; queries are tokenized + encoded IN-PROCESS
+         (retrieval/serving.py QueryEncoder, stored-int8 weights by default)
   GET  /healthz
 
-Query embeddings are produced client-side (or via scripts/api_call.py against
-an embed endpoint); the corpus comes from scripts/embed_corpus.py output.
+Without --checkpoint, query embeddings are produced client-side (or via
+scripts/api_call.py against an embed endpoint); the corpus comes from
+scripts/embed_corpus.py output.
 """
 
 from __future__ import annotations
@@ -41,7 +45,8 @@ def load_corpus(path: str):
     return embs, files
 
 
-def make_handler(index, files, window_ms: float = 2.0, exact_threshold: int = 4):
+def make_handler(index, files, window_ms: float = 2.0, exact_threshold: int = 4,
+                 encoder=None):
     import threading
     import time as _time
 
@@ -80,7 +85,8 @@ def make_handler(index, files, window_ms: float = 2.0, exact_threshold: int = 4)
 
         def do_GET(self):  # noqa: N802
             if self.path == "/healthz":
-                self._json(200, {"status": "ok", "num_docs": index.num_docs})
+                self._json(200, {"status": "ok", "num_docs": index.num_docs,
+                                 "text_in": encoder is not None})
             elif self.path == "/metrics":
                 with stats_lock:
                     lat = sorted(latencies)
@@ -98,8 +104,15 @@ def make_handler(index, files, window_ms: float = 2.0, exact_threshold: int = 4)
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length))
-                if self.path == "/search":
-                    qs = [np.asarray(e, np.float32) for e in payload["embeddings"]]
+                if self.path in ("/search", "/search_text"):
+                    if self.path == "/search_text":
+                        if encoder is None:
+                            raise ValueError(
+                                "/search_text needs the server started with "
+                                "--checkpoint (no query encoder loaded)")
+                        qs = encoder.encode([str(t) for t in payload["queries"]])
+                    else:
+                        qs = [np.asarray(e, np.float32) for e in payload["embeddings"]]
                     k = int(payload.get("k", 10))
                     cand = payload.get("candidates")
                     mode = payload.get("mode", "auto")  # auto|exact|tiered
@@ -171,6 +184,16 @@ def main() -> None:
         metavar="PATH.npz",
         help="after building, persist the packed index here and keep serving",
     )
+    parser.add_argument(
+        "--checkpoint",
+        help="HF-format retriever checkpoint dir: loads model + processor "
+        "in-process (stored-int8 weights) and enables POST /search_text",
+    )
+    parser.add_argument("--family", help="checkpoint family (else auto-detected)")
+    parser.add_argument(
+        "--no-quantize", action="store_true",
+        help="with --checkpoint: keep bf16 weights instead of stored-int8",
+    )
     args = parser.parse_args()
 
     from colpali_tpu.retrieval import CorpusIndex
@@ -192,8 +215,20 @@ def main() -> None:
             with open(args.save_index + ".files.json", "w") as f:
                 json.dump(files, f)
             print(f"Packed index saved to {args.save_index}")
+    encoder = None
+    if args.checkpoint:
+        from colpali_tpu.auto import load_retriever
+        from colpali_tpu.retrieval.serving import QueryEncoder
+
+        model, variables, processor = load_retriever(
+            args.checkpoint, family=args.family, quantize=not args.no_quantize
+        )
+        encoder = QueryEncoder(model, variables, processor)
+        encoder.warmup()  # compile every batch bucket before traffic
+        print(f"Text-in serving: query encoder loaded from {args.checkpoint}")
     print(f"Serving {index.num_docs} docs ({index.nbytes / 2**20:.1f} MiB on device) on :{args.port}")
-    ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(index, files)).serve_forever()
+    ThreadingHTTPServer(("0.0.0.0", args.port),
+                        make_handler(index, files, encoder=encoder)).serve_forever()
 
 
 if __name__ == "__main__":
