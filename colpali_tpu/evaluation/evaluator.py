@@ -77,8 +77,10 @@ def embed_dataset(
 
     ``kind`` overrides the two boolean flags with an explicit modality:
     ``"images"`` | ``"texts"`` | ``"queries"`` | ``"audios"`` (waveforms for
-    processors with ``process_audios`` — the ColQwen-Omni family, mirroring
-    the reference's audio-document support in processing_colqwen_omni.py).
+    processors with ``process_audios``) | ``"videos"`` (frame stacks or
+    video file paths for processors with ``process_videos``) — the
+    ColQwen-Omni modalities, mirroring the reference's audio/video document
+    support in processing_colqwen_omni.py:123-186.
 
     Preprocessing runs on a prefetch thread overlapping the device forward,
     and processors with a ``device_pixels`` path (the qwen2 family) keep
@@ -93,7 +95,7 @@ def embed_dataset(
 
     if kind is None:
         kind = "images" if is_images else ("queries" if use_query_prompt else "texts")
-    if kind not in ("images", "texts", "queries", "audios"):
+    if kind not in ("images", "texts", "queries", "audios", "videos"):
         raise ValueError(f"unknown kind {kind!r}")
     device_pixels = (
         kind == "images"
@@ -111,13 +113,19 @@ def embed_dataset(
                 )
             elif kind == "audios":
                 batch = processor.process_audios(chunk)
+            elif kind == "videos":
+                batch = processor.process_videos(chunk)
             elif kind == "queries":
                 batch = processor.process_queries(queries=chunk)
             else:
                 batch = processor.process_texts(chunk)
+            # grid geometry is torch-oracle/interpretability METADATA, not a
+            # model input: the flax forwards take the padded per-item layout
+            # (patch_mask/hpos/wpos/position_ids) and reject unknown kwargs
             yield batch, {
                 k: v if (device_pixels and k == "pixel_values") else jnp.asarray(v)
                 for k, v in batch.items()
+                if k not in ("image_grid_thw", "video_grid_thw", "video_second_per_grid")
             }
 
     out: List[np.ndarray] = []

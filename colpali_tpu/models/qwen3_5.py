@@ -210,7 +210,15 @@ def chunk_gated_delta_rule(
     lower_incl = col <= row
     strict_lower = col < row
 
-    decay = jnp.where(lower_incl, jnp.exp(g[..., :, None] - g[..., None, :]), 0.0)
+    # Mask the exponent BEFORE exp, not after: in the upper triangle
+    # g_row - g_col is a POSITIVE cumulative-decay sum that overflows exp to
+    # inf once a chunk accumulates ~88 of log-decay (~64 tokens at typical
+    # gate values). The forward `where` hides the inf, but its backward
+    # multiplies the masked branch's vjp by a zero cotangent -> 0 * inf = NaN
+    # (this killed every finetune gradient above ~56 tokens). Masked first,
+    # the taken-region diffs are <= 0 and exp stays <= 1 everywhere.
+    diff = jnp.where(lower_incl, g[..., :, None] - g[..., None, :], 0.0)
+    decay = jnp.where(lower_incl, jnp.exp(diff), 0.0)
     t_mat = jnp.where(strict_lower, -(k_beta @ jnp.swapaxes(k, -1, -2)) * decay, 0.0)
     eye = jnp.eye(c, dtype=jnp.float32)
     # attn = (I - T)^(-1): replaces the reference's 63-step row recurrence
@@ -233,7 +241,9 @@ def chunk_gated_delta_rule(
         return new_state, out_i
 
     def _decay_of(g_i):
-        return jnp.where(lower_incl, jnp.exp(g_i[..., :, None] - g_i[..., None, :]), 0.0)
+        # same mask-before-exp discipline as `decay` above (backward safety)
+        d = jnp.where(lower_incl, g_i[..., :, None] - g_i[..., None, :], 0.0)
+        return jnp.where(lower_incl, jnp.exp(d), 0.0)
 
     init = jnp.zeros((b, h, dk, dv), jnp.float32)
     # move chunk axis to scan position 0

@@ -173,11 +173,21 @@ def get_rope_index(
     image_token_id: int,
     vision_start_token_id: int,
     spatial_merge_size: int = 2,
+    t_steps: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """numpy port of Qwen2VLModel.get_rope_index (images only).
+    """numpy port of Qwen2VLModel.get_rope_index.
 
     Returns position_ids (3, B, S). Padding positions get 1 (matching the
     HF initialization; they are masked in attention anyway).
+
+    ``t_steps``: optional per-grid TEMPORAL position stride (float). For
+    images (and qwen2/2.5-VL videos) this is 1; Qwen2.5-Omni video documents
+    stride the temporal axis in real time:
+    ``second_per_grid * position_id_per_seconds`` with a per-element floor
+    (modeling_qwen2_5_omni.py get_rope_index: ``(arange(grid_t) *
+    second_per_grids[i] * position_id_per_seconds).long()``) — pass the
+    video grids as ``image_grid_thw`` with the VIDEO token id and the
+    per-video stride here.
     """
     b, s = input_ids.shape
     if image_grid_thw is None:
@@ -203,7 +213,9 @@ def get_rope_index(
             text_len = ed - st
             st_idx = pos_chunks[-1].max() + 1 if pos_chunks else 0
             pos_chunks.append(np.broadcast_to(np.arange(text_len), (3, text_len)) + st_idx)
-            t_index = np.arange(gt)[:, None].repeat(gh * gw, 1).reshape(-1)
+            t_step = 1.0 if t_steps is None else float(t_steps[image_index - 1])
+            t_vals = np.floor(np.arange(gt) * t_step).astype(np.int64)
+            t_index = t_vals[:, None].repeat(gh * gw, 1).reshape(-1)
             h_index = np.arange(gh)[None, :, None].repeat(gt, 0).repeat(gw, 2).reshape(-1)
             w_index = np.arange(gw)[None, None, :].repeat(gt, 0).repeat(gh, 1).reshape(-1)
             pos_chunks.append(np.stack([t_index, h_index, w_index]) + text_len + st_idx)

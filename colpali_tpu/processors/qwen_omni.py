@@ -85,11 +85,16 @@ class ColQwen2_5OmniProcessor(ColQwen2_5Processor):  # noqa: N801
     audio_bos: str = "<|audio_bos|>"
     audio_eos: str = "<|audio_eos|>"
 
-    def __init__(self, *args, n_window: int = 100, num_mel_bins: int = N_MELS, **kwargs):
+    def __init__(self, *args, n_window: int = 100, num_mel_bins: int = N_MELS,
+                 position_id_per_seconds: int = 25, **kwargs):
         super().__init__(*args, **kwargs)
         self.n_window = n_window
         self.num_mel_bins = num_mel_bins
+        # temporal M-RoPE granularity for video documents: position ids per
+        # second of video (thinker config position_id_per_seconds, default 25)
+        self.position_id_per_seconds = position_id_per_seconds
         self.audio_token_id = self.tokenizer.convert_tokens_to_ids(self.audio_token)
+        self.video_token_id = self.tokenizer.convert_tokens_to_ids(self.video_token)
 
     @classmethod
     def from_pretrained(cls, path: str, **kwargs) -> "ColQwen2_5OmniProcessor":
@@ -103,11 +108,15 @@ class ColQwen2_5OmniProcessor(ColQwen2_5Processor):  # noqa: N801
         if os.path.exists(cfg_path):
             with open(cfg_path) as f:
                 cfg = json.load(f)
-            audio_cfg = cfg.get("thinker_config", cfg).get("audio_config", {})
+            thinker = cfg.get("thinker_config", cfg)
+            audio_cfg = thinker.get("audio_config", {})
             if "n_window" in audio_cfg:
                 kwargs.setdefault("n_window", audio_cfg["n_window"])
             if "num_mel_bins" in audio_cfg:
                 kwargs.setdefault("num_mel_bins", audio_cfg["num_mel_bins"])
+            if "position_id_per_seconds" in thinker:
+                kwargs.setdefault("position_id_per_seconds",
+                                  thinker["position_id_per_seconds"])
         return super().from_pretrained(path, **kwargs)
 
     def _audio_prompt(self, n_tokens: int) -> str:
@@ -172,7 +181,12 @@ class ColQwen2_5OmniProcessor(ColQwen2_5Processor):  # noqa: N801
         import jax.numpy as jnp
 
         from colpali_tpu.processors.image_processing import to_rgb_array
-        from colpali_tpu.processors.qwen2_vl import patchify_video, smart_resize, vision_positions
+        from colpali_tpu.processors.qwen2_vl import (
+            get_rope_index,
+            patchify_video,
+            smart_resize,
+            vision_positions,
+        )
         from colpali_tpu.processors.qwen2_5_vl import window_ids_from_positions
         from colpali_tpu.utils.video import load_video_frames
 
@@ -234,6 +248,22 @@ class ColQwen2_5OmniProcessor(ColQwen2_5Processor):  # noqa: N801
             pixel_values=pixel_values, patch_mask=patch_mask, vision_hpos=hpos,
             vision_wpos=wpos, window_id=window_id,
             video_grid_thw=np.asarray(grids, np.int64),
+        )
+        # real-time temporal M-RoPE: each temporal grid covers
+        # temporal_patch_size / fps seconds, and positions stride
+        # position_id_per_seconds per second (the Omni convention; plain
+        # qwen2.5-VL strides 1 per grid). video_second_per_grid is
+        # metadata for the HF-oracle/interop feed, like *_grid_thw.
+        spg = self.temporal_patch_size / fps
+        batch["video_second_per_grid"] = np.full(b, spg, np.float32)
+        batch["position_ids"] = get_rope_index(
+            batch["input_ids"],
+            batch["attention_mask"],
+            batch["video_grid_thw"],
+            self.video_token_id,
+            self.vision_start_token_id,
+            self.merge_size,
+            t_steps=np.full(b, spg * self.position_id_per_seconds, np.float64),
         )
         return batch
 

@@ -65,9 +65,11 @@ def main() -> None:
     parser.add_argument("--reducing-gap", type=float, default=None,
                         help="with --transport: PIL box pre-reduce for the host "
                              "resize (1.0 halves bicubic cost on ~4x downscales)")
-    parser.add_argument("--modality", choices=["image", "audio"], default="image",
-                        help="audio: embed .wav documents via process_audios "
-                             "(the ColQwen-Omni family; image_dir holds WAV files)")
+    parser.add_argument("--modality", choices=["image", "audio", "video"], default="image",
+                        help="audio: embed .wav documents via process_audios; "
+                             "video: embed video documents via process_videos "
+                             "(both ColQwen-Omni; image_dir holds .wav, or video "
+                             "files / .npy uint8 (T,H,W,3) frame stacks)")
     args = parser.parse_args()
 
     from PIL import Image
@@ -95,6 +97,29 @@ def main() -> None:
         waveforms = [load_wav(os.path.join(args.image_dir, f)) for f in files]
         embeddings = embed_dataset(model.apply, variables, processor, waveforms,
                                    batch_size=args.batch_size, kind="audios")
+        _write_outputs(args, files, embeddings)
+        return
+
+    if args.modality == "video":
+        if not hasattr(processor, "process_videos"):
+            parser.error(f"--modality video requires a video-capable family "
+                         f"(ColQwen-Omni); {type(processor).__name__} has no "
+                         f"process_videos")
+        if args.transport:
+            parser.error("--transport applies to image corpora only")
+        video_exts = (".mp4", ".avi", ".mov", ".mkv", ".webm", ".gif", ".npy")
+        files = sorted(
+            f for f in os.listdir(args.image_dir) if f.lower().endswith(video_exts)
+        )
+        # .npy = raw (T, H, W, 3) uint8 frame stacks (hermetic path, no codec
+        # dependency); everything else decodes via utils/video.load_video_frames
+        videos = [
+            np.load(os.path.join(args.image_dir, f)) if f.lower().endswith(".npy")
+            else os.path.join(args.image_dir, f)
+            for f in files
+        ]
+        embeddings = embed_dataset(model.apply, variables, processor, videos,
+                                   batch_size=args.batch_size, kind="videos")
         _write_outputs(args, files, embeddings)
         return
 

@@ -803,7 +803,11 @@ def make_synth_colqwen_omni(out_dir: str, seed: int = 0) -> None:
         audio_config=dict(audio),
         vision_config=dict(vision),
         text_config=dict(text),
-        audio_token_index=8, image_token_index=5, video_token_index=6,
+        # video placeholder is <|VIDEO|> (id 11 in the synth tokenizer) —
+        # the Omni chat template expands <|VIDEO|>/<|AUDIO|>, NOT qwen2-vl's
+        # <|video_pad|>; the model merges video features at this id, so a
+        # mismatch silently drops every video feature
+        audio_token_index=8, image_token_index=5, video_token_index=11,
     )
     cfg.text_config.rope_scaling = {
         "mrope_section": [2, 2, 2], "rope_type": "default", "type": "default"}
@@ -826,7 +830,7 @@ def make_synth_colqwen_omni(out_dir: str, seed: int = 0) -> None:
             "text_config": {**text,
                             "rope_scaling": {"mrope_section": [2, 2, 2],
                                              "rope_type": "default", "type": "default"}},
-            "audio_token_id": 8, "image_token_id": 5, "video_token_id": 6,
+            "audio_token_id": 8, "image_token_id": 5, "video_token_id": 11,
             "vision_start_token_id": 3,
         },
     })
@@ -906,6 +910,17 @@ def _oracle_colqwen_omni(ckpt: str):
         import torch as _t
 
         out = _feed_text_only(batch)
+        if "video_grid_thw" in batch and "pixel_values" in batch:
+            # video documents: torch takes CONCATENATED unpadded patches +
+            # grids + per-video real-time stride and computes the Omni
+            # temporal M-RoPE internally (modeling_qwen2_5_omni.get_rope_index)
+            pv = np.asarray(batch["pixel_values"])
+            pm = np.asarray(batch["patch_mask"]).astype(bool)
+            flat = np.concatenate([pv[i][pm[i]] for i in range(pv.shape[0])])
+            out["pixel_values_videos"] = _t.tensor(flat, dtype=_t.float32)
+            out["video_grid_thw"] = _t.tensor(np.asarray(batch["video_grid_thw"]))
+            out["video_second_per_grid"] = _t.tensor(
+                np.asarray(batch["video_second_per_grid"], np.float32))
         if "audio_chunks" in batch:
             # chunked (B, C, 2*n_window, mel) + frame mask -> HF's padded
             # (B, mel, T) mel batch + (B, T) frame mask
@@ -952,6 +967,30 @@ ORACLE_BUILDERS = {
     "colmodernvbert": _oracle_colmodernvbert,
     "colqwen_omni": _oracle_colqwen_omni,
 }
+
+
+def make_videos(n: int, frames: int = 4, size: int = 56) -> list:
+    """Strongly distinct synthetic video documents: (T, H, W, 3) uint8 frame
+    stacks, each with its own color field, spatial frequency, AND motion
+    direction (the temporal axis must carry signal or the gate never
+    exercises temporal patching/rope beyond frame 0). The video analogue of
+    validate_checkpoint._make_pages."""
+    rng = np.random.default_rng(0)
+    videos = []
+    yy, xx = np.mgrid[0:size, 0:size]
+    for i in range(n):
+        hue = np.array([(53 * i + 40) % 255, (97 * i + 90) % 255,
+                        (139 * i + 150) % 255], np.int16)
+        f = 6 + 3 * (i % 5)
+        vid = np.zeros((frames, size, size, 3), np.uint8)
+        for t in range(frames):
+            shift = t * (2 + i % 3) * (1 if i % 2 else -1)  # per-doc motion
+            checker = (((yy + shift) // f + xx // f) % 2).astype(np.int16) * 90
+            frame = np.clip(hue[None, None] + checker[..., None] - 45, 0, 255)
+            frame = frame + rng.integers(0, 12, size=frame.shape)
+            vid[t] = np.clip(frame, 0, 255).astype(np.uint8)
+        videos.append(vid)
+    return videos
 
 
 def make_audios(n: int, seconds: float = 1.6, rate: int = 16000) -> list:

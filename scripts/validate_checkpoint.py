@@ -553,12 +553,18 @@ def finetune_checkpoint(args) -> None:
         }
     params = variables["params"]
     if args.family == "colqwen_omni":
-        # audio documents: the Omni gate's retrieval modality
+        # audio/video documents: the Omni gate's retrieval modalities
         import gate_families
 
-        pages = gate_families.make_audios(args.pages)
-        queries = [f"find the audio clip with pitch level {i}" for i in range(len(pages))]
-        raw_docs = processor.process_audios(pages)
+        if args.omni_modality == "video":
+            pages = gate_families.make_videos(args.pages)
+            queries = [f"find the video clip with motion pattern {i}"
+                       for i in range(len(pages))]
+            raw_docs = processor.process_videos(pages)
+        else:
+            pages = gate_families.make_audios(args.pages)
+            queries = [f"find the audio clip with pitch level {i}" for i in range(len(pages))]
+            raw_docs = processor.process_audios(pages)
     else:
         pages = _make_pages(args.pages)
         # the SAME query construction the gate uses, so training teaches the
@@ -567,9 +573,9 @@ def finetune_checkpoint(args) -> None:
             : len(pages)
         ]
         raw_docs = processor.process_images(pages)
-    # image_grid_thw/video_grid_thw are torch-oracle metadata, not model inputs
+    # grid geometry / real-time stride are torch-oracle metadata, not model inputs
     doc_batch = {k: jnp.asarray(v) for k, v in raw_docs.items()
-                 if k not in ("image_grid_thw", "video_grid_thw")}
+                 if k not in ("image_grid_thw", "video_grid_thw", "video_second_per_grid")}
     q_batch = {k: jnp.asarray(v) for k, v in processor.process_queries(queries).items()}
     # smooth max: at real-model scale with random weights, the hard MaxSim
     # max is won by the PROMPT tokens (identical across pages) for every
@@ -578,7 +584,10 @@ def finetune_checkpoint(args) -> None:
     # use_smooth_max knob) passes gradient through all doc tokens; the gate
     # itself still scores with the hard MaxSim.
     loss_fn = ColbertLoss(temperature=0.05, use_smooth_max=True, tau=0.1)
-    tx = optax.adam(args.finetune_lr)
+    # global-norm clip mirrors the reference trainer's grad clipping
+    # (colmodel_torch_training.py:189-197); without it the qwen3_5 hybrid's
+    # gated recurrence diverges to NaN within a handful of steps at lr 1e-3
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.finetune_lr))
     opt_state = tx.init(params)
 
     @jax.jit
@@ -594,6 +603,9 @@ def finetune_checkpoint(args) -> None:
 
     for i in range(args.finetune):
         params, opt_state, val = step(params, opt_state)
+        if not np.isfinite(float(val)):
+            raise SystemExit(f"FAIL: finetune loss non-finite at step {i} "
+                             f"(lower --finetune-lr)")
         if i % 5 == 0 or i == args.finetune - 1:
             print(f"[finetune] step {i}: loss {float(val):.4f}", flush=True)
 
@@ -666,9 +678,11 @@ def _embed_flax(model, params, processor, images, queries, batch_size=4,
         )
 
     def run(batch):
-        # image_grid_thw is torch-oracle metadata; flax models take the
-        # padded per-image layout (patch_mask/hpos/wpos/position_ids)
-        feed = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_grid_thw"}
+        # grid geometry / real-time stride are torch-oracle metadata; flax
+        # models take the padded per-item layout (patch_mask/hpos/wpos/
+        # position_ids)
+        feed = {k: jnp.asarray(v) for k, v in batch.items()
+                if k not in ("image_grid_thw", "video_grid_thw", "video_second_per_grid")}
         return np.asarray(model.apply({"params": params}, **feed), np.float32)
 
     process_docs = process_docs or processor.process_images
@@ -764,6 +778,10 @@ def main():
                              " STEPS, export to --finetune-out, and exit")
     parser.add_argument("--finetune-out", help="output dir for --finetune")
     parser.add_argument("--finetune-lr", type=float, default=3e-5)
+    parser.add_argument("--omni-modality", default="audio", choices=["audio", "video"],
+                        help="document modality for the colqwen_omni gate "
+                             "(the reference's Omni processor serves audio "
+                             "AND video documents, processing_colqwen_omni.py:123-186)")
     args = parser.parse_args()
 
     if args.finetune:
@@ -801,13 +819,20 @@ def main():
     t0 = time.time()
     process_docs_name = None
     if args.family == "colqwen_omni":
-        # the Omni gate validates AUDIO documents end-to-end (the reference's
-        # first-class audio retrieval modality, processing_colqwen_omni.py:123-153)
+        # the Omni gate validates AUDIO or VIDEO documents end-to-end (the
+        # reference's first-class non-image retrieval modalities,
+        # processing_colqwen_omni.py:123-186)
         import gate_families
 
-        images = gate_families.make_audios(args.pages)
-        queries = [f"find the audio clip with pitch level {i}" for i in range(len(images))]
-        process_docs_name = "process_audios"
+        if args.omni_modality == "video":
+            images = gate_families.make_videos(args.pages)
+            queries = [f"find the video clip with motion pattern {i}"
+                       for i in range(len(images))]
+            process_docs_name = "process_videos"
+        else:
+            images = gate_families.make_audios(args.pages)
+            queries = [f"find the audio clip with pitch level {i}" for i in range(len(images))]
+            process_docs_name = "process_audios"
     elif args.images:
         from PIL import Image
 
@@ -830,6 +855,9 @@ def main():
                            process_docs=process_docs)
     scores_flax = np.asarray(score_multi_vector(q_f, d_f))
     print(f"[{time.time()-t0:5.1f}s] flax MaxSim matrix:\n{np.round(scores_flax, 2)}", flush=True)
+    if not np.isfinite(scores_flax).all():
+        raise SystemExit("FAIL: flax MaxSim matrix contains non-finite values "
+                         "(all ranking metrics would be vacuously 'equal')")
 
     report = {
         "checkpoint": args.checkpoint,
@@ -850,6 +878,8 @@ def main():
                                 process_docs=process_docs)
         scores_torch = np.asarray(score_multi_vector(q_t, d_t))
         print(f"[{time.time()-t0:5.1f}s] torch MaxSim matrix:\n{np.round(scores_torch, 2)}", flush=True)
+        if not np.isfinite(scores_torch).all():
+            raise SystemExit("FAIL: torch MaxSim matrix contains non-finite values")
         ranked_t = np.argsort(-scores_torch, axis=1)
         report["oracle"] = origin
         report["torch_ndcg@5"] = float(np.mean([ndcg_at_k(ranked_t[i], rel[i], 5) for i in range(len(rel))]))

@@ -196,6 +196,35 @@ class TestChunkedDeltaRule:
         )
         np.testing.assert_allclose(np.asarray(got), expected.numpy(), rtol=1e-4, atol=1e-4)
 
+    def test_gradient_finite_when_chunk_decay_overflows_exp(self):
+        """Regression (round-5): with enough accumulated log-decay in one
+        chunk (|sum g| > ~88), exp(g_row - g_col) overflows to inf in the
+        masked upper triangle. The forward `where` hides it, but the where
+        backward multiplies the masked branch's vjp by a zero cotangent —
+        0 * inf = NaN — which silently killed EVERY finetune gradient of the
+        hybrid above ~56 tokens. Pin: forward finite AND grads finite at a
+        decay budget well past the overflow point."""
+        rng = np.random.default_rng(1)
+        b, s, h, dk, dv = 1, 128, 2, 8, 8
+        q = rng.normal(size=(b, s, h, dk)).astype(np.float32)
+        k = rng.normal(size=(b, s, h, dk)).astype(np.float32)
+        v = rng.normal(size=(b, s, h, dv)).astype(np.float32)
+        # ~2.0 log-decay per token -> |cumsum| ~ 128 >> 88 inside one chunk
+        g = -np.abs(rng.normal(loc=2.0, scale=0.3, size=(b, s, h))).astype(np.float32)
+        beta = rng.uniform(0.1, 0.9, size=(b, s, h)).astype(np.float32)
+
+        def loss(q, k, v, g, beta):
+            out = chunk_gated_delta_rule(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                jnp.asarray(g), jnp.asarray(beta), chunk_size=64,
+            )
+            return jnp.sum(out**2)
+
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))(q, k, v, g, beta)
+        assert np.isfinite(float(val))
+        for name, grad in zip("qkvgb", grads):
+            assert np.isfinite(np.asarray(grad)).all(), f"NaN grad wrt {name}"
+
 
 class TestHybridDecoderParity:
     @pytest.mark.parametrize("dtype64", [False, True])

@@ -165,6 +165,63 @@ def test_embed_corpus_cli_audio_documents(tmp_path):
         np.testing.assert_allclose(np.sort(scores[i]), np.sort(mat[i]), rtol=0.02)
 
 
+def test_embed_corpus_cli_video_documents(tmp_path):
+    """Video documents through the PRODUCTION corpus pipeline: synth
+    ColQwen-Omni checkpoint -> video files (.npy frame stacks + a real .gif
+    through the codec path) -> embed_corpus --modality video -> packed index
+    -> search. Mirrors the round-4 audio treatment (the reference's Omni
+    processor makes video a first-class document modality,
+    processing_colqwen_omni.py:153-186)."""
+    import numpy as np
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    import gate_families
+
+    env = {"PYTHONPATH": "", "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin"}
+    ckpt = tmp_path / "omni"
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), "--make-synth", "colqwen-omni-tiny", str(ckpt)],
+        capture_output=True, text=True, cwd=str(REPO), timeout=300, env={**env},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    vid_dir = tmp_path / "clips"
+    vid_dir.mkdir()
+    vids = gate_families.make_videos(3)
+    np.save(vid_dir / "clip0.npy", vids[0])
+    np.save(vid_dir / "clip1.npy", vids[1])
+    import imageio.v3 as iio
+
+    iio.imwrite(vid_dir / "clip2.gif", vids[2])  # decode via utils/video.py
+
+    out = tmp_path / "emb.npz"
+    idx = tmp_path / "index.npz"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "embed_corpus.py"), "colqwen_omni",
+         str(ckpt), str(vid_dir), str(out), "--modality", "video",
+         "--batch-size", "2", "--save-index", str(idx)],
+        capture_output=True, text=True, cwd=str(REPO), timeout=600, env={**env},
+    )
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    data = np.load(out)
+    assert len(data.files) == 3
+    assert all(np.isfinite(data[k]).all() for k in data.files)
+
+    from colpali_tpu import score_multi_vector
+    from colpali_tpu.retrieval import CorpusIndex
+
+    index = CorpusIndex.load(str(idx))
+    assert index.num_docs == 3
+    embs = [data[f"emb_{i}"] for i in range(3)]
+    scores, ids = index.search(embs, k=3)
+    assert scores.shape == (3, 3) and np.isfinite(scores).all()
+    # the packed index must score video docs the same as exact fp32 maxsim
+    # (within int8 quant noise; ranking is proven in the finetuned omni gate)
+    mat = np.asarray(score_multi_vector(embs, embs))
+    for i in range(3):
+        np.testing.assert_allclose(np.sort(scores[i]), np.sort(mat[i]), rtol=0.02)
+
+
 def test_auto_loader_unknown_family_raises(tmp_path):
     from colpali_tpu.auto import detect_family
 
@@ -374,11 +431,15 @@ GATE_FAMILIES = [
     ("colgemma3", "colgemma3-tiny", []),
     ("colmodernvbert", "colmodernvbert-tiny", []),
     ("colqwen_omni", "colqwen-omni-tiny", []),  # AUDIO documents
+    # VIDEO documents (round-5): temporal patching + real-time temporal
+    # M-RoPE (position_id_per_seconds stride) vs the HF thinker oracle
+    ("colqwen_omni", "colqwen-omni-tiny", ["--omni-modality", "video"]),
 ]
 
 
 @pytest.mark.parametrize("family,kind,extra", GATE_FAMILIES,
-                         ids=[f[0] for f in GATE_FAMILIES])
+                         ids=[f[0] + ("-video" if "video" in f[2] else "")
+                              for f in GATE_FAMILIES])
 def test_gate_passes_all_families(family, kind, extra, tmp_path):
     env = {"PYTHONPATH": "", "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin"}
     ckpt = tmp_path / kind
