@@ -52,32 +52,6 @@ def test_gate_passes_on_tiny_synth(tiny_ckpt, tmp_path):
     assert report.exists() and "validate_checkpoint" in report.read_text()
 
 
-def test_finetuned_gate_is_diagonal_dominant(tiny_ckpt, tmp_path):
-    """--finetune -> export -> gate: after a few in-env contrastive steps the
-    score matrix must be diagonal-dominant in BOTH frameworks (non-trivial
-    ranking agreement). This catches silent image-path breaks — e.g. a
-    processor/model image_token_id skew means pages can't be told apart, the
-    loss can't fall below log(B), and dominance never emerges."""
-    env = {"PYTHONPATH": "", "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin"}
-    trained = tmp_path / "trained"
-    r = subprocess.run(
-        [sys.executable, str(SCRIPT), str(tiny_ckpt), "--finetune", "60",
-         "--finetune-out", str(trained), "--finetune-lr", "1e-3", "--pages", "6"],
-        capture_output=True, text=True, cwd=str(REPO), timeout=900, env={**env},
-    )
-    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
-    assert (trained / "model.safetensors").exists()
-    r = subprocess.run(
-        [sys.executable, str(SCRIPT), str(trained), "--pages", "6"],
-        capture_output=True, text=True, cwd=str(REPO), timeout=900, env={**env},
-    )
-    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
-    payload = json.loads(r.stdout[r.stdout.index("{") : r.stdout.rindex("}") + 1])
-    assert payload["flax_diag_dominant"] and payload["torch_diag_dominant"]
-    assert payload["ndcg@5_delta"] <= 0.1
-    assert payload["ranking_agreement@5"] == 1.0
-
-
 def test_auto_loader_detects_and_loads(tiny_ckpt):
     """colpali_tpu.load_retriever: family auto-detection from config.json +
     one-call model/params/processor construction + a working forward."""
@@ -361,31 +335,6 @@ def test_gate_passes_on_colpali_synth(tiny_pali_ckpt, tmp_path):
         assert detect_family(json.load(f)) == "colpali"
 
 
-def test_finetuned_qwen2_gate_is_diagonal_dominant(tiny_qwen2_ckpt, tmp_path):
-    """The generalized --finetune path on the dynamic-resolution family:
-    train a few contrastive steps, export through export_colqwen2_state_dict,
-    reload through the production loader, and require non-trivial ranking
-    agreement with the torch oracle."""
-    env = {"PYTHONPATH": "", "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin"}
-    trained = tmp_path / "trained_q2"
-    r = subprocess.run(
-        [sys.executable, str(SCRIPT), str(tiny_qwen2_ckpt), "--family", "colqwen2",
-         "--finetune", "30", "--finetune-out", str(trained),
-         "--finetune-lr", "1e-3", "--pages", "4"],
-        capture_output=True, text=True, cwd=str(REPO), timeout=900, env={**env},
-    )
-    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
-    r = subprocess.run(
-        [sys.executable, str(SCRIPT), str(trained), "--family", "colqwen2", "--pages", "4"],
-        capture_output=True, text=True, cwd=str(REPO), timeout=900, env={**env},
-    )
-    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
-    payload = json.loads(r.stdout[r.stdout.index("{") : r.stdout.rindex("}") + 1])
-    assert payload["flax_diag_dominant"] and payload["torch_diag_dominant"]
-    assert payload["ndcg@5_delta"] <= 0.1
-    assert payload["ranking_agreement@5"] == 1.0
-
-
 def test_auto_loader_quantize_flag(tiny_ckpt):
     """load_retriever(quantize=True): w8-static serving mode. On this tiny
     checkpoint every kernel is below MIN_QUANT_DIM, so the self-gating must
@@ -473,16 +422,31 @@ def test_gate_passes_all_families(family, kind, extra, tmp_path):
 
 
 @pytest.mark.parametrize("family,kind,steps,pages", [
+    ("colidefics3", "colsmol-tiny", 60, 6),
+    ("colqwen2", "colqwen2-tiny", 30, 4),
+    ("colpali", "colpali-tiny", 80, 6),
+    ("colqwen2_5", "colqwen2_5-tiny", 80, 6),
+    ("colqwen3", "colqwen3-tiny", 80, 6),
+    # the one family where "does ranking survive bf16 serving precision?"
+    # is a live question (hybrid recurrence noise) — the post-finetune gate
+    # below runs at the default bf16 serving dtype, answering it
+    ("colqwen3_5", "colqwen3_5-tiny", 80, 6),
     ("colgemma3", "colgemma3-tiny", 80, 4),  # the chat-template family whose
                                              # random-weight matrix is vacuous
     # AUDIO documents; the tiny audio tower needs more steps/docs to separate
     ("colqwen_omni", "colqwen-omni-tiny", 200, 6),
-], ids=["colgemma3", "colqwen_omni"])
-def test_finetuned_gate_new_families(family, kind, steps, pages, tmp_path):
-    """Train-then-validate on the round-4 families: a short in-env
-    contrastive finetune must separate the documents so the gate's ranking
-    half becomes non-trivial (diagonal dominance in BOTH frameworks through
-    train -> hf export -> production reload -> torch oracle)."""
+    ("colmodernvbert", "colmodernvbert-tiny", 80, 6),
+], ids=["colidefics3", "colqwen2", "colpali", "colqwen2_5", "colqwen3",
+        "colqwen3_5", "colgemma3", "colqwen_omni", "colmodernvbert"])
+def test_finetuned_gate_all_families(family, kind, steps, pages, tmp_path):
+    """Train-then-validate on ALL NINE families (round-5 closes the five
+    that were random-weight-only): a short in-env contrastive finetune must
+    separate the documents so the gate's ranking half becomes non-trivial —
+    diagonal dominance in BOTH frameworks through train -> hf export ->
+    production reload (bf16 serving dtype) -> torch oracle, with
+    agreement@5 = 1.0. The numerical-parity pattern of the reference's
+    golden-score E2E test (test_modeling_colpali.py:149-157), made
+    self-contained."""
     env = {"PYTHONPATH": "", "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin"}
     ckpt = tmp_path / kind
     r = subprocess.run(
@@ -495,13 +459,13 @@ def test_finetuned_gate_new_families(family, kind, steps, pages, tmp_path):
         [sys.executable, str(SCRIPT), str(ckpt), "--family", family,
          "--finetune", str(steps), "--finetune-out", str(trained),
          "--finetune-lr", "1e-3", "--pages", str(pages)],
-        capture_output=True, text=True, cwd=str(REPO), timeout=900, env={**env},
+        capture_output=True, text=True, cwd=str(REPO), timeout=1800, env={**env},
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     r = subprocess.run(
         [sys.executable, str(SCRIPT), str(trained), "--family", family,
          "--pages", str(pages)],
-        capture_output=True, text=True, cwd=str(REPO), timeout=900, env={**env},
+        capture_output=True, text=True, cwd=str(REPO), timeout=1800, env={**env},
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     payload = json.loads(r.stdout[r.stdout.index("{") : r.stdout.rindex("}") + 1])
