@@ -103,8 +103,14 @@ def stage_gray(image: ImageLike, size: Tuple[int, int],
                reducing_gap=None) -> np.ndarray:
     """Host staging for the luma-only wire format: resize ->
     ``convert("L")`` (PIL's ITU-R 601-2 luma — the BT.601 Y of
-    :data:`_YUV_FWD` row 0). 3x fewer wire bytes than RGB u8; the
-    fastest path for the overwhelmingly achromatic document corpora."""
+    :data:`_YUV_FWD` row 0). 3x fewer wire bytes than RGB u8.
+
+    QUALITY CAVEAT (measured, scripts/transport_gate.py): gray collapses
+    retrieval to chance when a colored figure is the discriminating signal
+    (nDCG@5 0.50 vs 1.00 on iso-luminant color-critical pages) and loses
+    rank-1s even on typical mixed pages. Use only for corpora verified
+    achromatic; :func:`stage_yuv420` preserves ranking everywhere measured
+    at 2/3 of these savings."""
     return np.asarray(_host_resize_pil(image, size, reducing_gap).convert("L"))
 
 
