@@ -53,13 +53,19 @@ def pick_bucket(current: int, spec: PadSpec, multiple: int = 1) -> int:
     )
 
 
-def _pad_axis(value: np.ndarray, axis: int, target: int) -> np.ndarray:
+def _pad_axis(value: Any, axis: int, target: int) -> Any:
     cur = value.shape[axis]
     if cur >= target:
         return value
     pad = [(0, 0)] * value.ndim
     pad[axis] = (0, target - cur)
-    return np.pad(value, pad)
+    if isinstance(value, np.ndarray):
+        return np.pad(value, pad)
+    # device array (device_pixels staging): pad ON device — np.pad would
+    # silently download it through the MB/s host link
+    import jax.numpy as jnp
+
+    return jnp.pad(value, pad)
 
 
 def _is_image(x: Any) -> bool:
@@ -78,12 +84,29 @@ class VisualRetrieverCollator:
         pad_seq_to: Optional[PadSpec] = None,
         pad_patches_to: Optional[PadSpec] = None,
         rng: Optional[random.Random] = None,
+        device_pixels: bool = False,
     ):
+        """``device_pixels=True``: processors with a device staging path
+        (the qwen families) resize on HOST (PIL, target-size upload) and
+        normalize+patchify ON DEVICE, keeping ``pixel_values`` a device
+        array. The default host path resizes on device then DOWNLOADS
+        normalized fp32 pixels — measured 1.06 s of a 1.73 s staging batch
+        on a remote-attached chip (perf/train_bench.py --e2e), which
+        input-starved a 269 ms train step 8.5x. Collation must run
+        in-process (thread prefetch, data/prefetch.py) for this — device
+        calls don't cross dataloader worker processes."""
         self.processor = processor
         self.max_length = max_length
         self.pad_seq_to = pad_seq_to
         self.pad_patches_to = pad_patches_to
         self._rng = rng or random
+        if device_pixels:
+            import inspect
+
+            sig = inspect.signature(processor.process_images).parameters
+            device_pixels = "device_pixels" in sig
+            self._host_resize = "host_resize" in sig
+        self.device_pixels = device_pixels
 
     def __call__(self, examples: List[Dict[str, Any]]) -> Dict[str, Any]:
         queries: List[str] = []
@@ -135,15 +158,30 @@ class VisualRetrieverCollator:
             if isinstance(flat[0], str):
                 proc = self.processor.process_texts(texts=flat)
             elif _is_image(flat[0]):
-                proc = self.processor.process_images(images=flat)
+                if self.device_pixels:
+                    proc = self.processor.process_images(
+                        images=flat, device_pixels=True,
+                        **({"host_resize": True} if self._host_resize else {}),
+                    )
+                else:
+                    proc = self.processor.process_images(images=flat)
             else:
                 raise ValueError(f"Unsupported batch type: {type(flat[0])}.")
             proc = {
-                k: v.reshape(batch_size, num_neg, *v.shape[1:]) if isinstance(v, np.ndarray) else v
+                # reshape host AND device arrays (device_pixels staging)
+                k: v.reshape(batch_size, num_neg, *v.shape[1:])
+                if getattr(v, "ndim", 0) >= 1 and v.shape[0] == batch_size * num_neg
+                else v
                 for k, v in proc.items()
             }
         elif _is_image(first):
-            proc = self.processor.process_images(images=list(batch))
+            if self.device_pixels:
+                proc = self.processor.process_images(
+                    images=list(batch), device_pixels=True,
+                    **({"host_resize": True} if self._host_resize else {}),
+                )
+            else:
+                proc = self.processor.process_images(images=list(batch))
         else:
             raise ValueError(f"Unsupported batch type: {type(first)}.")
         return prefix_keys(proc, key_prefix)

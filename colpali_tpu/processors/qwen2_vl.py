@@ -249,7 +249,12 @@ class ColQwen2Processor(BaseVisualRetrieverProcessor):
         max_num_visual_tokens: Optional[int] = None,
         image_mean: Sequence[float] = (0.48145466, 0.4578275, 0.40821073),
         image_std: Sequence[float] = (0.26862954, 0.26130258, 0.27577711),
+        reducing_gap: Optional[float] = None,
     ):
+        # reducing_gap: PIL box-pre-reduce for the host_resize path (1.0
+        # halves the bicubic cost on ~4x downscales; quality drift pinned by
+        # tests/processors/test_pixel_transport.py). None = exact bicubic.
+        self.reducing_gap = reducing_gap
         self.tokenizer = tokenizer
         self.patch_size = patch_size
         self.merge_size = merge_size
@@ -325,20 +330,25 @@ class ColQwen2Processor(BaseVisualRetrieverProcessor):
         perf/embed_decompose.py) the upload is the pipeline's largest stage
         and this cuts it ~4x. The device resize is skipped (shape match)."""
         if host_resize:
-            from PIL import Image
+            from colpali_tpu.processors.image_processing import host_resize_rgb
 
+            # resize FIRST on the native PIL image, convert to RGB at
+            # TARGET size (~13x fewer pixels than converting the full page
+            # first — measured 40 -> ~12 ms/page on the 1-core host, and
+            # reducing_gap halves the bicubic again; perf/train_bench --e2e)
             resized_arrays = []
             for im in images:
-                arr = to_rgb_array(im)
+                if hasattr(im, "convert"):  # PIL: .size is (w, h)
+                    h0, w0 = im.size[1], im.size[0]
+                else:  # numpy (its .size is an int)
+                    h0, w0 = np.asarray(im).shape[:2]
                 h1, w1 = smart_resize(
-                    arr.shape[0], arr.shape[1],
-                    self.patch_size * self.merge_size, self.min_pixels, self.max_pixels,
+                    h0, w0, self.patch_size * self.merge_size,
+                    self.min_pixels, self.max_pixels,
                 )
-                if (h1, w1) != arr.shape[:2]:
-                    arr = np.asarray(
-                        Image.fromarray(arr).resize((w1, h1), Image.Resampling.BICUBIC)
-                    )
-                resized_arrays.append(arr)
+                resized_arrays.append(
+                    host_resize_rgb(im, (h1, w1), reducing_gap=self.reducing_gap)
+                )
             arrays = resized_arrays
         else:
             arrays = [to_rgb_array(im) for im in images]

@@ -72,6 +72,15 @@ class ColModelTrainingConfig:
     # Applied as a trace-time context around the train loop; models that
     # thread an explicit remat_policy attribute override it.
     remat_policy: Optional[str] = None
+    # Device pixel staging in the collator: resize on host (PIL), normalize
+    # + patchify on device, pixel_values stays a device array. The host path
+    # resizes on device then DOWNLOADS normalized fp32 pixels — measured
+    # 1.73 s/batch staging that input-starved a 269 ms step 8.5x over a
+    # remote-attached chip (perf/train_bench.py --e2e). Safe here because
+    # collation runs on an in-process prefetch thread (data/prefetch.py),
+    # never in a worker process. Ignored for processors without the device
+    # staging path.
+    device_pixels: bool = True
 
 
 class ColModelTraining:
@@ -84,6 +93,7 @@ class ColModelTraining:
             config.processor,
             pad_seq_to=config.pad_seq_to,
             pad_patches_to=config.pad_patches_to,
+            device_pixels=config.device_pixels,
         )
         self.sampler = SingleDatasetBatchSampler(
             config.train_datasets, config.global_batch_size, seed=config.seed

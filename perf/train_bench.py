@@ -54,6 +54,10 @@ def main():
                              "collator -> prefetch -> device step, steady-state "
                              "(the reference's dataloader hot loop, SURVEY 3.1)")
     parser.add_argument("--e2e-steps", type=int, default=12)
+    parser.add_argument("--host-pixels", action="store_true",
+                        help="--e2e: force the host pixel path (resize on "
+                             "device + normalized-fp32 download) instead of "
+                             "the device staging default — the slow baseline")
     parser.add_argument("--cap", type=int, default=192,
                         help="--e2e: max MERGED visual tokens per page. 192 "
                              "= 768 raw patches = the device bench's doc "
@@ -336,12 +340,17 @@ def run_e2e(args):
     model = ColQwen2(config, dim=128, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
                      scan_layers=True, remat=True,
                      remat_policy=args.remat_policy or ("dots" if on_tpu else None))
-    processor = ColQwen2Processor(_BenchTokenizer(), max_num_visual_tokens=cap)
+    processor = ColQwen2Processor(_BenchTokenizer(), max_num_visual_tokens=cap,
+                                  reducing_gap=1.0 if on_tpu else None)
     # static shapes: one bucket per axis (pages share a size, queries vary).
     # seq buckets cover the query (~44 tok) and the doc (cap + ~20 prompt
-    # tok); the patch bucket is the raw-patch budget (4x merged tokens)
+    # tok); the patch bucket is the raw-patch budget (4x merged tokens).
+    # device_pixels: resize on host (PIL, target-size upload), normalize +
+    # patchify on device — the default host path DOWNLOADS normalized fp32
+    # pixels through the tunnel (measured 1.06 s of a 1.73 s staging batch)
     collator = VisualRetrieverCollator(processor, pad_seq_to=[48, 256, 1024, 4096],
-                                       pad_patches_to=[4 * cap])
+                                       pad_patches_to=[4 * cap],
+                                       device_pixels=not args.host_pixels)
 
     b = args.batch
     n_pages = b * args.e2e_steps

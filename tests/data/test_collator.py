@@ -218,3 +218,69 @@ class TestPrefetch:
         overlapped = time.time() - t0
         # serial would be ~0.4s; overlapped ~0.25s
         assert overlapped < 0.35, overlapped
+
+
+class TestDevicePixels:
+    """device_pixels staging: pixels stay device arrays end-to-end (the
+    host path DOWNLOADS normalized fp32 pixels — measured 1.06 s of a
+    1.73 s staging batch over a remote-attached chip, which input-starved
+    the 269 ms train step 8.5x; perf/train_bench.py --e2e)."""
+
+    def _qwen_processor(self, cap=16):
+        import sys
+        from pathlib import Path
+
+        sys.path.append(str(Path(__file__).resolve().parents[2] / "perf"))
+        from embed_bench import _BenchTokenizer
+
+        from colpali_tpu.processors.qwen2_vl import ColQwen2Processor
+
+        return ColQwen2Processor(_BenchTokenizer(), max_num_visual_tokens=cap)
+
+    def _examples(self, n=2):
+        # smooth gradients, not noise: the two paths use different bicubic
+        # implementations (PIL host vs jax.image device) whose per-pixel
+        # outputs diverge on high-frequency content but agree on documents
+        yy, xx = np.mgrid[0:64, 0:48]
+        return [
+            {"query": f"find page {i}",
+             "pos_target": np.stack(
+                 [(yy * 2 + i * 20) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256],
+                 axis=-1).astype(np.uint8)}
+            for i in range(n)
+        ]
+
+    def test_matches_host_path_and_stays_on_device(self):
+        import jax
+
+        proc = self._qwen_processor()
+        host = VisualRetrieverCollator(proc)(self._examples())
+        dev = VisualRetrieverCollator(proc, device_pixels=True)(self._examples())
+        assert isinstance(dev["doc_pixel_values"], jax.Array)
+        assert isinstance(host["doc_pixel_values"], np.ndarray)
+        # host path resizes with jax.image bicubic, device staging resizes
+        # with PIL bicubic pre-upload: resamplers differ by ~1 u8 step
+        diff = np.abs(np.asarray(dev["doc_pixel_values"]) - host["doc_pixel_values"])
+        assert diff.max() < 0.08 and diff.mean() < 0.01
+        for k in host:
+            if k != "doc_pixel_values":
+                np.testing.assert_array_equal(np.asarray(dev[k]), np.asarray(host[k]))
+
+    def test_static_padding_pads_device_arrays_on_device(self):
+        import jax
+
+        proc = self._qwen_processor()
+        coll = VisualRetrieverCollator(proc, device_pixels=True,
+                                       pad_seq_to=[64], pad_patches_to=[128])
+        batch = coll(self._examples())
+        assert isinstance(batch["doc_pixel_values"], jax.Array)
+        assert batch["doc_pixel_values"].shape[1] == 128
+        assert batch["doc_input_ids"].shape[-1] == 64
+        # padded patch rows are masked off
+        assert not np.asarray(batch["doc_patch_mask"])[:, -1].any()
+
+    def test_processor_without_device_path_falls_back(self):
+        coll = VisualRetrieverCollator(FakeProcessor(), device_pixels=True)
+        assert coll.device_pixels is False  # no device_pixels kwarg -> host path
+        batch = coll([{"query": "q", "pos_target": FakeImage(), "neg_target": None}])
+        assert isinstance(batch["doc_pixel_values"], np.ndarray)
