@@ -131,7 +131,7 @@ def stored_int8_apply(
     return (acc.astype(jnp.float32) * sl * scale).astype(out_dtype)
 
 
-def quantize_params(params, min_dim: int = MIN_QUANT_DIM):
+def quantize_params(params, min_dim: int = MIN_QUANT_DIM, path_filter=None):
     """Convert eligible Dense kernels in a param tree to stored int8.
 
     Walks ``params`` (the flax ``{"params": ...}`` inner tree) and replaces
@@ -141,6 +141,11 @@ def quantize_params(params, min_dim: int = MIN_QUANT_DIM):
     ``kernel_scale`` — the flax ``quant`` collection `QDense` reads.
     Handles both unrolled 2D ``(K, N)`` kernels and scan-stacked 3D
     ``(L, K, N)`` kernels (per-layer, per-channel scales ``(L, 1, N)``).
+
+    ``path_filter``: optional ``fn("a/b/kernel") -> bool`` restricting which
+    kernels quantize — e.g. only a FROZEN vision tower during LoRA training
+    (the QLoRA-style quantized-base recipe), leaving the adapter-targeted
+    text kernels float for the merge.
 
     Returns ``(quantized_params, quant_collection)``; apply as
     ``model.apply({"params": qp, "quant": qc}, ...)``. Embeddings, norms,
@@ -158,6 +163,7 @@ def quantize_params(params, min_dim: int = MIN_QUANT_DIM):
             and leaf.ndim in (2, 3)
             and leaf.shape[-2] >= min_dim
             and leaf.shape[-1] >= min_dim
+            and (path_filter is None or path_filter("/".join(map(str, path))))
         )
         if not eligible:
             new_flat[path] = leaf

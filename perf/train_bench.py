@@ -49,6 +49,11 @@ def main():
     parser.add_argument("--decompose", action="store_true",
                         help="also time forward-only and grad-only chained loops "
                              "to split the step into fwd / bwd / optimizer")
+    parser.add_argument("--quant-vision", action="store_true",
+                        help="store the FROZEN vision tower's kernels int8 "
+                             "(QLoRA-style quantized base: int8 MXU runs 2x "
+                             "bf16; no grads flow through the frozen tower, "
+                             "and the LoRA-targeted text kernels stay float)")
     parser.add_argument("--e2e", action="store_true",
                         help="REAL input pipeline: PIL pages -> processor -> "
                              "collator -> prefetch -> device step, steady-state "
@@ -120,14 +125,6 @@ def main():
         "doc_position_ids": jnp.asarray(np.tile(np.arange(s_doc), (3, b, 1)).astype(np.int64)),
     }
 
-    def doc_forward(p, bt):
-        return model.apply(
-            {"params": p}, bt["doc_input_ids"], bt["doc_attention_mask"],
-            pixel_values=bt["doc_pixel_values"], vision_hpos=bt["doc_vision_hpos"],
-            vision_wpos=bt["doc_vision_wpos"], patch_mask=bt["doc_patch_mask"],
-            position_ids=bt["doc_position_ids"],
-        )
-
     print(f"[{time.time()-t0:6.1f}s] init base params...", flush=True)
     params = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), batch["doc_input_ids"], batch["doc_attention_mask"],
@@ -136,10 +133,34 @@ def main():
         position_ids=batch["doc_position_ids"])["params"])()
     n_params = count_params(params)
 
+    quant_vars = {}
+    if args.quant_vision:
+        from colpali_tpu.ops.quant_dense import quantize_params
+
+        # only the FROZEN tower quantizes: no grads flow through it (no
+        # adapters there), the LoRA merge never touches int8 leaves, and
+        # the text stack stays exact
+        params, qc = quantize_params(
+            params, path_filter=lambda p: "visual" in p or "vision" in p)
+        quant_vars = {"quant": qc}
+        n_q = sum(int(x.size) for x in jax.tree.leaves(params)
+                  if hasattr(x, "dtype") and x.dtype == jnp.int8)
+        print(f"[{time.time()-t0:6.1f}s] frozen vision tower stored int8 "
+              f"({n_q/1e6:.0f}M params)", flush=True)
+
+    def doc_forward(p, bt):
+        return model.apply(
+            {"params": p, **quant_vars}, bt["doc_input_ids"], bt["doc_attention_mask"],
+            pixel_values=bt["doc_pixel_values"], vision_hpos=bt["doc_vision_hpos"],
+            vision_wpos=bt["doc_vision_wpos"], patch_mask=bt["doc_patch_mask"],
+            position_ids=bt["doc_position_ids"],
+        )
+
     loss_obj = ColbertLoss(temperature=0.02)
 
     def loss_forward(p, bt):
-        q = model.apply({"params": p}, bt["query_input_ids"], bt["query_attention_mask"],
+        q = model.apply({"params": p, **quant_vars}, bt["query_input_ids"],
+                        bt["query_attention_mask"],
                         position_ids=bt["query_position_ids"])
         d = doc_forward(p, bt)
         return loss_obj(q, d)

@@ -891,6 +891,11 @@ def main():
         )
         report["ndcg@5_delta"] = abs(report["flax_ndcg@5"] - report["torch_ndcg@5"])
         report["ranking_agreement@5"] = float(np.mean(ranked_f[:, :5] == ranked_t[:, :5]))
+        # position-agreement is tie-FRAGILE: near-identical scores between
+        # irrelevant docs argsort differently across dtypes. top-1 agreement
+        # is the tie-robust headline (the gold doc is never near-tied on a
+        # separated checkpoint).
+        report["top1_agreement"] = float(np.mean(ranked_f[:, 0] == ranked_t[:, 0]))
 
     print(json.dumps(report, indent=2))
     if args.out:
