@@ -180,6 +180,24 @@ def quantize_params(params, min_dim: int = MIN_QUANT_DIM, path_filter=None):
     )
 
 
+def dequantize_params(params, quant, dtype=jnp.float32):
+    """Inverse of :func:`quantize_params`: int8 kernels -> ``q * scale``
+    floats (the values the quantized run actually computed with — exporting
+    these, not the original floats, is the semantically faithful artifact
+    of a quantized-base training run)."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    scales = flax.traverse_util.flatten_dict(quant) if quant else {}
+    out = {}
+    for path, leaf in flat.items():
+        if hasattr(leaf, "dtype") and leaf.dtype == jnp.int8:
+            scale = scales[path[:-1] + ("kernel_scale",)]
+            leaf = (leaf.astype(jnp.float32) * scale).astype(dtype)
+        out[path] = leaf
+    return flax.traverse_util.unflatten_dict(out)
+
+
 def quantization_error(x: jnp.ndarray, w: jnp.ndarray) -> float:
     """Relative L2 error of the w8a8 dot vs the fp32 dot (diagnostics)."""
     dn = (((x.ndim - 1,), (0,)), ((), ()))

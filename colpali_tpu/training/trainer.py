@@ -84,10 +84,15 @@ def create_train_state(
     return TrainState.create(apply_fn=apply_fn, params=params, tx=tx)
 
 
-def _forward(apply_fn, params, batch: Batch, prefix: str) -> jnp.ndarray:
+def _forward(apply_fn, params, batch: Batch, prefix: str,
+             extra_vars: dict | None = None) -> jnp.ndarray:
     """One prefixed forward. Negative docs arrive as (B, n_neg, ...) and are
     flattened into the batch dim (collator reshape, reference
-    visual_retriever_collator.py:122-124 inverted)."""
+    visual_retriever_collator.py:122-124 inverted).
+
+    ``extra_vars``: additional flax collections merged into the variables
+    dict — e.g. the ``quant`` scales of a stored-int8 frozen tower."""
+    variables = {"params": params, **(extra_vars or {})}
     ids = batch[f"{prefix}input_ids"]
     mask = batch[f"{prefix}attention_mask"]
     pixels = batch.get(f"{prefix}pixel_values")
@@ -97,9 +102,9 @@ def _forward(apply_fn, params, batch: Batch, prefix: str) -> jnp.ndarray:
         mask = mask.reshape(b * n, s)
         if pixels is not None:
             pixels = pixels.reshape(b * n, *pixels.shape[2:])
-        emb = apply_fn({"params": params}, ids, mask, pixels)
+        emb = apply_fn(variables, ids, mask, pixels)
         return emb.reshape(b, n, *emb.shape[1:])
-    return apply_fn({"params": params}, ids, mask, pixels)
+    return apply_fn(variables, ids, mask, pixels)
 
 
 def make_train_step(
@@ -136,6 +141,7 @@ def make_peft_train_step(
     peft,
     has_negatives: bool = False,
     seed: int = 0,
+    quant: dict | None = None,
 ) -> Callable:
     """LoRA train step: ``state.params`` is the ADAPTER tree; the frozen base
     is an explicit step argument (never a jit closure — a multi-GB closure
@@ -143,6 +149,13 @@ def make_peft_train_step(
     optimizer moments exist only for the rank-r adapters; the merged weights
     ``W + (alpha/r) A @ B`` are rebuilt inside the step, where XLA fuses the
     rank-r delta into each consuming matmul.
+
+    ``quant``: the ``quant`` collection matching a base tree whose FROZEN
+    tower kernels are stored int8 (``ops.quant_dense.quantize_params`` with
+    a vision path_filter) — the QLoRA-style quantized-base recipe. Closure
+    capture is safe here: it holds only per-channel fp32 scales (MBs, not
+    the multi-GB weights). Measured: 234.7 -> 219.3 ms/step on the
+    ColQwen2-2B bench (frozen tower int8 runs the MXU at 2x).
 
     Signature: ``train_step(state, batch, base_params)``.
     """
@@ -157,10 +170,10 @@ def make_peft_train_step(
                 base_params, lora, alpha=peft.alpha, rank=peft.rank,
                 dropout=peft.dropout, dropout_rng=rng,
             )
-            q = _forward(state.apply_fn, params, batch, "query_")
-            d = _forward(state.apply_fn, params, batch, "doc_")
+            q = _forward(state.apply_fn, params, batch, "query_", {"quant": quant} if quant else None)
+            d = _forward(state.apply_fn, params, batch, "doc_", {"quant": quant} if quant else None)
             if has_negatives:
-                n = _forward(state.apply_fn, params, batch, "neg_doc_")
+                n = _forward(state.apply_fn, params, batch, "neg_doc_", {"quant": quant} if quant else None)
                 return loss_fn(q, d, n)
             return loss_fn(q, d)
 
@@ -176,6 +189,7 @@ def make_peft_eval_step(
     loss_fn: Callable,
     peft,
     has_negatives: bool = False,
+    quant: dict | None = None,
 ) -> Callable:
     """Eval twin of :func:`make_peft_train_step` (no dropout):
     ``eval_step(state, batch, base_params) -> (loss, q, d)``."""
@@ -183,10 +197,11 @@ def make_peft_eval_step(
 
     def eval_step(state: TrainState, batch: Batch, base_params):
         params = merge_lora(base_params, state.params, alpha=peft.alpha, rank=peft.rank)
-        q = _forward(state.apply_fn, params, batch, "query_")
-        d = _forward(state.apply_fn, params, batch, "doc_")
+        extra = {"quant": quant} if quant else None
+        q = _forward(state.apply_fn, params, batch, "query_", extra)
+        d = _forward(state.apply_fn, params, batch, "doc_", extra)
         if has_negatives and "neg_doc_input_ids" in batch:
-            n = _forward(state.apply_fn, params, batch, "neg_doc_")
+            n = _forward(state.apply_fn, params, batch, "neg_doc_", extra)
             return loss_fn(q, d, n), q, d
         return loss_fn(q, d), q, d
 

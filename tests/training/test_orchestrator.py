@@ -468,3 +468,55 @@ class TestRematPolicy:
         trainer = ColModelTraining(config)
         with pytest.raises(ValueError, match="remat policy"):
             trainer.train()
+
+
+class TestQuantizedFrozenBase:
+    def test_qlora_style_trains_and_saves(self, setup, tmp_path):
+        """quantize_frozen_base: the frozen VISION tower stores int8 (QLoRA-
+        style quantized base). Pins: only vision kernels quantize (the
+        adapter-targeted text kernels stay float for the merge), the loop
+        trains to finite losses, and save() exports dequantized (q*scale)
+        floats that reload through the production loader."""
+        import jax
+        import jax.numpy as jnp
+
+        from colpali_tpu.training.lora import LoraSpec
+
+        ds, model, params, outdir = setup
+        config = ColModelTrainingConfig(
+            model=model,
+            params=params,
+            processor=FakeProcessor(),
+            loss_func=ColbertLoss(temperature=0.1),
+            train_datasets=[ds],
+            output_dir=outdir,
+            global_batch_size=4,
+            num_epochs=1,
+            train=TrainConfig(learning_rate=1e-2, warmup_steps=0),
+            peft=LoraSpec(rank=2, alpha=2.0, dropout=0.0),
+            quantize_frozen_base=True,
+            quant_min_dim=8,  # tiny towers: everything vision-side eligible
+        )
+        trainer = ColModelTraining(config)
+        flat = {
+            "/".join(map(str, p)): l
+            for p, l in __import__("flax").traverse_util.flatten_dict(
+                jax.device_get(trainer.base_params)).items()
+        }
+        vision_int8 = [k for k, v in flat.items()
+                       if v.dtype == jnp.int8 and "vision" in k]
+        text_int8 = [k for k, v in flat.items()
+                     if v.dtype == jnp.int8 and "vision" not in k]
+        assert vision_int8, "no vision kernel quantized"
+        assert not text_int8, f"non-vision kernels quantized: {text_int8[:3]}"
+        summary = trainer.train()
+        assert summary["final_step"] == 4
+        assert all(np.isfinite(m["loss"]) for m in trainer.metrics_history)
+
+        trainer.save()
+        from colpali_tpu.core.hf_loader import load_colpali_params
+
+        restored = load_colpali_params(outdir)
+        for leaf in jax.tree.leaves(restored):
+            assert jnp.issubdtype(np.asarray(leaf).dtype, np.floating)
+            assert np.isfinite(np.asarray(leaf)).all()
