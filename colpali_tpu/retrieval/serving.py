@@ -173,6 +173,104 @@ class QueryEncoder:
             b *= 2
 
 
+class _PendingTexts:
+    __slots__ = ("texts", "event", "embeddings", "error")
+
+    def __init__(self, texts):
+        self.texts = texts
+        self.event = threading.Event()
+        self.embeddings = None
+        self.error: Optional[BaseException] = None
+
+
+class EncodeBatcher:
+    """Merge concurrent text-encode requests into single device forwards.
+
+    The search side already merges via :class:`MicroBatcher`; without this,
+    text-in serving pays one encode DISPATCH per request and the device
+    serializes them (per-dispatch RPC alone caps QPS on remote-attached
+    chips). Same design: a dispatcher thread drains the queue, batches up
+    to ``max_texts`` within a linger window, and runs ONE
+    :meth:`QueryEncoder.encode` (whose static bucket shapes keep every
+    merged size warmable)."""
+
+    def __init__(self, encoder: QueryEncoder, window_ms: float = 2.0,
+                 max_texts: Optional[int] = None):
+        self.encoder = encoder
+        self.window = window_ms / 1e3
+        self.max_texts = max_texts or encoder.max_batch
+        self._queue: deque[_PendingTexts] = deque()
+        self._cv = threading.Condition()
+        self._closed = False
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="encode-microbatcher")
+        self._thread.start()
+
+    def encode(self, texts: Sequence[str]) -> List[np.ndarray]:
+        """Blocking; safe from many threads. Returns per-text embeddings."""
+        if not texts:
+            raise ValueError("empty text batch")
+        p = _PendingTexts(list(texts))
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("EncodeBatcher is closed")
+            self._queue.append(p)
+            self._cv.notify()
+        p.event.wait()
+        if p.error is not None:
+            raise p.error
+        return p.embeddings
+
+    def warmup(self) -> None:
+        self.encoder.warmup()
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._thread.join(timeout=5)
+
+    def _loop(self) -> None:
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if not self._queue:
+                    return
+                batch = [self._queue.popleft()]
+            total = len(batch[0].texts)
+            deadline = time.perf_counter() + self.window
+            while total < self.max_texts:
+                remaining = deadline - time.perf_counter()
+                with self._cv:
+                    if not self._queue:
+                        if remaining <= 0 or self._closed:
+                            break
+                        self._cv.wait(remaining)
+                    while self._queue and total < self.max_texts:
+                        nxt = self._queue[0]
+                        if total + len(nxt.texts) > self.max_texts and batch:
+                            total = self.max_texts
+                            break
+                        batch.append(self._queue.popleft())
+                        total += len(nxt.texts)
+            try:
+                flat: List[str] = []
+                for p in batch:
+                    flat.extend(p.texts)
+                embs = self.encoder.encode(flat)
+                row = 0
+                for p in batch:
+                    p.embeddings = embs[row : row + len(p.texts)]
+                    row += len(p.texts)
+            except BaseException as exc:  # noqa: BLE001 — delivered to each caller
+                for p in batch:
+                    p.error = exc
+            finally:
+                for p in batch:
+                    p.event.set()
+
+
 class _Pending:
     __slots__ = ("queries", "k", "candidates", "mode", "event", "scores", "ids", "error")
 

@@ -115,6 +115,7 @@ class _BenchTokenizer:
     special = ["<|endoftext|>", "<|im_start|>", "<|im_end|>", "<|vision_start|>",
                "<|vision_end|>", "<|image_pad|>", "<image>", "<bos>"]
     bos_token = "<bos>"
+    pad_token = "<|endoftext|>"  # colpali's query_augmentation_token source
 
     def __init__(self):
         self.vocab = {tok: i for i, tok in enumerate(self.special)}

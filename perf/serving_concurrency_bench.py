@@ -106,11 +106,15 @@ def build_index(num_docs: int):
     return builder.build()
 
 
-def run_load(search_fn, n_clients: int, seconds: float, rng: np.random.Generator):
+def run_load(search_fn, n_clients: int, seconds: float, rng: np.random.Generator,
+             payloads=None):
     """Closed-loop load: each client thread fires B=1 searches until the
-    deadline. Returns per-request latencies (s) and the measurement span."""
-    queries = [rng.standard_normal((QUERY_TOKENS, DIM)).astype(np.float32)
-               for _ in range(64)]
+    deadline. Returns per-request latencies (s) and the measurement span.
+    ``payloads`` overrides the default embedding queries (text-in mode
+    passes query strings)."""
+    queries = payloads if payloads is not None else [
+        rng.standard_normal((QUERY_TOKENS, DIM)).astype(np.float32)
+        for _ in range(64)]
     latencies: list = []
     lat_lock = threading.Lock()
     start_evt = threading.Event()
@@ -155,12 +159,60 @@ def summarize(name, n_clients, lats, span, sweep_stats):
     return out
 
 
+def build_text_encoder():
+    """Real-scale text-in encoder: ColPali-3B random weights, STORED-INT8
+    kernels (the serving mode), bench word tokenizer — the query-encode
+    cost is weight-value-independent."""
+    import os
+    import sys
+
+    sys.path.append(os.path.dirname(os.path.abspath(__file__)))
+    import jax.numpy as jnp
+    from embed_bench import _BenchTokenizer
+
+    from colpali_tpu.models.configs import PaliGemmaConfig
+    from colpali_tpu.models.paligemma import ColPali
+    from colpali_tpu.ops.quant_dense import quantize_params
+    from colpali_tpu.processors.colpali import ColPaliProcessor
+    from colpali_tpu.retrieval.serving import EncodeBatcher, QueryEncoder
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        config = PaliGemmaConfig()  # PaliGemma-3B
+    else:
+        from colpali_tpu.models.configs import GemmaConfig, SiglipVisionConfig
+
+        config = PaliGemmaConfig(
+            vision=SiglipVisionConfig(hidden_size=32, intermediate_size=64,
+                                      num_hidden_layers=2, num_attention_heads=4,
+                                      image_size=28, patch_size=14),
+            text=GemmaConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                             num_hidden_layers=2, num_attention_heads=4,
+                             num_key_value_heads=2, head_dim=8),
+            projection_dim=32, image_token_index=6)
+    model = ColPali(config, dim=128, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                    scan_layers=True)
+    processor = ColPaliProcessor(_BenchTokenizer())
+    tok = processor.process_queries(["warmup"])
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.asarray(np.asarray(tok["input_ids"])),
+        jnp.asarray(np.asarray(tok["attention_mask"]))))()
+    qp, qc = quantize_params(variables["params"])
+    encoder = QueryEncoder(model, {"params": qp, "quant": qc}, processor)
+    return EncodeBatcher(encoder)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--docs", type=int, default=None)
     parser.add_argument("--clients", type=int, nargs="+", default=[1, 4, 16, 32])
     parser.add_argument("--seconds", type=float, default=10.0)
     parser.add_argument("--window-ms", type=float, default=2.0)
+    parser.add_argument("--text", action="store_true",
+                        help="TEXT-IN load: clients send query strings; each "
+                             "request pays tokenize + encode (real-scale "
+                             "ColPali-3B stored-int8, EncodeBatcher-merged) "
+                             "before the search — QPS/p99 include encoding")
     args = parser.parse_args()
 
     from colpali_tpu.retrieval.serving import MicroBatcher, run_search
@@ -179,18 +231,30 @@ def main():
     run_search(index, warm * 8, K)                   # exact (B=8, auto)
     print(f"[{time.time()-t0:6.1f}s] kernels warm", flush=True)
 
+    enc = None
+    payloads = None
+    if args.text:
+        enc = build_text_encoder()
+        tw = time.time()
+        enc.warmup()
+        print(f"[{time.time()-t0:6.1f}s] text encoder built + warm "
+              f"({time.time()-tw:.1f}s)", flush=True)
+        payloads = [f"find document page {i} quarterly report total revenue {i % 7}"
+                    for i in range(64)]
+
     results = []
     for n_clients in args.clients:
-        # -- locked: routed, but one sweep at a time behind a global lock
-        lock = threading.Lock()
+        if not args.text:
+            # -- locked: routed, one sweep at a time behind a global lock
+            lock = threading.Lock()
 
-        def locked_search(queries, k):
-            with lock:
-                return run_search(index, queries, k)
+            def locked_search(queries, k):
+                with lock:
+                    return run_search(index, queries, k)
 
-        index.reset()
-        lats, span = run_load(locked_search, n_clients, args.seconds, rng)
-        results.append(summarize("locked", n_clients, lats, span, index.stats()))
+            index.reset()
+            lats, span = run_load(locked_search, n_clients, args.seconds, rng)
+            results.append(summarize("locked", n_clients, lats, span, index.stats()))
 
         # -- batched: MicroBatcher merges concurrent requests. warmup()
         # pre-compiles each power-of-two merge bucket (without it, the first
@@ -201,16 +265,29 @@ def main():
         mb.warmup(max_batch=max(n_clients, 1))
         print(f"[{time.time()-t0:6.1f}s] buckets warm ({time.time()-tw:.1f}s)", flush=True)
         index.reset()
+        if args.text:
+            # the full text-in stack: tokenize + merged encode + merged search
+            def text_search(texts, k):
+                return mb.search(enc.encode(texts), k=k)
+
+            search_fn = text_search
+        else:
+            search_fn = lambda q, k: mb.search(q, k=k)  # noqa: E731
         try:
-            lats, span = run_load(lambda q, k: mb.search(q, k=k),
-                                  n_clients, args.seconds, rng)
+            # run_load wraps each payload item as a 1-element request list
+            lats, span = run_load(search_fn, n_clients, args.seconds, rng,
+                                  payloads=payloads)
         finally:
             mb.close()
-        results.append(summarize("batched", n_clients, lats, span, index.stats()))
+        name = "text-batched" if args.text else "batched"
+        results.append(summarize(name, n_clients, lats, span, index.stats()))
+    if enc is not None:
+        enc.close()
 
-    best = max((r for r in results if r["strategy"] == "batched"),
+    best = max((r for r in results if "batched" in r["strategy"]),
                key=lambda r: r["qps"])
-    print(json.dumps({"metric": "serving_qps_batched_best", "value": best["qps"],
+    print(json.dumps({"metric": "serving_qps_text_best" if args.text else "serving_qps_batched_best",
+                      "value": best["qps"],
                       "unit": "qps", "p99_ms": best["p99_ms"],
                       "clients": best["clients"], "docs": num_docs}))
 

@@ -50,7 +50,11 @@ def make_handler(index, files, window_ms: float = 2.0, exact_threshold: int = 4,
     import threading
     import time as _time
 
-    from colpali_tpu.retrieval.serving import MicroBatcher
+    from colpali_tpu.retrieval.serving import EncodeBatcher, MicroBatcher
+
+    if encoder is not None and not isinstance(encoder, EncodeBatcher):
+        # concurrent /search_text requests merge into single encode forwards
+        encoder = EncodeBatcher(encoder, window_ms=window_ms)
 
     lock = threading.Lock()  # extend() mutates the index; searches race it
     # concurrent /search requests merge into single device sweeps within a

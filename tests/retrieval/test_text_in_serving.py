@@ -179,3 +179,66 @@ def test_healthz_reports_text_in(text_server):
     url = text_server[0]
     with urllib.request.urlopen(url + "/healthz", timeout=10) as resp:
         assert json.loads(resp.read())["text_in"] is True
+
+
+class TestEncodeBatcher:
+    """Concurrent text-encode merging (the search-side MicroBatcher's twin:
+    per-request encode dispatches would serialize the device)."""
+
+    def test_results_match_direct_encode(self, retriever):
+        from colpali_tpu.retrieval.serving import EncodeBatcher
+
+        model, variables, processor = retriever
+        enc = QueryEncoder(model, variables, processor)
+        eb = EncodeBatcher(enc, window_ms=1.0)
+        try:
+            got = eb.encode(QUERIES)
+            want = enc.encode(QUERIES)
+            for g, w in zip(got, want):
+                np.testing.assert_allclose(g, w, atol=1e-5)
+        finally:
+            eb.close()
+
+    def test_concurrent_requests_merge(self, retriever):
+        import threading
+
+        from colpali_tpu.retrieval.serving import EncodeBatcher
+
+        model, variables, processor = retriever
+        enc = QueryEncoder(model, variables, processor)
+        calls = []
+        inner = enc.encode
+        enc.encode = lambda texts: (calls.append(len(texts)), inner(texts))[1]
+        eb = EncodeBatcher(enc, window_ms=25.0)
+        results = {}
+
+        def worker(i):
+            results[i] = eb.encode([QUERIES[i % len(QUERIES)]])[0]
+
+        try:
+            threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        finally:
+            eb.close()
+        assert len(results) == 6
+        assert max(calls) > 1, f"no merge happened: {calls}"
+        # merged answers equal solo answers
+        solo = inner([QUERIES[1]])[0]
+        np.testing.assert_allclose(results[1], solo, atol=1e-5)
+
+    def test_error_propagates_and_closed_rejects(self, retriever):
+        import pytest as _pytest
+
+        from colpali_tpu.retrieval.serving import EncodeBatcher
+
+        model, variables, processor = retriever
+        enc = QueryEncoder(model, variables, processor)
+        eb = EncodeBatcher(enc, window_ms=0.0)
+        with _pytest.raises(ValueError, match="empty"):
+            eb.encode([])
+        eb.close()
+        with _pytest.raises(RuntimeError, match="closed"):
+            eb.encode(["q"])
