@@ -198,6 +198,7 @@ def build_text_encoder():
         jax.random.PRNGKey(0), jnp.asarray(np.asarray(tok["input_ids"])),
         jnp.asarray(np.asarray(tok["attention_mask"]))))()
     qp, qc = quantize_params(variables["params"])
+    del variables  # free the bf16 originals (the int8 tree replaces them)
     encoder = QueryEncoder(model, {"params": qp, "quant": qc}, processor)
     return EncodeBatcher(encoder)
 
@@ -220,6 +221,20 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     num_docs = args.docs or (499_968 if on_tpu else 8192)
     t0 = time.time()
+
+    enc = None
+    payloads = None
+    if args.text:
+        # encoder FIRST: quantizing a 3B tree needs transient HBM the index
+        # would otherwise be occupying (6 GB bf16 + int8 + fp32 per-leaf)
+        enc = build_text_encoder()
+        tw = time.time()
+        enc.warmup()
+        print(f"[{time.time()-t0:6.1f}s] text encoder built + warm "
+              f"({time.time()-tw:.1f}s)", flush=True)
+        payloads = [f"find document page {i} quarterly report total revenue {i % 7}"
+                    for i in range(64)]
+
     index = SweepRecorder(build_index(num_docs))
     print(f"[{time.time()-t0:6.1f}s] index built: {num_docs} docs x {DOC_TOKENS} tok, "
           f"int8+binary prefilter", flush=True)
@@ -230,17 +245,6 @@ def main():
     run_search(index, warm, K)                       # tiered (B=1, auto)
     run_search(index, warm * 8, K)                   # exact (B=8, auto)
     print(f"[{time.time()-t0:6.1f}s] kernels warm", flush=True)
-
-    enc = None
-    payloads = None
-    if args.text:
-        enc = build_text_encoder()
-        tw = time.time()
-        enc.warmup()
-        print(f"[{time.time()-t0:6.1f}s] text encoder built + warm "
-              f"({time.time()-tw:.1f}s)", flush=True)
-        payloads = [f"find document page {i} quarterly report total revenue {i % 7}"
-                    for i in range(64)]
 
     results = []
     for n_clients in args.clients:
