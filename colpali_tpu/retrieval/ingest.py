@@ -5,14 +5,17 @@ north star is MEASURED").
 The standard path (`evaluation.evaluator.embed_dataset`) uploads RGB u8
 and runs preprocess + forward as separate dispatches. For fixed-resolution
 processors (the ColPali/PaliGemma family) this module goes further, and is
-how 2,810 pages/min/chip was measured on one v5e chip behind a ~10 MB/s
-host link:
+how 2,644 pages/min/chip color-preserving (2,810 luma-only) was measured
+on one v5e chip behind a shared, bandwidth-variable host link:
 
 - host staging is all PIL-C-speed (`stage_yuv420` / `stage_gray`,
   processors/image_processing.py): resize (optionally with a box
-  pre-reduce) + fixed-point BT.601 convert;
+  pre-reduce) + fixed-point BT.601 convert + BOX chroma subsample;
 - the wire carries u8 YUV420 (half the RGB bytes) or luma-only gray
-  (a third) instead of RGB;
+  (a third) instead of RGB, packed into ONE contiguous upload buffer per
+  group (`pack_yuv420_group`) — a second transfer per group costs a
+  serialization pass that competes with compute on a shared tunnel
+  (measured +2 s over 256 pages);
 - pixel decode + normalize + model forward fuse into ONE jit, and
   ``chunk`` forward batches fold into ONE device dispatch via ``lax.map``
   (each dispatch costs 10-40 ms RPC on remote-attached chips);
@@ -65,8 +68,10 @@ def embed_pages_fused(
     from colpali_tpu.processors.image_processing import (
         host_resize_rgb,
         normalize_pixels,
+        pack_yuv420_group,
         stage_gray,
         stage_yuv420,
+        unpack_yuv420,
         yuv420_to_rgb,
     )
 
@@ -95,9 +100,8 @@ def embed_pages_fused(
             group.append(group[-1])
         if transport == "yuv420":
             planes = [stage_yuv420(p, (size, size), reducing_gap=reducing_gap) for p in group]
-            y = np.stack([p[0] for p in planes]).reshape(chunk, batch_size, size, size)
-            uv = np.stack([p[1] for p in planes]).reshape(chunk, batch_size, size // 2, size // 2, 2)
-            return {"y": jnp.asarray(y), "uv": jnp.asarray(uv)}
+            buf = np.empty((chunk, batch_size, size * size * 3 // 2), np.uint8)
+            return {"yuv": jnp.asarray(pack_yuv420_group(planes, buf, size))}
         if transport == "gray":
             y = np.stack([stage_gray(p, (size, size), reducing_gap=reducing_gap) for p in group])
             return {"y": jnp.asarray(y.reshape(chunk, batch_size, size, size))}
@@ -106,7 +110,7 @@ def embed_pages_fused(
 
     def decode(pix):
         if transport == "yuv420":
-            x = yuv420_to_rgb(pix["y"], pix["uv"])
+            x = yuv420_to_rgb(*unpack_yuv420(pix["yuv"], size))
         elif transport == "gray":
             x = jnp.repeat(pix["y"].astype(jnp.float32)[..., None], 3, axis=-1)
         else:

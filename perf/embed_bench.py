@@ -184,8 +184,10 @@ def run_e2e_fused(args, t0):
     from colpali_tpu.processors.image_processing import (
         host_resize_rgb,
         normalize_pixels,
+        pack_yuv420_group,
         stage_gray,
         stage_yuv420,
+        unpack_yuv420,
         yuv420_to_rgb,
     )
 
@@ -221,13 +223,15 @@ def run_e2e_fused(args, t0):
         ts = time.perf_counter()
         group = pages[i : i + group_pages]
         if args.transport == "yuv420":
-            # all-PIL-C-speed staging (resize -> YCbCr -> u8 subsample):
-            # ~3 ms/page beyond the resize vs ~12 for the fp32 numpy matmul
+            # all-PIL-C-speed staging (resize -> YCbCr split -> BOX chroma
+            # downscale), packed into ONE u8 upload buffer per group (two
+            # separate y/uv transfers cost two serialization passes that
+            # compete with compute on the shared tunnel)
             planes = [stage_yuv420(p, (size, size), reducing_gap=rgap) for p in group]
-            y = np.stack([p[0] for p in planes]).reshape(chunk, args.batch, size, size)
-            uv = np.stack([p[1] for p in planes]).reshape(chunk, args.batch, size // 2, size // 2, 2)
+            buf = np.empty((chunk, args.batch, size * size * 3 // 2), np.uint8)
+            pack_yuv420_group(planes, buf, size)
             t_conv = time.perf_counter()
-            out = {"y": jnp.asarray(y), "uv": jnp.asarray(uv)}
+            out = {"yuv": jnp.asarray(buf)}
         elif args.transport == "gray":
             # Y (luma) plane only — 3x fewer wire bytes than RGB. Document
             # corpora are overwhelmingly achromatic; for colored corpora use
@@ -247,7 +251,7 @@ def run_e2e_fused(args, t0):
 
     def decode(pix):
         if args.transport == "yuv420":
-            x = yuv420_to_rgb(pix["y"], pix["uv"])
+            x = yuv420_to_rgb(*unpack_yuv420(pix["yuv"], size))
         elif args.transport == "gray":
             x = jnp.repeat(pix["y"].astype(jnp.float32)[..., None], 3, axis=-1)
         else:

@@ -164,3 +164,26 @@ class TestPilStaging:
         assert y.shape == (32, 32) and uv.shape == (16, 16, 2)
         g = stage_gray(a, (32, 32))
         assert g.shape == (32, 32) and g.dtype == np.uint8
+
+    def test_packed_wire_buffer_roundtrip(self):
+        """pack_yuv420_group -> unpack_yuv420 must return the exact planes
+        (the packed form exists so a group is ONE host->device transfer)."""
+        from colpali_tpu.processors.image_processing import (
+            pack_yuv420_group,
+            stage_yuv420,
+            unpack_yuv420,
+        )
+
+        size, chunk, batch = 32, 2, 3
+        planes = [
+            stage_yuv420(_document_page(64), (size, size))
+            for _ in range(chunk * batch)
+        ]
+        buf = np.empty((chunk, batch, size * size * 3 // 2), np.uint8)
+        pack_yuv420_group(planes, buf, size)
+        y, uv = unpack_yuv420(buf, size)
+        y, uv = np.asarray(y), np.asarray(uv)
+        for j, (y_ref, uv_ref) in enumerate(planes):
+            c, b = divmod(j, batch)
+            assert (y[c, b] == y_ref).all()
+            assert (uv[c, b] == uv_ref).all()
