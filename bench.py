@@ -7,12 +7,14 @@ Target (BASELINE.json north star): top-100 over 1M pages in < 50 ms p50 on a
 v5e chip. ``vs_baseline`` = 50ms / measured_p50 (>1 beats the target).
 
 The measured configuration is CorpusIndex's best serving path: TWO-TIER
-search (round 2) — binary sign-sketch coarse pass (XOR+popcount Pallas
-kernel over packed bits, 8x smaller than the int8 store) -> top-1024
-candidates -> scalar-prefetch gather -> exact fp32 rerank -> top-100.
-Returned scores are exact; recall@100 = 1.0 on graded-relevance corpora
-(perf/prefilter_bench.py, which also reports the exact-kernel single-pass
-number: ~12.4 ms vs ~8.8 ms two-tier).
+search with a POOLED sketch (round 5) — binary sign-sketch coarse pass over
+mean-pooled groups of COARSE_POOL=4 doc tokens (XOR+popcount Pallas kernel;
+the coarse pass is VPU-compute-bound, so pooling cuts its ops AND bytes 4x:
+6.9 -> 3.9 ms) -> top-1024 candidates -> scalar-prefetch gather -> exact
+fp32 rerank -> top-100. Returned scores are exact; recall@100 = 1.0 on
+graded-relevance corpora at this exact config (perf/prefilter_bench.py
+--coarse-pool 4, which also reports the exact-kernel single-pass ~12.4 ms
+and the unpooled two-tier ~8.8 ms).
 
 Method notes:
 - Corpus: 1M docs x 64 tokens (hierarchical pool factor 3 of ~196-patch
@@ -41,6 +43,7 @@ QUERY_BATCH = 1  # latency config: one query batch per corpus sweep
 QUERY_TOKENS = 32
 DIM = 128
 DOC_TOKENS = 64
+COARSE_POOL = 4  # sketch-only token pooling (CorpusIndex coarse_pool)
 ITERS = 32  # amortizes the 10-40 ms axon RPC dispatch noise
 
 
@@ -68,7 +71,14 @@ def main():
         def step(carry, k):
             bits = jax.random.bits(k, (DOC_TOKENS, DOC_TILE, DIM // 4), jnp.uint32)
             tile = jax.lax.bitcast_convert_type(bits, jnp.int8).reshape(DOC_TOKENS, DOC_TILE, DIM)
-            sign = (tile > 0).astype(jnp.uint32).reshape(DOC_TOKENS, DOC_TILE, DIM // 32, 32)
+            # pooled sketch: sign of the group sum (uniform scale, so the int8
+            # sum's sign equals the dequantized fp32 mean's sign)
+            src = tile.astype(jnp.int32).reshape(
+                DOC_TOKENS // COARSE_POOL, COARSE_POOL, DOC_TILE, DIM
+            ).sum(1)
+            sign = (src > 0).astype(jnp.uint32).reshape(
+                DOC_TOKENS // COARSE_POOL, DOC_TILE, DIM // 32, 32
+            )
             weights = jnp.left_shift(jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
             words = jnp.sum(sign * weights, axis=-1, dtype=jnp.uint32).astype(jnp.int32)
             return carry, (tile, words.transpose(2, 0, 1))

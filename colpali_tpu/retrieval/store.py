@@ -131,6 +131,16 @@ class CorpusIndex:
             This is the PLAID-role approximate path for corpora (or latency
             targets) the exact kernel can't serve
             (reference processing_utils.py:189-244).
+        coarse_pool: build the sign sketch from mean-pooled groups of
+            ``coarse_pool`` contiguous doc tokens instead of every token
+            (``sign(sum of group))`` — padding is zero so the plain group sum
+            IS the valid-masked sum). The coarse pass is VPU-compute-bound
+            (docs/PERF.md), so its cost AND its HBM bytes shrink by the
+            factor; rerank scores stay exact. Candidate quality is
+            corpus-dependent — measure with :meth:`estimate_recall` /
+            :meth:`tune_candidates` (adjacent tokens of real pages are
+            spatially adjacent patches, so contiguous mean-pooling is the
+            same locality bet HierarchicalTokenPooler wins on).
 
     The build is chunked: the fp32 corpus is packed (padded, tiled,
     quantized) ``_BUILD_CHUNK_DOCS`` docs at a time into a preallocated
@@ -151,8 +161,9 @@ class CorpusIndex:
         force_kernel: Optional[bool] = None,
         truncate: bool = False,
         prefilter: Optional[str] = None,
+        coarse_pool: int = 1,
     ):
-        self._init_common(dtype, mesh, axis, quantize_queries, force_kernel, prefilter)
+        self._init_common(dtype, mesh, axis, quantize_queries, force_kernel, prefilter, coarse_pool)
 
         if isinstance(doc_embeddings, (list, tuple)):
             docs_list = [np.asarray(d, dtype=np.float32) for d in doc_embeddings]
@@ -177,17 +188,28 @@ class CorpusIndex:
         self.doc_tokens = round_up(target_tokens, 16)
         if self.prefilter == "binary" and self.dim % 32 != 0:
             raise ValueError(f"binary prefilter needs dim % 32 == 0, got {self.dim}")
+        if self.doc_tokens % self.coarse_pool != 0:
+            raise ValueError(
+                f"coarse_pool={self.coarse_pool} must divide doc_tokens={self.doc_tokens}"
+            )
 
         shard_multiple = DOC_TILE * (mesh.shape[axis] if mesh is not None else 1)
         self.padded_docs = round_up(self.num_docs, shard_multiple)
         store_host, scales_host, bwords_host = self._pack_host(docs_list)
         self._put_store(store_host, scales_host, bwords_host)
 
-    def _init_common(self, dtype, mesh, axis, quantize_queries, force_kernel, prefilter=None) -> None:
+    def _init_common(
+        self, dtype, mesh, axis, quantize_queries, force_kernel, prefilter=None, coarse_pool=1
+    ) -> None:
         if dtype not in ("bf16", "int8"):
             raise ValueError(f"Unsupported index dtype: {dtype}")
         if prefilter not in (None, "binary"):
             raise ValueError(f"Unsupported prefilter: {prefilter!r} (None or 'binary')")
+        if coarse_pool < 1:
+            raise ValueError(f"coarse_pool must be >= 1, got {coarse_pool}")
+        if coarse_pool > 1 and prefilter != "binary":
+            raise ValueError("coarse_pool > 1 requires prefilter='binary'")
+        self.coarse_pool = coarse_pool
         self.dtype = dtype
         # int8 indexes default to the full-int8 MXU kernel (pass False for
         # the bf16-matmul dequant kernel: slower, no query quant error)
@@ -221,8 +243,11 @@ class CorpusIndex:
             scales_host = None
         bwords_host = None
         if self.prefilter == "binary":
-            # word-major packed sign bits (see ops/maxsim_binary)
-            bwords_host = np.zeros((n_tiles, d // 32, np_, DOC_TILE), np.int32)
+            # word-major packed sign bits (see ops/maxsim_binary); with
+            # coarse_pool > 1 the sketch covers pooled token groups
+            bwords_host = np.zeros(
+                (n_tiles, d // 32, np_ // self.coarse_pool, DOC_TILE), np.int32
+            )
 
         # chunk boundaries must land on tile boundaries for t0 = start//DOC_TILE
         chunk = max(DOC_TILE, self._BUILD_CHUNK_DOCS - self._BUILD_CHUNK_DOCS % DOC_TILE)
@@ -255,10 +280,18 @@ class CorpusIndex:
                 # doc's FIRST VALID token's words — duplicates are
                 # score-neutral under max, and left-padded docs must not
                 # inherit an all-zero masked token 0)
-                bits = (tiled > 0).astype(np.uint32).reshape(t1 - t0, np_, DOC_TILE, d // 32, 32)
+                src = tiled
+                if self.coarse_pool > 1:
+                    # mean-pool contiguous token groups for the sketch only;
+                    # padding is zero, so the plain sum IS the masked sum and
+                    # sign(sum) == sign(mean-over-valid)
+                    f = self.coarse_pool
+                    src = tiled.reshape(t1 - t0, np_ // f, f, DOC_TILE, d).sum(axis=2)
+                npc = src.shape[1]
+                bits = (src > 0).astype(np.uint32).reshape(t1 - t0, npc, DOC_TILE, d // 32, 32)
                 weights = (np.uint32(1) << np.arange(32, dtype=np.uint32))
                 words = np.sum(bits * weights, axis=-1, dtype=np.uint32).astype(np.int32)
-                valid = np.any(tiled != 0, axis=-1)  # (nt, Np, T)
+                valid = np.any(src != 0, axis=-1)  # (nt, Npc, T)
                 first_valid = np.argmax(valid, axis=1)  # (nt, T)
                 fill = np.take_along_axis(words, first_valid[:, None, :, None], axis=1)
                 words = np.where(valid[..., None], words, fill)
@@ -410,6 +443,7 @@ class CorpusIndex:
             payload["scales"] = np.asarray(self._scales)
         if self._bwords is not None:
             payload["bwords"] = np.asarray(self._bwords)
+            payload["coarse_pool"] = np.int64(self.coarse_pool)
         np.savez(path, **payload)
 
     @classmethod
@@ -431,6 +465,7 @@ class CorpusIndex:
         self._init_common(
             dtype, mesh, axis, quantize_queries, force_kernel,
             prefilter="binary" if "bwords" in data else None,
+            coarse_pool=int(data["coarse_pool"]) if "coarse_pool" in data else 1,
         )
         self.num_docs = int(data["num_docs"])
         self.doc_tokens = int(data["doc_tokens"])
@@ -772,12 +807,14 @@ class CorpusIndex:
         return jnp.asarray(padded)
 
 
-@functools.partial(jax.jit, static_argnames=("dtype", "prefilter"))
-def _pack_tiles_device(chunk: jnp.ndarray, dtype: str, prefilter: Optional[str]):
+@functools.partial(jax.jit, static_argnames=("dtype", "prefilter", "coarse_pool"))
+def _pack_tiles_device(chunk: jnp.ndarray, dtype: str, prefilter: Optional[str],
+                       coarse_pool: int = 1):
     """Pack (n*DOC_TILE, Np, D) fp32 docs into tile-major serving arrays ON
     DEVICE: (store, scales|None, bwords|None). Same math as
     CorpusIndex._pack_host (quantize_per_token / binarize_words +
-    fill_doc_padding), jitted so streamed ingestion never leaves the chip."""
+    fill_doc_padding, optional coarse_pool group-sum before binarize), jitted
+    so streamed ingestion never leaves the chip."""
     c, np_, d = chunk.shape
     tiled = chunk.reshape(c // DOC_TILE, DOC_TILE, np_, d).transpose(0, 2, 1, 3)
     if dtype == "int8":
@@ -787,9 +824,15 @@ def _pack_tiles_device(chunk: jnp.ndarray, dtype: str, prefilter: Optional[str])
         store, scales = tiled.astype(jnp.bfloat16), None
     bwords = None
     if prefilter == "binary":
-        words, valid = binarize_words(chunk)  # (c, Np, W), (c, Np)
+        src = chunk
+        if coarse_pool > 1:
+            # padding tokens are zero by the add() convention, so the plain
+            # group sum is the valid-masked sum (mirrors _pack_host)
+            src = chunk.reshape(c, np_ // coarse_pool, coarse_pool, d).sum(axis=2)
+        npc = src.shape[1]
+        words, valid = binarize_words(src)  # (c, Npc, W), (c, Npc)
         words = fill_doc_padding(words, valid)
-        bwords = words.reshape(c // DOC_TILE, DOC_TILE, np_, d // 32).transpose(0, 3, 2, 1)
+        bwords = words.reshape(c // DOC_TILE, DOC_TILE, npc, d // 32).transpose(0, 3, 2, 1)
     return store, scales, bwords
 
 
@@ -820,17 +863,27 @@ class DeviceIndexBuilder:
             ``"kmeans"`` runs the cheaper O(T^2)-per-sweep spherical
             k-means (:func:`kmeans_pool_padded`) at a measured retention
             cost (perf/pooling_retention.py).
+        coarse_pool: sketch-only token pooling, as in :class:`CorpusIndex`
+            (the sign sketch covers mean-pooled groups of ``coarse_pool``
+            contiguous POOLED tokens; the exact store is untouched).
     """
 
     def __init__(self, doc_tokens: int, dim: int, dtype: str = "int8",
                  prefilter: Optional[str] = None,
                  pool_factor: Optional[int] = None, pool_iters: int = 10,
-                 pool_method: str = "ward"):
+                 pool_method: str = "ward", coarse_pool: int = 1):
         self.doc_tokens = round_up(doc_tokens, 16)
         self.dim = dim
         self.dtype = dtype
         self.prefilter = prefilter
         self.pool_factor = pool_factor
+        if coarse_pool > 1 and prefilter != "binary":
+            raise ValueError("coarse_pool > 1 requires prefilter='binary'")
+        if self.doc_tokens % coarse_pool != 0:
+            raise ValueError(
+                f"coarse_pool={coarse_pool} must divide doc_tokens={self.doc_tokens}"
+            )
+        self.coarse_pool = coarse_pool
         self.num_docs = 0
         self._built = False
         self._tiles: list = []  # [(store, scales, bwords)] per packed chunk
@@ -899,7 +952,9 @@ class DeviceIndexBuilder:
             chunk = jnp.pad(chunk, ((0, target - buffered), (0, 0), (0, 0)))
         take, rest = chunk[:target], chunk[target:]
         self._pending = [] if (final or rest.shape[0] == 0) else [rest]
-        self._tiles.append(_pack_tiles_device(take, self.dtype, self.prefilter))
+        self._tiles.append(
+            _pack_tiles_device(take, self.dtype, self.prefilter, self.coarse_pool)
+        )
 
     def build(self, mesh: Optional[Mesh] = None, axis: str = "data") -> CorpusIndex:
         """Finalize into a :class:`CorpusIndex` (re-sharding onto ``mesh``)."""
@@ -924,7 +979,7 @@ class DeviceIndexBuilder:
                 bwords = jnp.concatenate([bwords, jnp.zeros((pad_tiles, *bwords.shape[1:]), bwords.dtype)])
 
         index = object.__new__(CorpusIndex)
-        index._init_common(self.dtype, mesh, axis, True, None, self.prefilter)
+        index._init_common(self.dtype, mesh, axis, True, None, self.prefilter, self.coarse_pool)
         index.num_docs = self.num_docs
         index.doc_tokens = self.doc_tokens
         index.dim = self.dim

@@ -49,7 +49,16 @@ def main():
     parser.add_argument("--candidates", type=int, default=1024)
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--iters", type=int, default=ITERS)
+    parser.add_argument(
+        "--coarse-pool", type=int, default=1,
+        help="sketch-only token pooling factor (CorpusIndex coarse_pool): the "
+        "sign sketch covers mean-pooled groups of this many contiguous doc "
+        "tokens — coarse ops AND bytes shrink by the factor; rerank unchanged",
+    )
     args = parser.parse_args()
+    cpool = args.coarse_pool
+    if DOC_TOKENS % cpool != 0:
+        parser.error(f"--coarse-pool must divide {DOC_TOKENS}")
 
     from colpali_tpu.ops.maxsim_binary import binary_maxsim_pallas_tiled
     from colpali_tpu.ops.maxsim_pallas import DOC_TILE, maxsim_pallas_int8mxu_tiled
@@ -71,7 +80,10 @@ def main():
         def step(carry, k):
             bits = jax.random.bits(k, (DOC_TOKENS, DOC_TILE, DIM // 4), jnp.uint32)
             tile = jax.lax.bitcast_convert_type(bits, jnp.int8).reshape(DOC_TOKENS, DOC_TILE, DIM)
-            sign = (tile > 0).astype(jnp.uint32).reshape(DOC_TOKENS, DOC_TILE, DIM // 32, 32)
+            # sketch source: mean-pooled token groups when --coarse-pool > 1
+            # (sign(sum int8) == sign(sum of dequantized fp32): uniform scale)
+            src = tile.astype(jnp.int32).reshape(DOC_TOKENS // cpool, cpool, DOC_TILE, DIM).sum(1)
+            sign = (src > 0).astype(jnp.uint32).reshape(DOC_TOKENS // cpool, DOC_TILE, DIM // 32, 32)
             weights = jnp.left_shift(jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
             words = jnp.sum(sign * weights, axis=-1, dtype=jnp.uint32).astype(jnp.int32)
             return carry, (tile, words.transpose(2, 0, 1))
@@ -162,8 +174,9 @@ def main():
     s = 1.0 / (127.0 * np.sqrt(DIM))
     planted_i8 = np.clip(np.round(doc_f32 / s), -127, 127).astype(np.int8)
     tiled = planted_i8.reshape(2, DOC_TILE, DOC_TOKENS, DIM).transpose(0, 2, 1, 3)
+    psrc = tiled.astype(np.int32).reshape(2, DOC_TOKENS // cpool, cpool, DOC_TILE, DIM).sum(2)
     pw = np.sum(
-        (tiled > 0).astype(np.uint32).reshape(2, DOC_TOKENS, DOC_TILE, DIM // 32, 32)
+        (psrc > 0).astype(np.uint32).reshape(2, DOC_TOKENS // cpool, DOC_TILE, DIM // 32, 32)
         * (np.uint32(1) << np.arange(32, dtype=np.uint32)),
         axis=-1, dtype=np.uint32,
     ).astype(np.int32).transpose(0, 3, 1, 2)
@@ -181,6 +194,7 @@ def main():
                 "num_docs": num_docs,
                 "batch": args.batch,
                 "candidates": cand,
+                "coarse_pool": cpool,
                 "exact_p50_ms": round(exact_ms, 3),
                 "coarse_p50_ms": round(coarse_ms, 3),
                 "two_tier_p50_ms": round(tiered_ms, 3),

@@ -51,6 +51,11 @@ def main() -> None:
                              "pooled length rounded up)")
     parser.add_argument("--index-prefilter", action="store_true",
                         help="include the binary sign-sketch prefilter in --save-index")
+    parser.add_argument("--index-coarse-pool", type=int, default=1,
+                        help="sketch-only token pooling factor for the prefilter "
+                             "(the coarse pass is compute-bound, so ops and bytes "
+                             "shrink by the factor; rerank stays exact — validate "
+                             "candidate quality with CorpusIndex.estimate_recall)")
     parser.add_argument("--quantize", action="store_true",
                         help="w8-static serving: store eligible Dense kernels int8 "
                              "(1.3-1.4x faster 3B forward, half the weight HBM; docs/PERF.md)")
@@ -175,6 +180,7 @@ def _write_outputs(args, files, embeddings) -> None:
         builder = DeviceIndexBuilder(
             doc_tokens=doc_tokens, dim=embeddings[0].shape[-1], dtype="int8",
             prefilter="binary" if args.index_prefilter else None,
+            coarse_pool=args.index_coarse_pool,
         )
         for i in range(0, len(embeddings), 256):
             chunk = embeddings[i : i + 256]

@@ -301,6 +301,118 @@ class TestBinaryPrefilter:
         with pytest.raises(ValueError, match="prefilter"):
             index.tune_candidates(queries)
 
+
+class TestCoarsePooledSketch:
+    """coarse_pool: the sign sketch covers mean-pooled token GROUPS (the
+    coarse pass is VPU-compute-bound — docs/PERF.md — so its cost and bytes
+    shrink by the factor); the exact store and rerank are untouched."""
+
+    @pytest.fixture
+    def corpus(self):
+        rng = np.random.default_rng(5)
+        d = 32
+        queries = rng.normal(size=(2, 6, d)).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=-1, keepdims=True)
+        docs = []
+        for b in range(2):
+            for _ in range(3):
+                doc = queries[b] + 0.1 * rng.normal(size=(6, d)).astype(np.float32)
+                docs.append(doc / np.linalg.norm(doc, axis=-1, keepdims=True))
+        for _ in range(200):
+            n = int(rng.integers(4, 10))
+            doc = rng.normal(size=(n, d)).astype(np.float32)
+            docs.append(doc / np.linalg.norm(doc, axis=-1, keepdims=True))
+        return docs, list(queries)
+
+    @pytest.mark.parametrize("factor", [2, 4])
+    def test_pooled_two_tier_matches_exact_search(self, corpus, factor):
+        docs, queries = corpus
+        exact = CorpusIndex(docs, dtype="int8")
+        tiered = CorpusIndex(docs, dtype="int8", prefilter="binary", coarse_pool=factor)
+        e_scores, e_idx = exact.search(queries, k=3)
+        t_scores, t_idx = tiered.search(queries, k=3, candidates=64)
+        np.testing.assert_array_equal(t_idx, e_idx)
+        np.testing.assert_allclose(t_scores, e_scores, rtol=2e-2, atol=0.1)
+
+    def test_pooled_sketch_shrinks_by_factor(self, corpus):
+        docs, _ = corpus
+        full = CorpusIndex(docs, dtype="int8", prefilter="binary")
+        pooled = CorpusIndex(docs, dtype="int8", prefilter="binary", coarse_pool=4)
+        assert pooled._bwords.shape[2] * 4 == full._bwords.shape[2]
+        assert pooled.coarse_pool == 4 and full.coarse_pool == 1
+
+    def test_save_load_keeps_coarse_pool(self, corpus, tmp_path):
+        docs, queries = corpus
+        index = CorpusIndex(docs, dtype="int8", prefilter="binary", coarse_pool=2)
+        path = str(tmp_path / "pooled.idx.npz")
+        index.save(path)
+        loaded = CorpusIndex.load(path)
+        assert loaded.coarse_pool == 2
+        np.testing.assert_array_equal(np.asarray(loaded._bwords), np.asarray(index._bwords))
+        s0, i0 = index.search(queries, k=3, candidates=64)
+        s1, i1 = loaded.search(queries, k=3, candidates=64)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_array_equal(s0, s1)
+
+    def test_device_builder_matches_host_build(self, corpus):
+        import jax.numpy as jnp
+
+        from colpali_tpu.retrieval import DeviceIndexBuilder
+
+        docs, _ = corpus
+        ref = CorpusIndex(docs, dtype="int8", doc_tokens=16, prefilter="binary", coarse_pool=4)
+        builder = DeviceIndexBuilder(
+            doc_tokens=16, dim=32, dtype="int8", prefilter="binary", coarse_pool=4
+        )
+        for i in range(0, len(docs), 7):
+            chunk = docs[i : i + 7]
+            s = max(x.shape[0] for x in chunk)
+            padded = np.zeros((len(chunk), s, 32), np.float32)
+            mask = np.zeros((len(chunk), s), bool)
+            for j, x in enumerate(chunk):
+                padded[j, : x.shape[0]] = x
+                mask[j, : x.shape[0]] = True
+            builder.add(jnp.asarray(padded), jnp.asarray(mask))
+        index = builder.build()
+        assert index.coarse_pool == 4
+        np.testing.assert_array_equal(np.asarray(index._bwords), np.asarray(ref._bwords))
+        np.testing.assert_array_equal(np.asarray(index._store), np.asarray(ref._store))
+
+    def test_extend_preserves_pooled_sketch(self, corpus):
+        docs, queries = corpus
+        index = CorpusIndex(docs[:100], dtype="int8", prefilter="binary", coarse_pool=2)
+        index.extend(docs[100:])
+        scratch = CorpusIndex(
+            docs, dtype="int8", doc_tokens=index.doc_tokens, prefilter="binary", coarse_pool=2
+        )
+        _, i0 = index.search(queries, k=3, candidates=64)
+        _, i1 = scratch.search(queries, k=3, candidates=64)
+        np.testing.assert_array_equal(i0, i1)
+
+    def test_sharded_pooled_kernel_path(self, corpus):
+        """Pooled sketch through the Pallas coarse kernel (interpret) under
+        shard_map — the production multi-chip serving branch."""
+        docs, queries = corpus
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+        exact = CorpusIndex(docs, dtype="int8", force_kernel=False)
+        tiered = CorpusIndex(
+            docs, dtype="int8", mesh=mesh, prefilter="binary", coarse_pool=2, force_kernel=True
+        )
+        _, e_idx = exact.search(queries, k=3)
+        _, t_idx = tiered.search(queries, k=3, candidates=24)
+        np.testing.assert_array_equal(t_idx, e_idx)
+
+    def test_coarse_pool_validation(self, corpus):
+        docs, _ = corpus
+        with pytest.raises(ValueError, match="coarse_pool"):
+            CorpusIndex(docs, dtype="int8", coarse_pool=2)  # no prefilter
+        with pytest.raises(ValueError, match="divide"):
+            CorpusIndex(docs, dtype="int8", prefilter="binary", coarse_pool=5)
+        from colpali_tpu.retrieval import DeviceIndexBuilder
+
+        with pytest.raises(ValueError, match="coarse_pool"):
+            DeviceIndexBuilder(doc_tokens=16, dim=32, coarse_pool=2)
+
     def test_sharded_fake_doc_shards_never_win(self):
         """Shards holding only padding (num_docs << padded_docs) must not
         emit fake doc ids even when every real score is negative."""
