@@ -57,7 +57,7 @@ RUNGS = {
 }
 
 
-def make_corpus(doc_tokens: int, num_docs: int):
+def make_corpus(doc_tokens: int, num_docs: int, coarse_pool: int = 1):
     """int8 tile-major store + packed sign words, generated on-device."""
     from colpali_tpu.ops.maxsim_pallas import DOC_TILE
 
@@ -70,7 +70,13 @@ def make_corpus(doc_tokens: int, num_docs: int):
         def step(carry, k):
             bits = jax.random.bits(k, (doc_tokens, DOC_TILE, DIM // 4), jnp.uint32)
             tile = jax.lax.bitcast_convert_type(bits, jnp.int8).reshape(doc_tokens, DOC_TILE, DIM)
-            sign = (tile > 0).astype(jnp.uint32).reshape(doc_tokens, DOC_TILE, DIM // 32, 32)
+            # pooled sketch (CorpusIndex coarse_pool): sign of the group sum
+            src = tile.astype(jnp.int32).reshape(
+                doc_tokens // coarse_pool, coarse_pool, DOC_TILE, DIM
+            ).sum(1)
+            sign = (src > 0).astype(jnp.uint32).reshape(
+                doc_tokens // coarse_pool, DOC_TILE, DIM // 32, 32
+            )
             weights = jnp.left_shift(jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
             words = jnp.sum(sign * weights, axis=-1, dtype=jnp.uint32).astype(jnp.int32)
             return carry, (tile, words.transpose(2, 0, 1))
@@ -105,14 +111,14 @@ def measure(kernel_fn, queries, store, scales, words, iters: int) -> float:
     return sorted(times)[len(times) // 2] * 1000
 
 
-def run_rung(name: str, doc_tokens: int, num_docs: int, iters: int):
+def run_rung(name: str, doc_tokens: int, num_docs: int, iters: int, coarse_pool: int = 1):
     from colpali_tpu.ops.maxsim_binary import binary_maxsim_pallas_tiled
     from colpali_tpu.ops.maxsim_pallas import maxsim_pallas_int8_tiled
     from colpali_tpu.ops.quant import binarize_words
     from colpali_tpu.retrieval.store import gather_rerank
 
     t0 = time.time()
-    store, words, scales = make_corpus(doc_tokens, num_docs)
+    store, words, scales = make_corpus(doc_tokens, num_docs, coarse_pool)
     store.block_until_ready()
     gb = store.nbytes / 2**30 + words.nbytes / 2**30 + scales.nbytes / 2**30
     print(f"[{time.time()-t0:5.1f}s] rung {name}: {doc_tokens} tok x {num_docs:,} docs "
@@ -138,7 +144,7 @@ def run_rung(name: str, doc_tokens: int, num_docs: int, iters: int):
         return top
 
     out = {"rung": name, "doc_tokens": doc_tokens, "num_docs": num_docs,
-           "device_gb": round(gb, 2)}
+           "coarse_pool": coarse_pool, "device_gb": round(gb, 2)}
     out["two_tier_p50_ms"] = round(measure(two_tier, queries, store, scales, words, iters), 3)
     print(f"[{time.time()-t0:5.1f}s]   two-tier p50 {out['two_tier_p50_ms']} ms", flush=True)
     out["exact_p50_ms"] = round(measure(exact, queries, store, scales, words, iters), 3)
@@ -153,10 +159,14 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--rungs", default="A,B,C")
     parser.add_argument("--iters", type=int, default=32)
+    parser.add_argument("--coarse-pool", type=int, default=1,
+                        help="sketch-only token pooling (CorpusIndex coarse_pool)")
     args = parser.parse_args()
 
     assert jax.devices()[0].platform == "tpu", "the ladder is a device measurement"
-    results = [run_rung(r, *RUNGS[r], args.iters) for r in args.rungs.split(",")]
+    results = [
+        run_rung(r, *RUNGS[r], args.iters, args.coarse_pool) for r in args.rungs.split(",")
+    ]
     print(json.dumps(results, indent=2))
 
 
