@@ -87,11 +87,12 @@ class SweepRecorder:
         }
 
 
-def build_index(num_docs: int):
+def build_index(num_docs: int, coarse_pool: int = 1):
     from colpali_tpu.retrieval.store import DeviceIndexBuilder
 
     builder = DeviceIndexBuilder(doc_tokens=DOC_TOKENS, dim=DIM,
-                                 dtype="int8", prefilter="binary")
+                                 dtype="int8", prefilter="binary",
+                                 coarse_pool=coarse_pool)
     chunk = 4096
     key = jax.random.key(0)
     n_chunks = num_docs // chunk
@@ -214,6 +215,8 @@ def main():
                              "request pays tokenize + encode (real-scale "
                              "ColPali-3B stored-int8, EncodeBatcher-merged) "
                              "before the search — QPS/p99 include encoding")
+    parser.add_argument("--coarse-pool", type=int, default=1,
+                        help="sketch-only token pooling (CorpusIndex coarse_pool)")
     args = parser.parse_args()
 
     from colpali_tpu.retrieval.serving import MicroBatcher, run_search
@@ -235,9 +238,9 @@ def main():
         payloads = [f"find document page {i} quarterly report total revenue {i % 7}"
                     for i in range(64)]
 
-    index = SweepRecorder(build_index(num_docs))
+    index = SweepRecorder(build_index(num_docs, args.coarse_pool))
     print(f"[{time.time()-t0:6.1f}s] index built: {num_docs} docs x {DOC_TOKENS} tok, "
-          f"int8+binary prefilter", flush=True)
+          f"int8+binary prefilter (coarse_pool={args.coarse_pool})", flush=True)
 
     rng = np.random.default_rng(7)
     # warm both kernels (compile) before timing
