@@ -8,13 +8,15 @@ v5e chip. ``vs_baseline`` = 50ms / measured_p50 (>1 beats the target).
 
 The measured configuration is CorpusIndex's best serving path: TWO-TIER
 search with a POOLED sketch (round 5) — binary sign-sketch coarse pass over
-mean-pooled groups of COARSE_POOL=4 doc tokens (XOR+popcount Pallas kernel;
-the coarse pass is VPU-compute-bound, so pooling cuts its ops AND bytes 4x:
-6.9 -> 3.9 ms) -> top-1024 candidates -> scalar-prefetch gather -> exact
-fp32 rerank -> top-100. Returned scores are exact; recall@100 = 1.0 on
-graded-relevance corpora at this exact config (perf/prefilter_bench.py
---coarse-pool 4, which also reports the exact-kernel single-pass ~12.4 ms
-and the unpooled two-tier ~8.8 ms).
+mean-pooled groups of COARSE_POOL=4 doc tokens (XOR+popcount Pallas kernel,
+multi-DOC_TILE grid steps; the coarse pass is VPU-compute-bound, so pooling
+cuts its ops AND bytes 4x, and K-tile blocking amortizes the per-step
+overhead that dominates small sketches: 6.7 -> 2.6 ms) -> top-1024
+candidates -> scalar-prefetch gather -> exact fp32 rerank -> top-100.
+Returned scores are exact; recall@100 = 1.0 on graded-relevance corpora at
+this exact config (perf/prefilter_bench.py --coarse-pool 4, which also
+reports the exact-kernel single-pass ~12.4 ms and the unpooled two-tier
+~8.7 ms).
 
 Method notes:
 - Corpus: 1M docs x 64 tokens (hierarchical pool factor 3 of ~196-patch

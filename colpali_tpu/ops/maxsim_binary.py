@@ -43,6 +43,7 @@ kernel's HBM floor ~2x at batch 1; the bigger win is the 8x HBM capacity.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -81,36 +82,45 @@ def words_to_tile_major(words_dm: jnp.ndarray) -> jnp.ndarray:
 
 
 def _binary_kernel(q_ref, qv_ref, d_ref, out_ref, *, dim: int, nq: int):
-    """One DOC_TILE of docs.
+    """K DOC_TILEs of docs per grid step.
 
     Shapes:
       q_ref:  (B*Nq, W) int32  — SMEM (scalar reads)
       qv_ref: (B*Nq, 1) f32    — SMEM query-token validity
-      d_ref:  (1, W, Np, DOC_TILE) int32 — VMEM corpus tile, word-major
-      out_ref:(B, DOC_TILE) f32
+      d_ref:  (K, W, Np, DOC_TILE) int32 — VMEM corpus tiles, word-major
+      out_ref:(B, K*DOC_TILE) f32
+
+    K > 1 amortizes the per-grid-step fixed cost, which DOMINATES once the
+    sketch is token-pooled (coarse_pool >= 4 leaves ~2 ms of step overhead
+    against <2 ms of VPU ops over ~8k steps — measured in docs/PERF.md;
+    the exact kernel's multi-tile experiment hit an HBM plateau instead,
+    a different regime).
     """
     b = out_ref.shape[0]
     n_words = q_ref.shape[1]
+    k_tiles = d_ref.shape[0]
     for bi in range(b):
-        acc = jnp.zeros((1, DOC_TILE), jnp.float32)
-        for qi in range(nq):
-            i = bi * nq + qi
-            ham = jax.lax.population_count(jax.lax.bitwise_xor(d_ref[0, 0], q_ref[i, 0]))
-            for w in range(1, n_words):
-                ham += jax.lax.population_count(jax.lax.bitwise_xor(d_ref[0, w], q_ref[i, w]))
-            # sign-sketch dot product, max over doc tokens (sublane reduce)
-            sim = (dim - 2 * ham).astype(jnp.float32)
-            acc += qv_ref[i, 0] * jnp.max(sim, axis=0, keepdims=True)
-        out_ref[bi : bi + 1] = acc
+        for kt in range(k_tiles):
+            acc = jnp.zeros((1, DOC_TILE), jnp.float32)
+            for qi in range(nq):
+                i = bi * nq + qi
+                ham = jax.lax.population_count(jax.lax.bitwise_xor(d_ref[kt, 0], q_ref[i, 0]))
+                for w in range(1, n_words):
+                    ham += jax.lax.population_count(jax.lax.bitwise_xor(d_ref[kt, w], q_ref[i, w]))
+                # sign-sketch dot product, max over doc tokens (sublane reduce)
+                sim = (dim - 2 * ham).astype(jnp.float32)
+                acc += qv_ref[i, 0] * jnp.max(sim, axis=0, keepdims=True)
+            out_ref[bi : bi + 1, kt * DOC_TILE : (kt + 1) * DOC_TILE] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("dim", "interpret"))
+@functools.partial(jax.jit, static_argnames=("dim", "interpret", "tiles_per_step"))
 def binary_maxsim_pallas_tiled(
     query_words: jnp.ndarray,
     query_valid: jnp.ndarray,
     doc_words_tiled: jnp.ndarray,
     dim: int,
     interpret: bool = False,
+    tiles_per_step: Optional[int] = None,
 ) -> jnp.ndarray:
     """Approximate MaxSim scores against a packed-bit tile-major corpus.
 
@@ -121,6 +131,10 @@ def binary_maxsim_pallas_tiled(
             padding pre-filled (see :func:`fill_doc_padding`).
         dim: the original embedding dimension (= 32 * W).
         interpret: Pallas interpreter mode (hermetic CPU testing).
+        tiles_per_step: DOC_TILEs per grid step (must divide the tile
+            count). Default: auto — 1 for dense sketches, more for pooled
+            sketches (small Np), where per-step overhead dominates the VPU
+            ops (measured in docs/PERF.md "Pooled sketch").
 
     Returns:
         ``(B, C)`` fp32 approximate scores (each valid query token scored as
@@ -133,16 +147,24 @@ def binary_maxsim_pallas_tiled(
         raise ValueError(f"word-count mismatch: queries {n_words}, docs {w2}, dim {dim}")
     c = n_tiles * DOC_TILE
 
+    if tiles_per_step is None:
+        # overhead-amortizing default: target >= 32 (Np, T) planes of work
+        # per step, capped at 8 tiles (~VMEM KBs either way)
+        tiles_per_step = max(1, min(8, 32 // max(1, np_ // 2)))
+    k_tiles = next(k for k in range(min(tiles_per_step, n_tiles), 0, -1) if n_tiles % k == 0)
+
     q_flat = query_words.reshape(b * nq, n_words)
     qv_flat = query_valid.reshape(b * nq, 1).astype(jnp.float32)
     grid_spec = pl.GridSpec(
-        grid=(n_tiles,),
+        grid=(n_tiles // k_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_words, np_, DOC_TILE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (k_tiles, n_words, np_, DOC_TILE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec((b, DOC_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((b, k_tiles * DOC_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         functools.partial(_binary_kernel, dim=dim, nq=nq),

@@ -124,6 +124,28 @@ class TestBinaryMaxsimParity:
         with pytest.raises(ValueError, match="word-count"):
             binary_maxsim_pallas_tiled(qw[..., :2], qv, dwt, 128, interpret=True)
 
+    @pytest.mark.parametrize("np_,tiles_per_step", [(8, 1), (8, 4), (8, 8), (8, 3), (16, None)])
+    def test_multi_tile_blocks_match_single_tile(self, np_, tiles_per_step):
+        """tiles_per_step > 1 (the pooled-sketch overhead amortization) is
+        value-identical to one tile per grid step, including the auto
+        default and a non-dividing request (clamped to a divisor of 8)."""
+        rng = np.random.default_rng(7)
+        q, docs = _random_padded(rng, b=2, nq=8, c=1024, np_=np_, d=64, q_real=6, p_real=np_)
+        qw, qv = binarize_words(jnp.asarray(q))
+        dw, dv = binarize_words(jnp.asarray(docs))
+        dwt = words_to_tile_major(fill_doc_padding(dw, dv))
+        want = np.asarray(
+            binary_maxsim_pallas_tiled(qw, qv, dwt, 64, interpret=True, tiles_per_step=1)
+        )
+        got = np.asarray(
+            binary_maxsim_pallas_tiled(
+                qw, qv, dwt, 64, interpret=True, tiles_per_step=tiles_per_step
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+        xla = np.asarray(binary_maxsim_xla_tiled(qw, qv, dwt, 64))
+        np.testing.assert_allclose(got, xla, atol=1e-4)
+
 
 class TestPrefilterRecall:
     def test_planted_relevant_docs_survive_the_coarse_pass(self):
